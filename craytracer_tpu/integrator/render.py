@@ -1,0 +1,90 @@
+"""Progressive renderer: the driver loop (main.cpp:295-346) as a thin host
+orchestration over a jitted per-pass render step.
+
+Each pass traces one sample per pixel for the whole image (optionally in
+fixed-size tiles to bound the [rays x prims] working set), accumulates into
+an f32 HBM buffer, and can checkpoint/resume via io.imagestate.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from craytracer_tpu.camera import Camera, Film
+from craytracer_tpu.integrator.wavefront import render_sample
+from craytracer_tpu.scene.types import Scene
+from craytracer_tpu.utils.tonemap import tone_map
+
+
+@dataclass
+class RenderConfig:
+    num_samples: int = 16
+    max_depth: int = 5
+    seed: int = 0
+    tile_pixels: int = 0  # 0 = whole image per pass
+    log_every: int = 0  # print progress every k passes (0 = silent)
+    estimator: str = "reference"
+
+
+@partial(jax.jit, static_argnames=("max_depth", "estimator"))
+def _pass_step(scene: Scene, camera: Camera, film: Film, pixel_ids, seed, spp_index,
+               max_depth: int, estimator: str = "reference"):
+    return render_sample(scene, camera, film, pixel_ids, seed, spp_index, max_depth,
+                         estimator)
+
+
+class Renderer:
+    def __init__(self, scene: Scene, camera: Camera, film: Film, config: RenderConfig):
+        self.scene = scene
+        self.camera = camera
+        self.film = film
+        self.config = config
+        self.accum = jnp.zeros((film.num_pixels, 3), jnp.float32)
+        self.spp_done = 0
+
+    def resume_from(self, accum: np.ndarray, spp: int):
+        self.accum = jnp.asarray(accum.reshape(-1, 3), jnp.float32)
+        self.spp_done = spp
+
+    def render(self, progress_cb: Optional[Callable] = None):
+        cfg = self.config
+        n = self.film.num_pixels
+        tile = cfg.tile_pixels or n
+        start = time.time()
+        for s in range(self.spp_done, self.spp_done + cfg.num_samples):
+            pass_vals = []
+            for t0 in range(0, n, tile):
+                ids = jnp.arange(t0, min(t0 + tile, n), dtype=jnp.int32)
+                pass_vals.append(
+                    _pass_step(self.scene, self.camera, self.film, ids,
+                               cfg.seed, s, cfg.max_depth, cfg.estimator)
+                )
+            self.accum = self.accum + jnp.concatenate(pass_vals, axis=0)
+            done = s + 1 - self.spp_done
+            if cfg.log_every and done % cfg.log_every == 0:
+                self.accum.block_until_ready()
+                dt = time.time() - start
+                print(f"pass {s + 1}: {done / dt:.2f} passes/s")
+            if progress_cb is not None:
+                progress_cb(s + 1, self.image())
+        self.spp_done += cfg.num_samples
+        return self.image()
+
+    def image(self) -> np.ndarray:
+        """Tone-mapped [H, W, 3] image of the running mean (the per-pass
+        display path, main.cpp:321-325 + genImageFromColorBuffer)."""
+        spp = max(self.spp_done, 1)
+        mean = self.accum / spp
+        img = tone_map(mean)
+        return np.asarray(img).reshape(self.film.height, self.film.width, 3)
+
+    def raw_mean(self) -> np.ndarray:
+        spp = max(self.spp_done, 1)
+        return np.asarray(self.accum / spp).reshape(self.film.height, self.film.width, 3)

@@ -1,0 +1,178 @@
+"""Wavefront path tracer with next-event estimation.
+
+The reference's recursive-per-ray `pathTrace` (trace.h:399-532) becomes a
+bounce loop over an `[N]`-lane ray queue: every stage (intersect, emitted
+add, NEE, BSDF sample, Russian roulette) is one fused batched computation
+with liveness masks. Estimator semantics follow the reference exactly —
+including its idiosyncrasies, so images match:
+
+* radiance is divided by `good_paths`, the count of contributing events
+  (trace.h:528-529);
+* `good_paths` increments on: emissive hit or escape when (bounce 0 or the
+  previous bounce sampled a specular/glossy lobe) — escapes count even when
+  the env contribution is black (trace.h:419-455) — and on nonzero NEE
+  contributions (trace.h:473-477);
+* NEE runs only for materials outside {MIRROR, TRANSPARENT, GLASS}
+  (trace.h:471) and evaluates only non-specular, non-glossy lobes
+  (excluded_from_direct, trace.h:410);
+* termination: escape, max depth, or an emissive hit (trace.h:459);
+* Russian roulette after bounce 3 with q = max(0.05, 1 - max(beta)),
+  surviving paths scaled by 1/(1-q) (trace.h:512-525).
+
+Deviation (robustness, documented): ray origins are offset along the
+geometric normal by a magnitude-relative epsilon instead of relying on the
+reference's absolute K_EPSILON=7e-6 t-cull (util/constants.h:45), which is
+below f32 resolution at Cornell-box scale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from craytracer_tpu.bsdf import bsdf_f_direct, bsdf_sample, gather_params
+from craytracer_tpu.constants import K_EPSILON, TMAX
+from craytracer_tpu.core import math as vm
+from craytracer_tpu.lights import env_radiance, sample_one_light
+from craytracer_tpu.ops import intersect_scene, shadow_distance
+from craytracer_tpu.sampling import uniforms
+from craytracer_tpu.scene import types as T
+
+# RNG dimension layout per bounce (disjoint counters per call site).
+_DIM_LIGHT = 0  # light_sample (2)
+_DIM_SCATTER = 2  # scatter_sample (2, consumed-but-unused as in trace.h:468)
+_DIM_PICK = 4  # light selection rand (trace.h:371)
+_DIM_BSDF = 5  # BSDF sample (2) + fresnel-branch rand (3)
+_DIM_RR = 8  # Russian roulette rand (trace.h:516)
+CAMERA_BOUNCE = 0x7FFF  # bounce counter reserved for camera jitter dims
+
+
+def _offset_ray(point, normal, direction):
+    """Nudge origins off the surface along the geometric normal, scaled to
+    local magnitude (f32-robust replacement for the t > K_EPSILON cull)."""
+    mag = jnp.max(jnp.abs(point), axis=-1, keepdims=True)
+    eps = (mag + 1.0) * 1e-4
+    side = jnp.where(vm.dot(direction, normal, keepdims=True) >= 0.0, 1.0, -1.0)
+    return point + normal * eps * side
+
+
+def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
+                max_depth: int, rr_start: int = 3):
+    """Trace one path per lane. Returns (L[N,3], good_paths[N] int32)."""
+    n = origin.shape[0]
+    f32 = origin.dtype
+
+    def body(bounce, state):
+        o, d, beta, L, good, alive, prev_sg = state
+
+        hit = intersect_scene(scene, o, d)
+        miss = ~hit.hit_mask
+        mat_type = jnp.take(scene.materials.mat_type, hit.mat_id)
+        emissive_hit = hit.hit_mask & (mat_type == T.MAT_EMISSIVE)
+
+        # ---- emitted / env radiance (trace.h:419-455)
+        add_cond = alive & ((bounce == 0) | prev_sg)
+        e_color = jnp.take(scene.materials.color, hit.mat_id, axis=0)
+        e_int = jnp.take(scene.materials.intensity, hit.mat_id)
+        emitted = e_color * e_int[:, None]
+        add_emit = add_cond & emissive_hit
+        L = L + jnp.where(add_emit[:, None], beta * emitted, 0.0)
+
+        env_dir = jnp.einsum("ij,nj->ni", scene.env.transform, d)
+        env_li = env_radiance(scene.env, scene.textures, env_dir)
+        add_env = add_cond & miss
+        L = L + jnp.where(add_env[:, None], beta * env_li, 0.0)
+        # good_paths++ on emissive add AND on every counted escape, black or
+        # not (trace.h:427-444 quirk).
+        good = good + (add_emit | add_env).astype(jnp.int32)
+
+        # ---- termination (trace.h:459)
+        cont = alive & hit.hit_mask & ~emissive_hit & (bounce < max_depth)
+
+        # ---- shading frame (computeLocalBasis, trace.h:132-146)
+        ft, fb, fn = vm.make_shading_frame(hit.normal, hit.dpdu)
+        mp = gather_params(scene.materials, scene.textures, hit.mat_id, hit.uv)
+        wo_world = -d
+        wo_local = vm.to_local(wo_world, ft, fb, fn)
+
+        # ---- NEE (trace.h:466-481)
+        u_light = uniforms(seed, pixel_ids, spp_index, bounce, 2, _DIM_LIGHT)
+        u_pick = uniforms(seed, pixel_ids, spp_index, bounce, 1, _DIM_PICK)[:, 0]
+        nee_mat = ~(
+            (mat_type == T.MAT_MIRROR)
+            | (mat_type == T.MAT_TRANSPARENT)
+            | (mat_type == T.MAT_GLASS)
+        )
+        ls = sample_one_light(scene, u_pick, u_light, hit.point, fn, ft, fb)
+        wi_l = vm.to_local(ls.wi, ft, fb, fn)
+        f_nee = bsdf_f_direct(wi_l, wo_local, mp) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
+        want_shadow = cont & nee_mat & ls.valid & jnp.any(f_nee > 0.0, axis=-1)
+        shadow_o = _offset_ray(hit.point, hit.normal, ls.wi)
+        t_shadow = shadow_distance(scene, shadow_o, ls.wi)
+        lit = t_shadow >= ls.distance - jnp.maximum(K_EPSILON, 1e-3 * ls.distance)
+        contrib = jnp.where(
+            (want_shadow & lit)[:, None],
+            beta * f_nee * ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None],
+            0.0,
+        )
+        L = L + contrib
+        good = good + (jnp.any(contrib != 0.0, axis=-1)).astype(jnp.int32)
+
+        # ---- BSDF sampling (trace.h:484-496)
+        u_bsdf = uniforms(seed, pixel_ids, spp_index, bounce, 3, _DIM_BSDF)
+        f_s, wi_local, pdf_s, is_spec, is_glossy = bsdf_sample(u_bsdf, wo_local, mp)
+        dead_sample = (pdf_s <= 0.0) | jnp.all(f_s == 0.0, axis=-1)
+        wi_world = vm.to_world(wi_local, ft, fb, fn)
+        weight = f_s * (jnp.abs(vm.dot(wi_world, fn)) / jnp.maximum(pdf_s, 1e-12))[:, None]
+        new_beta = jnp.where(cont[:, None], beta * weight, beta)
+
+        # ---- Russian roulette (trace.h:512-525)
+        u_rr = uniforms(seed, pixel_ids, spp_index, bounce, 1, _DIM_RR)[:, 0]
+        max_comp = jnp.max(new_beta, axis=-1)
+        q = jnp.maximum(0.05, 1.0 - max_comp)
+        rr_active = cont & (bounce > rr_start)
+        rr_kill = rr_active & (u_rr < q)
+        new_beta = jnp.where(
+            (rr_active & ~rr_kill)[:, None],
+            new_beta / jnp.maximum(1.0 - q, 1e-6)[:, None],
+            new_beta,
+        )
+
+        new_alive = cont & ~dead_sample & ~rr_kill
+        new_o = jnp.where(cont[:, None], _offset_ray(hit.point, hit.normal, wi_world), o)
+        new_d = jnp.where(cont[:, None], wi_world, d)
+        new_prev_sg = jnp.where(cont, is_spec | is_glossy, prev_sg)
+        return new_o, new_d, new_beta, L, good, new_alive, new_prev_sg
+
+    state = (
+        origin,
+        direction,
+        jnp.ones((n, 3), f32),
+        jnp.zeros((n, 3), f32),
+        jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,), bool),
+        jnp.zeros((n,), bool),
+    )
+    state = jax.lax.fori_loop(0, max_depth + 1, body, state)
+    _, _, _, L, good, _, _ = state
+    return L, good
+
+
+def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
+                  max_depth: int, estimator: str = "reference"):
+    """One progressive pass: raygen + trace.
+
+    estimator="reference": L / max(good_paths, 1) — the reference's
+    contributing-event normalization (trace.h:528-529), for image parity.
+    estimator="physical": plain L — the standard unbiased NEE estimator
+    (kept behind a flag per SURVEY.md §6 hardest-parts note)."""
+    from craytracer_tpu.camera import generate_rays
+
+    jitter = uniforms(seed, pixel_ids, spp_index, CAMERA_BOUNCE, 2, 0)
+    lens_u = uniforms(seed, pixel_ids, spp_index, CAMERA_BOUNCE, 2, 2)
+    o, d = generate_rays(camera, film, pixel_ids, jitter, lens_u)
+    L, good = trace_paths(scene, o, d, seed, pixel_ids, spp_index, max_depth)
+    if estimator == "physical":
+        return L
+    norm = jnp.where(good > 0, 1.0 / jnp.maximum(good, 1).astype(L.dtype), 0.0)
+    return L * norm[:, None]

@@ -1,0 +1,163 @@
+"""Light sampling for next-event estimation, vectorized over hit queues.
+
+Re-implements `uniformSampleOneLight` + `estimateDirect`
+(trace.h:221-397) as one masked computation over the light table:
+
+* light selection by normalized-power CDF — the scalar walk at
+  trace.h:371-391 becomes a `searchsorted`;
+* per-type surface sampling (rect / sphere / disk / env,
+  trace.h:230-314) runs masked for every lane;
+* area -> solid-angle pdf conversion and the facing rejections
+  (trace.h:316-323) follow the reference exactly.
+
+The caller (integrator) fires the shadow ray; this module returns the
+candidate sample so traversal stays a separate wavefront stage.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+from craytracer_tpu.constants import INV_PI, JITTERED_UP, PI, TMAX
+from craytracer_tpu.core import math as vm
+from craytracer_tpu.sampling.mappings import map_to_disk_polar, map_to_hemisphere_cosine
+from craytracer_tpu.scene import types as T
+
+
+@flax.struct.dataclass
+class LightSample:
+    wi: jnp.ndarray  # [N, 3] direction to the light sample
+    li: jnp.ndarray  # [N, 3] incident radiance
+    distance: jnp.ndarray  # [N] shadow-ray length
+    pdf: jnp.ndarray  # [N] solid-angle-converted pdf * pick probability
+    valid: jnp.ndarray  # [N] facing/pdf checks passed
+
+
+def env_radiance(env: T.EnvLight, textures: T.TexturePack, direction):
+    """getEnvLightIncRadiance (lights.cpp:233-248). `direction` is already
+    transformed by env.transform where the reference does so."""
+    if env.kind == 0:
+        return jnp.zeros_like(direction)
+    if env.kind == 1:
+        return jnp.broadcast_to(env.color * env.intensity, direction.shape)
+    from craytracer_tpu.bsdf.texture import tex_lookup_nearest
+
+    theta, phi = vm.cartesian_to_spherical(direction)
+    u, v = vm.spherical_to_uv(theta, phi)
+    uv = jnp.stack([u, v], axis=-1)
+    tid = jnp.broadcast_to(env.tex_id, direction.shape[:-1])
+    texel = tex_lookup_nearest(textures, tid, uv)
+    return texel * env.intensity
+
+
+def sample_one_light(scene: T.Scene, u_pick, u2, hit_point, shading_normal,
+                     frame_t, frame_b) -> LightSample:
+    """Pick one light by the power CDF and sample a point on it.
+
+    Returns pdf already divided through by the pick probability
+    (uniformSampleOneLight's final 1/light_pdf scale, trace.h:393-396),
+    i.e. contribution = f * |cos| * li / pdf after the shadow test.
+    """
+    lights = scene.lights
+    n = hit_point.shape[0]
+    num_lights = lights.light_type.shape[0]
+    if num_lights == 0:
+        z = jnp.zeros((n,), hit_point.dtype)
+        return LightSample(wi=jnp.zeros_like(hit_point), li=jnp.zeros_like(hit_point),
+                           distance=z, pdf=z, valid=jnp.zeros((n,), bool))
+
+    idx = jnp.clip(
+        jnp.searchsorted(lights.power_cdf, u_pick, side="right"), 0, num_lights - 1
+    ).astype(jnp.int32)
+    pick_p = jnp.take(lights.power, idx)
+
+    ltype = jnp.take(lights.light_type, idx)
+    p0 = jnp.take(lights.p0, idx, axis=0)
+    v1 = jnp.take(lights.v1, idx, axis=0)
+    v2 = jnp.take(lights.v2, idx, axis=0)
+    lnormal = jnp.take(lights.normal, idx, axis=0)
+    radius = jnp.take(lights.radius, idx)
+    color = jnp.take(lights.color, idx, axis=0)
+    intensity = jnp.take(lights.intensity, idx)
+
+    # ---- RECT (trace.h:244-254): uniform point, pdf = 1/(|w||h|)
+    sp_rect = p0 + u2[:, 0:1] * v1 + u2[:, 1:2] * v2
+    sn_rect = lnormal
+    pdf_rect = 1.0 / jnp.maximum(vm.length(v1) * vm.length(v2), 1e-12)
+
+    # ---- SPHERE (trace.h:230-243): cosine-hemisphere about the axis from
+    # center to the shading point; pdf = cos/( 2 pi^2 r^2 ) per the
+    # reference's expression 1/(2 pi r^2) * |h.z| * INV_PI.
+    z_axis = vm.normalize(hit_point - p0)
+    zt, zb, _ = vm.orthonormal_basis(z_axis)
+    h = map_to_hemisphere_cosine(u2)
+    h_world = vm.to_world(h, zt, zb, z_axis)
+    sp_sph = p0 + h_world * radius[:, None]
+    sn_sph = h_world
+    pdf_sph = (
+        1.0 / (2.0 * PI * jnp.maximum(radius * radius, 1e-12))
+        * vm.abs_cos_theta(h)
+        * INV_PI
+    )
+
+    # ---- DISK (trace.h:255-270): polar disk map in the (JITTERED_UP x n)
+    # basis; pdf = 1/(pi r^2).
+    jup = jnp.asarray(JITTERED_UP, hit_point.dtype)
+    x_axis = vm.normalize(vm.cross(jnp.broadcast_to(jup, lnormal.shape), lnormal))
+    y_axis = vm.cross(x_axis, lnormal)
+    dsk = map_to_disk_polar(u2)
+    sp_dsk = p0 + (dsk[:, 0:1] * x_axis + dsk[:, 1:2] * y_axis) * radius[:, None]
+    sn_dsk = lnormal
+    pdf_dsk = 1.0 / (PI * jnp.maximum(radius * radius, 1e-12))
+
+    # ---- ENV (trace.h:272-296): cosine hemisphere about the shading
+    # normal, rotated by the env transform; pdf in solid angle.
+    h_env = map_to_hemisphere_cosine(u2)
+    wi_env = vm.to_world(h_env, frame_t, frame_b, shading_normal)
+    wi_env = jnp.einsum("ij,nj->ni", scene.env.transform, wi_env)
+    li_env = env_radiance(scene.env, scene.textures, wi_env)
+    pdf_env = jnp.abs(vm.dot(wi_env, shading_normal)) * INV_PI
+    dist_env = jnp.broadcast_to(scene.env.world_radius, pdf_env.shape)
+
+    is_rect = ltype == T.LIGHT_AREA_RECT
+    is_sph = ltype == T.LIGHT_AREA_SPHERE
+    is_dsk = ltype == T.LIGHT_AREA_DISK
+    is_env = ltype == T.LIGHT_ENV
+    is_area = is_rect | is_sph | is_dsk
+
+    sp = jnp.where(is_rect[:, None], sp_rect, 0.0)
+    sp = jnp.where(is_sph[:, None], sp_sph, sp)
+    sp = jnp.where(is_dsk[:, None], sp_dsk, sp)
+    sn = jnp.where(is_rect[:, None], sn_rect, 0.0)
+    sn = jnp.where(is_sph[:, None], sn_sph, sn)
+    sn = jnp.where(is_dsk[:, None], sn_dsk, sn)
+    pdf_area = jnp.where(is_rect, pdf_rect, 0.0)
+    pdf_area = jnp.where(is_sph, pdf_sph, pdf_area)
+    pdf_area = jnp.where(is_dsk, pdf_dsk, pdf_area)
+
+    # Area lights: wi, solid-angle conversion (trace.h:298-309), facing
+    # rejections (trace.h:316-323).
+    to_sample = sp - hit_point
+    dist_area = vm.length(to_sample)
+    wi_area = vm.normalize(to_sample)
+    conv = vm.length_sq(to_sample) / jnp.maximum(
+        jnp.abs(vm.dot(sn, -wi_area)), 1e-12
+    )
+    pdf_area_sa = pdf_area * conv
+    li_area = color * intensity[:, None]
+    reject_area = (vm.dot(to_sample, sn) > 0.0) | (vm.dot(to_sample, shading_normal) < 0.0)
+
+    # Env facing rejection reduces to wi below the surface.
+    reject_env = vm.dot(wi_env, shading_normal) < 0.0
+
+    wi = jnp.where(is_env[:, None], wi_env, wi_area)
+    li = jnp.where(is_env[:, None], li_env, li_area)
+    pdf = jnp.where(is_env, pdf_env, pdf_area_sa)
+    dist = jnp.where(is_env, dist_env, dist_area)
+    reject = jnp.where(is_env, reject_env, reject_area)
+
+    valid = (is_area | is_env) & ~reject & (pdf > 1e-12) & (pick_p > 0.0)
+    # Fold in the pick probability (uniformSampleOneLight, trace.h:396).
+    pdf = pdf * jnp.maximum(pick_p, 1e-12)
+    return LightSample(wi=wi, li=li, distance=dist, pdf=pdf, valid=valid)

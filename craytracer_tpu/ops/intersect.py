@@ -1,0 +1,462 @@
+"""Batched ray-primitive intersection (wavefront "traverse + fill" stages).
+
+Re-design of the reference's per-object dispatch (`shapes/shapes.cpp:4-96`,
+`intersect.h:365-545`) as two phases over `[N]` ray batches:
+
+1. **search**: for every primitive group, compute candidate hit distances for
+   all (ray, primitive) pairs as one fused `[N, M]` computation, reduce to the
+   per-group argmin, then reduce across groups. No ShadeRec is materialized.
+2. **fill**: gather the single winning primitive per ray and reconstruct the
+   hit attributes (normal, uv, dpdu) — the SoA equivalent of
+   `fillShadeRec*` — touching each ray exactly once.
+
+Shadow (any-hit) queries run only phase 1 against a distance bound
+(`shadowIntersectTest`, intersect.h:443-545).
+
+Primitive-specific semantics are kept bit-compatible with the reference
+where visible in images (clipping windows, normal-facing rules, uv
+conventions); citations inline. This brute-force module is also the ground
+truth that the accelerated traversals (accel/) are tested against.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+from craytracer_tpu.constants import K_EPSILON, TMAX, TWO_PI
+from craytracer_tpu.core import math as vm
+from craytracer_tpu.core.solvers import solve_quadratic, solve_quartic
+from craytracer_tpu.scene import types as T
+
+
+@flax.struct.dataclass
+class Hit:
+    """SoA hit record — the wavefront ShadeRec (util/shaderec.h:7-19)."""
+
+    t: jnp.ndarray  # [N]
+    group: jnp.ndarray  # [N] int32 GROUP_*, -1 for miss
+    prim: jnp.ndarray  # [N] int32 index within group
+    point: jnp.ndarray  # [N, 3]
+    normal: jnp.ndarray  # [N, 3] shading normal (facing per-prim rules)
+    dpdu: jnp.ndarray  # [N, 3] surface tangent for the shading frame
+    uv: jnp.ndarray  # [N, 2]
+    mat_id: jnp.ndarray  # [N] int32
+
+    @property
+    def hit_mask(self):
+        return self.t < TMAX
+
+
+def _pair(o, d, prim_o):
+    """Broadcast rays [N,3] against per-prim vectors [M,3] -> [N,M,3]."""
+    return o[:, None, :], d[:, None, :], prim_o[None, :, :]
+
+
+# ---------------------------------------------------------------------------
+# Per-group candidate distances, [N, M].
+
+
+def sphere_ts(o, d, s: T.Spheres):
+    """Partial-sphere hit distances (rayIntersectSphere, shapes/sphere.cpp:33-86):
+    quadratic roots, each accepted only inside the phi/theta clip window."""
+    oc = o[:, None, :] - s.center[None, :, :]
+    dN = d[:, None, :]
+    a = vm.dot(dN, dN)
+    b = 2.0 * vm.dot(oc, dN)
+    c = vm.dot(oc, oc) - (s.radius * s.radius)[None, :]
+    _, t0, t1 = solve_quadratic(a, b, c)
+
+    def accept(t):
+        hp = o[:, None, :] + t[..., None] * dN - s.center[None, :, :]
+        phi = jnp.arctan2(hp[..., 2], hp[..., 0])
+        cos_t = jnp.clip(hp[..., 1] / s.radius[None, :], -1.0, 1.0)
+        theta = jnp.arccos(cos_t)
+        ok = (
+            (t > K_EPSILON)
+            & (t < TMAX)
+            & (jnp.abs(phi) <= s.phi[None, :])
+            & (theta >= s.min_theta[None, :])
+            & (theta <= s.max_theta[None, :])
+        )
+        return jnp.where(ok, t, TMAX)
+
+    return jnp.minimum(accept(t0), accept(t1))
+
+
+def plane_ts(o, d, p: T.Planes):
+    """rayIntersectPlane (shapes/plane.cpp:4-19)."""
+    disp = p.point[None, :, :] - o[:, None, :]
+    denom = vm.dot(d[:, None, :], p.normal[None, :, :])
+    t = vm.dot(disp, p.normal[None, :, :]) / vm._safe(denom)
+    return jnp.where(t > K_EPSILON, t, TMAX)
+
+
+def rect_ts(o, d, r: T.Rects):
+    """rayIntersectRect (shapes/rect.cpp:3-54): plane hit + edge projections."""
+    disp = r.point[None, :, :] - o[:, None, :]
+    denom = vm.dot(d[:, None, :], r.normal[None, :, :])
+    t = vm.dot(disp, r.normal[None, :, :]) / vm._safe(denom)
+    hp = o[:, None, :] + t[..., None] * d[:, None, :]
+    q = hp - r.point[None, :, :]
+    w = r.width[None, :, :]
+    h = r.height[None, :, :]
+    u = vm.dot(q, w) / vm.dot(w, w)
+    v = vm.dot(q, h) / vm.dot(h, h)
+    ok = (t > K_EPSILON) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+    return jnp.where(ok, t, TMAX)
+
+
+def disk_ts(o, d, k: T.Disks):
+    """rayIntersectDisk (shapes/disk.cpp:3-32)."""
+    disp = k.center[None, :, :] - o[:, None, :]
+    denom = vm.dot(d[:, None, :], k.normal[None, :, :])
+    t = vm.dot(disp, k.normal[None, :, :]) / vm._safe(denom)
+    hp = o[:, None, :] + t[..., None] * d[:, None, :]
+    q = hp - k.center[None, :, :]
+    ok = (t > K_EPSILON) & (vm.length_sq(q) <= (k.radius * k.radius)[None, :])
+    return jnp.where(ok, t, TMAX)
+
+
+def triangle_ts(o, d, tr: T.Triangles, v0=None, e1=None, e2=None):
+    """Moller-Trumbore over [N, M] pairs — the batched replacement for
+    calcTriangleIntersect (shapes/triangle.cpp:14-79) and the 4-wide SSE
+    kernel (shapes/triangle.cpp:81-151). Returns (t, beta, gamma)."""
+    if v0 is None:
+        v0 = tr.v0
+        e1 = tr.v1 - tr.v0
+        e2 = tr.v2 - tr.v0
+    dN = d[:, None, :]
+    pvec = vm.cross(dN, e2[None, :, :])
+    det = vm.dot(e1[None, :, :], pvec)
+    inv_det = 1.0 / vm._safe(det)
+    tvec = o[:, None, :] - v0[None, :, :]
+    beta = vm.dot(tvec, pvec) * inv_det
+    qvec = vm.cross(tvec, e1[None, :, :])
+    gamma = vm.dot(dN, qvec) * inv_det
+    t = vm.dot(e2[None, :, :], qvec) * inv_det
+    ok = (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0) & (t > K_EPSILON)
+    return jnp.where(ok, t, TMAX), beta, gamma
+
+
+def _instanced_object_rays(o, d, inst: T.Instanced):
+    """Pull world rays into each instance's object space
+    (transformRay in rayIntersectInstanced, shapes/instanced.cpp:48-105).
+    Direction is NOT renormalized so `t` parametrizes the world ray."""
+    a = inst.inv_transform[None, :, :, :3]  # [1, M, 3, 3]
+    b = inst.inv_transform[None, :, :, 3]  # [1, M, 3]
+    oo = jnp.einsum("nmij,nj->nmi", jnp.broadcast_to(a, (o.shape[0],) + a.shape[1:]), o) + b
+    od = jnp.einsum("nmij,nj->nmi", jnp.broadcast_to(a, (d.shape[0],) + a.shape[1:]), d)
+    return oo, od
+
+
+def _aabox_ts(oo, od, half):
+    """Canonical centered box [-half, half] (initBox, shapes/box.cpp:4-20;
+    rayIntersectAABox, shapes/generic.cpp:311-418): enter if outside,
+    exit face if inside."""
+    inv = 1.0 / vm._safe(od)
+    t0 = (-half - oo) * inv
+    t1 = (half - oo) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    ok = (tn < tf) & (tf > K_EPSILON)
+    t = jnp.where(tn > K_EPSILON, tn, tf)
+    return jnp.where(ok, t, TMAX)
+
+
+def _cyl_ts(oo, od, phi_max, radius=1.0, half_h=1.0):
+    """Canonical open cylinder (rayIntersectGenericOpenCylinder,
+    shapes/generic.cpp:34-80): radius 1, |y| <= 1, |atan2(x, z)| <= phi."""
+    a = od[..., 0] ** 2 + od[..., 2] ** 2
+    b = 2.0 * (oo[..., 0] * od[..., 0] + oo[..., 2] * od[..., 2])
+    c = oo[..., 0] ** 2 + oo[..., 2] ** 2 - radius * radius
+    _, t0, t1 = solve_quadratic(a, b, c)
+
+    def accept(t):
+        hp = oo + t[..., None] * od
+        phi = jnp.arctan2(hp[..., 0], hp[..., 2])
+        ok = (
+            (t > K_EPSILON)
+            & (t < TMAX)
+            & (jnp.abs(hp[..., 1]) <= half_h)
+            & (jnp.abs(phi) <= phi_max)
+        )
+        return jnp.where(ok, t, TMAX)
+
+    return jnp.minimum(accept(t0), accept(t1))
+
+
+def _cap_ts(oo, od, radius, y):
+    """Disk cap at height y with normal +-y (initCompoundSolidCylinder,
+    shapes/cylinder.cpp:36-60)."""
+    n_sign = jnp.sign(y)
+    denom = od[..., 1] * n_sign
+    t = (y - oo[..., 1]) * n_sign / vm._safe(denom)
+    hp_x = oo[..., 0] + t * od[..., 0]
+    hp_z = oo[..., 2] + t * od[..., 2]
+    ok = (t > K_EPSILON) & (hp_x * hp_x + hp_z * hp_z <= radius * radius)
+    return jnp.where(ok, t, TMAX)
+
+
+def _torus_ts(oo, od, swept, tube, phi_max):
+    """Canonical torus quartic (rayIntersectGenericTorus,
+    shapes/generic.cpp:156-222), with the phi clip applied as intended (the
+    reference's clip is inert due to a fall-through return)."""
+    sum_d = vm.dot(od, od)
+    e = vm.dot(oo, oo) - swept * swept - tube * tube
+    f = vm.dot(oo, od)
+    four_a2 = 4.0 * swept * swept
+    c4 = sum_d * sum_d
+    c3 = 4.0 * sum_d * f
+    c2 = 2.0 * sum_d * e + 4.0 * f * f + four_a2 * od[..., 1] ** 2
+    c1 = 4.0 * f * e + 2.0 * four_a2 * oo[..., 1] * od[..., 1]
+    c0 = e * e - four_a2 * (tube * tube - oo[..., 1] ** 2)
+    inv = 1.0 / vm._safe(c4)
+    roots, valid = solve_quartic(c3 * inv, c2 * inv, c1 * inv, c0 * inv, newton_iters=3)
+    roots = jnp.where(valid & (roots > K_EPSILON), roots, TMAX)
+    t = jnp.min(roots, axis=-1)
+    hp = oo + t[..., None] * od
+    phi = jnp.arctan2(hp[..., 0], hp[..., 2])
+    ok = (t < TMAX) & (jnp.abs(phi) <= phi_max)
+    return jnp.where(ok, t, TMAX)
+
+
+def instanced_ts(o, d, inst: T.Instanced):
+    """[N, M] distances for instanced prims: every kind's formula runs for
+    every instance, masked by kind — the switch-free wavefront dispatch."""
+    oo, od = _instanced_object_rays(o, d, inst)
+    p = inst.params[None, :, :]
+    kind = inst.kind[None, :]
+    t_box = _aabox_ts(oo, od, p[..., 0:3] / 2.0)
+    t_cyl = _cyl_ts(oo, od, p[..., 0])
+    t_tor = _torus_ts(oo, od, p[..., 0], p[..., 1], p[..., 2])
+    t_cap = _cap_ts(oo, od, p[..., 0], p[..., 1])
+    t = jnp.where(kind == T.INST_AABOX, t_box, TMAX)
+    t = jnp.where(kind == T.INST_OPEN_CYLINDER, t_cyl, t)
+    t = jnp.where(kind == T.INST_TORUS, t_tor, t)
+    t = jnp.where(kind == T.INST_DISK, t_cap, t)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: attribute fill for the winning primitive of each group.
+
+
+def _take(arr, idx):
+    return jnp.take(arr, idx, axis=0)
+
+
+def _fill_sphere(o, d, t, idx, s: T.Spheres):
+    c = _take(s.center, idx)
+    r = _take(s.radius, idx)
+    hp = o + t[:, None] * d
+    n = vm.normalize(hp - c)
+    rel = hp - c
+    phi = jnp.arctan2(rel[:, 2], rel[:, 0])
+    phi_w = jnp.where(phi < 0, phi + TWO_PI, phi)
+    theta = jnp.arccos(jnp.clip(rel[:, 1] / vm._safe(r), -1.0, 1.0))
+    uv = jnp.stack([phi_w / TWO_PI, theta / jnp.pi], axis=-1)
+    # dpdu ~ (-(z-cz), 0, (x-cx)) (fillShadeRecSphere, shapes/sphere.cpp:4-31)
+    dpdu = vm.normalize(jnp.stack([-rel[:, 2], jnp.zeros_like(t), rel[:, 0]], axis=-1))
+    return n, dpdu, uv, _take(s.mat_id, idx)
+
+
+def _fill_plane(o, d, t, idx, p: T.Planes):
+    n = _take(p.normal, idx)
+    tang, _, _ = vm.orthonormal_basis(n)
+    uv = jnp.zeros((t.shape[0], 2), t.dtype)
+    return n, tang, uv, _take(p.mat_id, idx)
+
+
+def _fill_rect(o, d, t, idx, r: T.Rects):
+    n = _take(r.normal, idx)
+    w = _take(r.width, idx)
+    h = _take(r.height, idx)
+    p0 = _take(r.point, idx)
+    hp = o + t[:, None] * d
+    q = hp - p0
+    u = vm.dot(q, w) / vm.dot(w, w)
+    v = vm.dot(q, h) / vm.dot(h, h)
+    # Face the normal toward wo, negating dpdu with it (rect.cpp:36-46).
+    flip = vm.dot(-d, n) < 0.0
+    n = jnp.where(flip[:, None], -n, n)
+    dpdu = vm.normalize(jnp.where(flip[:, None], -w, w))
+    return n, dpdu, jnp.stack([u, v], axis=-1), _take(r.mat_id, idx)
+
+
+def _fill_disk(o, d, t, idx, k: T.Disks):
+    n = _take(k.normal, idx)
+    flip = vm.dot(-d, n) < 0.0
+    n = jnp.where(flip[:, None], -n, n)
+    tang, _, _ = vm.orthonormal_basis(n)
+    uv = jnp.zeros((t.shape[0], 2), t.dtype)
+    return n, tang, uv, _take(k.mat_id, idx)
+
+
+def _fill_triangle(o, d, t, idx, tr: T.Triangles):
+    v0 = _take(tr.v0, idx)
+    v1 = _take(tr.v1, idx)
+    v2 = _take(tr.v2, idx)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    # Recompute barycentrics for the single winning triangle.
+    pvec = vm.cross(d, e2)
+    det = vm.dot(e1, pvec)
+    inv_det = 1.0 / vm._safe(det)
+    tvec = o - v0
+    beta = vm.dot(tvec, pvec) * inv_det
+    qvec = vm.cross(tvec, e1)
+    gamma = vm.dot(d, qvec) * inv_det
+    alpha = 1.0 - beta - gamma
+    smooth = _take(tr.smooth, idx)
+    fn = _take(tr.face_normal, idx)
+    ns = vm.normalize(
+        alpha[:, None] * _take(tr.n0, idx)
+        + beta[:, None] * _take(tr.n1, idx)
+        + gamma[:, None] * _take(tr.n2, idx)
+    )
+    n = jnp.where(smooth[:, None], ns, fn)
+    # Standalone triangles face the ray (shapes/triangle.cpp:160-166).
+    ds = _take(tr.double_sided, idx)
+    flip = ds & (vm.dot(-d, n) < 0.0)
+    n = jnp.where(flip[:, None], -n, n)
+    uv = (
+        alpha[:, None] * _take(tr.uv0, idx)
+        + beta[:, None] * _take(tr.uv1, idx)
+        + gamma[:, None] * _take(tr.uv2, idx)
+    )
+    uv = uv - jnp.floor(uv)  # wrap to [0,1) (triangle.cpp:195-199)
+    dpdu = vm.normalize(e1)
+    return n, dpdu, uv, _take(tr.mat_id, idx)
+
+
+def _fill_instanced(o, d, t, idx, inst: T.Instanced):
+    a = _take(inst.inv_transform, idx)  # [N, 3, 4]
+    nm = _take(inst.normal_mat, idx)  # [N, 3, 3]
+    kind = _take(inst.kind, idx)
+    p = _take(inst.params, idx)
+    ntype = _take(inst.normal_type, idx)
+    oo = jnp.einsum("nij,nj->ni", a[:, :, :3], o) + a[:, :, 3]
+    od = jnp.einsum("nij,nj->ni", a[:, :, :3], d)
+    hp = oo + t[:, None] * od
+
+    # Box normal: dominant axis of hit point scaled by half extents.
+    half = p[:, 0:3] / 2.0
+    rel = hp / vm._safe(half)
+    ax = jnp.argmax(jnp.abs(rel), axis=-1)
+    n_box = jnp.sign(jnp.take_along_axis(rel, ax[:, None], axis=-1)) * jnp.eye(3)[ax]
+
+    # Cylinder normal per normal_type (fillShadeRecGenericOpenCylinder,
+    # shapes/generic.cpp:3-32).
+    n_side = jnp.stack([hp[:, 0], jnp.zeros_like(t), hp[:, 2]], axis=-1)
+    wo_dot = vm.dot(-od, n_side)
+    n_cyl = jnp.where(
+        (ntype == T.NORMAL_OPEN)[:, None] & (wo_dot < 0)[:, None], -n_side, n_side
+    )
+    n_cyl = jnp.where((ntype == T.NORMAL_CONCAVE)[:, None], -n_side, n_cyl)
+    phi_cyl = jnp.arctan2(hp[:, 2], hp[:, 0])
+    uv_cyl = jnp.stack(
+        [phi_cyl / vm._safe(p[:, 0]), (hp[:, 1] + 1.0) / 2.0], axis=-1
+    )
+
+    # Torus normal (computeGenericTorusNormal, shapes/generic.cpp:128-143),
+    # faced toward wo.
+    swept, tube = p[:, 0], p[:, 1]
+    param2 = swept * swept + tube * tube
+    s2 = vm.dot(hp, hp)
+    n_tor = jnp.stack(
+        [
+            4.0 * hp[:, 0] * (s2 - param2),
+            4.0 * hp[:, 1] * (s2 - param2 + 2.0 * swept * swept),
+            4.0 * hp[:, 2] * (s2 - param2),
+        ],
+        axis=-1,
+    )
+    n_tor = jnp.where(vm.dot(-od, n_tor)[:, None] < 0, -n_tor, n_tor)
+
+    n_cap = jnp.stack(
+        [jnp.zeros_like(t), jnp.sign(p[:, 1]), jnp.zeros_like(t)], axis=-1
+    )
+
+    n_obj = jnp.where((kind == T.INST_AABOX)[:, None], n_box, n_side)
+    n_obj = jnp.where((kind == T.INST_OPEN_CYLINDER)[:, None], n_cyl, n_obj)
+    n_obj = jnp.where((kind == T.INST_TORUS)[:, None], n_tor, n_obj)
+    n_obj = jnp.where((kind == T.INST_DISK)[:, None], n_cap, n_obj)
+
+    # Push normals to world through (M^-1)^T (instanced.cpp:97-103).
+    n = vm.normalize(jnp.einsum("nij,nj->ni", nm, n_obj))
+    # Box faces the ray (generic.cpp:402-406).
+    box_or_cap = (kind == T.INST_AABOX) | (kind == T.INST_DISK)
+    n = jnp.where(
+        (box_or_cap & (vm.dot(n, d) > 0.0))[:, None], -n, n
+    )
+    tang, _, _ = vm.orthonormal_basis(n)
+    uv = jnp.where((kind == T.INST_OPEN_CYLINDER)[:, None], uv_cyl, jnp.zeros_like(uv_cyl))
+    return n, tang, uv, _take(inst.mat_id, idx)
+
+
+_GROUPS = (
+    (T.GROUP_SPHERE, "spheres", sphere_ts, _fill_sphere),
+    (T.GROUP_PLANE, "planes", plane_ts, _fill_plane),
+    (T.GROUP_RECT, "rects", rect_ts, _fill_rect),
+    (T.GROUP_DISK, "disks", disk_ts, _fill_disk),
+    (T.GROUP_TRIANGLE, "triangles", lambda o, d, g: triangle_ts(o, d, g)[0], _fill_triangle),
+    (T.GROUP_INSTANCED, "instanced", instanced_ts, _fill_instanced),
+)
+
+
+def _group_size(scene, name):
+    return getattr(scene, name).mat_id.shape[0]
+
+
+def intersect_scene(scene: T.Scene, o, d) -> Hit:
+    """Closest hit across all primitive groups (brute force)."""
+    n = o.shape[0]
+    best_t = jnp.full((n,), TMAX)
+    best_group = jnp.full((n,), T.GROUP_NONE, jnp.int32)
+    best_idx = jnp.zeros((n,), jnp.int32)
+
+    for gid, name, ts_fn, _ in _GROUPS:
+        if _group_size(scene, name) == 0:
+            continue
+        ts = ts_fn(o, d, getattr(scene, name))  # [N, M]
+        gmin = jnp.min(ts, axis=1)
+        gidx = jnp.argmin(ts, axis=1).astype(jnp.int32)
+        better = gmin < best_t
+        best_t = jnp.where(better, gmin, best_t)
+        best_group = jnp.where(better, gid, best_group)
+        best_idx = jnp.where(better, gidx, best_idx)
+
+    point = o + best_t[:, None] * d
+    normal = jnp.zeros_like(o).at[:, 2].set(1.0)
+    dpdu = jnp.zeros_like(o).at[:, 0].set(1.0)
+    uv = jnp.zeros((n, 2), o.dtype)
+    mat_id = jnp.zeros((n,), jnp.int32)
+
+    for gid, name, _, fill_fn in _GROUPS:
+        if _group_size(scene, name) == 0:
+            continue
+        g_n, g_dpdu, g_uv, g_mat = fill_fn(o, d, best_t, best_idx, getattr(scene, name))
+        sel = (best_group == gid)[:, None]
+        normal = jnp.where(sel, g_n, normal)
+        dpdu = jnp.where(sel, g_dpdu, dpdu)
+        uv = jnp.where(sel, g_uv, uv)
+        mat_id = jnp.where(best_group == gid, g_mat, mat_id)
+
+    point = jnp.where((best_t < TMAX)[:, None], point, 0.0)
+    return Hit(t=best_t, group=best_group, prim=best_idx, point=point,
+               normal=normal, dpdu=dpdu, uv=uv, mat_id=mat_id)
+
+
+def shadow_distance(scene: T.Scene, o, d) -> jnp.ndarray:
+    """Min hit distance for shadow rays (no attributes). The caller compares
+    against the light distance (shadowIntersectTest early-out semantics,
+    intersect.h:443-545, folded into one reduction)."""
+    n = o.shape[0]
+    best_t = jnp.full((n,), TMAX)
+    for _, name, ts_fn, _ in _GROUPS:
+        if _group_size(scene, name) == 0:
+            continue
+        ts = ts_fn(o, d, getattr(scene, name))
+        best_t = jnp.minimum(best_t, jnp.min(ts, axis=1))
+    return best_t
