@@ -1,0 +1,76 @@
+"""Benchmark: forward path-tracing throughput on the Cornell box.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured rays/s divided by the 150M rays/s/chip north-star
+target (BASELINE.md; the reference publishes no numbers of its own).
+
+Rays/s counts every traced ray: closest-hit rays for live lanes at each
+bounce plus NEE shadow rays — measured on-device, not assumed.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_RAYS_PER_SEC = 150e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _cornell
+    from craytracer_tpu.camera import generate_rays
+    from craytracer_tpu.integrator.wavefront import trace_paths
+    from craytracer_tpu.sampling import uniforms
+    from craytracer_tpu.integrator.wavefront import CAMERA_BOUNCE
+
+    size = 512
+    max_depth = 5
+    iters = 16  # spp per timed call, looped ON DEVICE so host/tunnel round
+    # trips are amortized; each pass uses a distinct spp_index -> distinct
+    # RNG -> distinct work (nothing cacheable)
+    scene, camera, film = _cornell(size, size)
+    n = film.num_pixels
+    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def many_passes(scene, camera, film, pixel_ids, spp0):
+        def body(s, carry):
+            acc, total_rays = carry
+            jitter = uniforms(0, pixel_ids, spp0 + s, CAMERA_BOUNCE, 2, 0)
+            o, d = generate_rays(camera, film, pixel_ids, jitter)
+            L, good, m = trace_paths(scene, o, d, 0, pixel_ids, spp0 + s,
+                                     max_depth, with_metrics=True)
+            return acc + L, total_rays + m["rays"] + m["shadow_rays"]
+
+        init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.int32))
+        return jax.lax.fori_loop(0, iters, body, init)
+
+    step = jax.jit(many_passes)
+
+    # warmup / compile
+    acc, rays = step(scene, camera, film, pixel_ids, 0)
+    acc.block_until_ready()
+
+    times = []
+    for rep in range(3):
+        t0 = time.time()
+        acc, rays = step(scene, camera, film, pixel_ids, (rep + 1) * iters)
+        acc.block_until_ready()
+        times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]
+    rps = int(rays) / dt
+
+    print(json.dumps({
+        "metric": "cornell_fwd_rays_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rps / TARGET_RAYS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,15 +57,23 @@ def _offset_ray(point, normal, direction):
 
 
 def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
-                max_depth: int, rr_start: int = 3):
-    """Trace one path per lane. Returns (L[N,3], good_paths[N] int32)."""
+                max_depth: int, rr_start: int = 3, with_metrics: bool = False):
+    """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
+    metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
+    `with_metrics` (the on-device counter buffers standing in for the
+    reference's global intersect counters, intersect.h:363-364)."""
     n = origin.shape[0]
     f32 = origin.dtype
 
     def body(bounce, state):
-        o, d, beta, L, good, alive, prev_sg = state
+        o, d, beta, L, good, alive, prev_sg, rays, shadows, live_hist = state
 
-        hit = intersect_scene(scene, o, d)
+        # Detached traversal (SURVEY.md §7 step 7): gradients flow through
+        # shading/BSDF/light/texture parameters, not through the discrete hit
+        # selection — the standard differentiable-rendering interior-term
+        # treatment. The hit record is a pure function of geometry, so
+        # stop_gradient here only blocks geometry-boundary derivatives.
+        hit = jax.lax.stop_gradient(intersect_scene(scene, o, d))
         miss = ~hit.hit_mask
         mat_type = jnp.take(scene.materials.mat_type, hit.mat_id)
         emissive_hit = hit.hit_mask & (mat_type == T.MAT_EMISSIVE)
@@ -142,7 +150,12 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         new_o = jnp.where(cont[:, None], _offset_ray(hit.point, hit.normal, wi_world), o)
         new_d = jnp.where(cont[:, None], wi_world, d)
         new_prev_sg = jnp.where(cont, is_spec | is_glossy, prev_sg)
-        return new_o, new_d, new_beta, L, good, new_alive, new_prev_sg
+        n_live = jnp.sum(alive.astype(jnp.int32))
+        rays = rays + n_live
+        shadows = shadows + jnp.sum(want_shadow.astype(jnp.int32))
+        live_hist = live_hist.at[bounce].set(n_live)
+        return (new_o, new_d, new_beta, L, good, new_alive, new_prev_sg,
+                rays, shadows, live_hist)
 
     state = (
         origin,
@@ -152,9 +165,15 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         jnp.zeros((n,), jnp.int32),
         jnp.ones((n,), bool),
         jnp.zeros((n,), bool),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((max_depth + 1,), jnp.int32),
     )
     state = jax.lax.fori_loop(0, max_depth + 1, body, state)
-    _, _, _, L, good, _, _ = state
+    _, _, _, L, good, _, _, rays, shadows, live_hist = state
+    if with_metrics:
+        return L, good, {"rays": rays, "shadow_rays": shadows,
+                         "bounce_live": live_hist}
     return L, good
 
 

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Render driver CLI — the `main()` equivalent (main.cpp:187-368).
+
+Usage:
+    python render.py [config.txt] [-s savestate.npz] [-o out.ppm]
+                     [--spp N] [--depth N] [--size WxH] [--estimator MODE]
+                     [--scene FILE]
+
+Reads the reference's config.txt grammar, loads the scene file, renders
+progressively, writes a tone-mapped PPM and an image-state checkpoint
+(resumable with -s, mirroring main.cpp:195-254, 338-346).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", nargs="?", default="config.txt")
+    p.add_argument("-s", "--state", default=None, help="resume from image state")
+    p.add_argument("-o", "--output", default="output.ppm")
+    p.add_argument("--spp", type=int, default=None)
+    p.add_argument("--depth", type=int, default=None)
+    p.add_argument("--size", default=None, help="WxH override")
+    p.add_argument("--scene", default=None, help="scene file override")
+    p.add_argument("--estimator", default="reference", choices=["reference", "physical"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tile", type=int, default=0, help="pixels per tile (0=all)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from craytracer_tpu.integrator import RenderConfig, Renderer
+    from craytracer_tpu.io.config import ConfigParams, parse_config
+    from craytracer_tpu.io.image import write_ppm
+    from craytracer_tpu.io.imagestate import load_image_state, save_image_state
+    from craytracer_tpu.io.scenefile import load_scene_file
+
+    cfg = parse_config(args.config) if os.path.exists(args.config) else ConfigParams()
+    scene_file = args.scene or cfg.scene_file
+    if not os.path.exists(scene_file):
+        for d in (os.path.dirname(os.path.abspath(args.config)), "/root/reference"):
+            cand = os.path.join(d, scene_file)
+            if os.path.exists(cand):
+                scene_file = cand
+                break
+    if not os.path.exists(scene_file):
+        print(f"scene file not found: {scene_file}", file=sys.stderr)
+        return 1
+
+    scene, camera, film = load_scene_file(scene_file)
+    if args.size:
+        import jax.numpy as jnp
+
+        w, h = (int(x) for x in args.size.lower().split("x"))
+        film = film.replace(width=w, height=h)
+
+    rc = RenderConfig(
+        num_samples=args.spp if args.spp is not None else max(cfg.num_samples, 1),
+        max_depth=args.depth if args.depth is not None else max(cfg.max_depth, 1),
+        seed=args.seed,
+        tile_pixels=args.tile,
+        log_every=1,
+        estimator=args.estimator,
+    )
+    print(f"scene={scene_file} {film.width}x{film.height} spp={rc.num_samples} "
+          f"depth={rc.max_depth} estimator={rc.estimator}")
+
+    r = Renderer(scene, camera, film, rc)
+    if args.state and os.path.exists(args.state if args.state.endswith(".npz")
+                                     else args.state + ".npz"):
+        accum, spp, seed = load_image_state(args.state)
+        r.resume_from(accum, spp)
+        print(f"resumed from {args.state}: {spp} spp done")
+
+    t0 = time.time()
+    img = r.render()
+    dt = time.time() - t0
+    n_rays = film.num_pixels * rc.num_samples
+    print(f"rendered {rc.num_samples} passes in {dt:.2f}s "
+          f"({n_rays / dt / 1e6:.2f}M primary rays/s)")
+
+    write_ppm(args.output, img)
+    print(f"wrote {args.output}")
+    state_path = os.path.splitext(args.output)[0] + "_state"
+    import numpy as np
+
+    save_image_state(state_path, np.asarray(r.accum), r.spp_done, args.seed)
+    print(f"wrote {state_path}.npz")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
