@@ -116,7 +116,7 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         f_nee = bsdf_f_direct(wi_l, wo_local, mp) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
         want_shadow = cont & nee_mat & ls.valid & jnp.any(f_nee > 0.0, axis=-1)
         shadow_o = _offset_ray(hit.point, hit.normal, ls.wi)
-        t_shadow = shadow_distance(scene, shadow_o, ls.wi)
+        t_shadow = shadow_distance(scene, shadow_o, ls.wi, ls.distance)
         lit = t_shadow >= ls.distance - jnp.maximum(K_EPSILON, 1e-3 * ls.distance)
         contrib = jnp.where(
             (want_shadow & lit)[:, None],

@@ -268,8 +268,12 @@ def _parse_mesh(builder: SceneBuilder, kv: dict, mat, search_dirs):
         )
 
 
-def load_scene_file(path: str, builder: SceneBuilder | None = None):
-    """Parse a scene file -> (Scene, Camera, Film)."""
+def load_scene_file(path: str, builder: SceneBuilder | None = None,
+                    accel: str = "auto"):
+    """Parse a scene file -> (Scene, Camera, Film).
+
+    `accel`: triangle accel backend ('auto' | 'none' | 'bvh' | 'grid'),
+    the analog of the reference's accel_struct config (config.h:16)."""
     with open(path) as f:
         ts = TokenStream(tokenize(f.read()))
     search_dirs = [os.path.dirname(os.path.abspath(path)), os.getcwd()]
@@ -322,7 +326,7 @@ def load_scene_file(path: str, builder: SceneBuilder | None = None):
                 builder.set_env_light("constant", _color_from(kv.get("COLOR"), (1, 1, 1)),
                                       intensity)
 
-    scene = builder.build()
+    scene = builder.build(accel=accel)
     camera = make_camera(cam_pos, look_point)
     import jax.numpy as jnp
 

@@ -410,7 +410,9 @@ def _group_size(scene, name):
 
 
 def intersect_scene(scene: T.Scene, o, d) -> Hit:
-    """Closest hit across all primitive groups (brute force)."""
+    """Closest hit across all primitive groups. Triangles go through the
+    accel backend selected statically by scene.accel; analytic primitives
+    (few in every scene) are always brute-forced."""
     n = o.shape[0]
     best_t = jnp.full((n,), TMAX)
     best_group = jnp.full((n,), T.GROUP_NONE, jnp.int32)
@@ -419,9 +421,20 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
     for gid, name, ts_fn, _ in _GROUPS:
         if _group_size(scene, name) == 0:
             continue
-        ts = ts_fn(o, d, getattr(scene, name))  # [N, M]
-        gmin = jnp.min(ts, axis=1)
-        gidx = jnp.argmin(ts, axis=1).astype(jnp.int32)
+        if gid == T.GROUP_TRIANGLE and scene.accel == "bvh":
+            from craytracer_tpu.accel.bvh import bvh_closest_hit
+
+            gmin, gidx = bvh_closest_hit(scene.tri_bvh, o, d)
+            gidx = jnp.maximum(gidx, 0)
+        elif gid == T.GROUP_TRIANGLE and scene.accel == "grid":
+            from craytracer_tpu.accel.grid import grid_closest_hit
+
+            gmin, gidx = grid_closest_hit(scene.tri_bvh, o, d)
+            gidx = jnp.maximum(gidx, 0)
+        else:
+            ts = ts_fn(o, d, getattr(scene, name))  # [N, M]
+            gmin = jnp.min(ts, axis=1)
+            gidx = jnp.argmin(ts, axis=1).astype(jnp.int32)
         better = gmin < best_t
         best_t = jnp.where(better, gmin, best_t)
         best_group = jnp.where(better, gid, best_group)
@@ -448,15 +461,27 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
                normal=normal, dpdu=dpdu, uv=uv, mat_id=mat_id)
 
 
-def shadow_distance(scene: T.Scene, o, d) -> jnp.ndarray:
+def shadow_distance(scene: T.Scene, o, d, max_dist=None) -> jnp.ndarray:
     """Min hit distance for shadow rays (no attributes). The caller compares
     against the light distance (shadowIntersectTest early-out semantics,
-    intersect.h:443-545, folded into one reduction)."""
+    intersect.h:443-545, folded into one reduction). With a BVH, the
+    triangle pass is a true any-hit with early termination."""
     n = o.shape[0]
     best_t = jnp.full((n,), TMAX)
-    for _, name, ts_fn, _ in _GROUPS:
+    for gid, name, ts_fn, _ in _GROUPS:
         if _group_size(scene, name) == 0:
             continue
-        ts = ts_fn(o, d, getattr(scene, name))
-        best_t = jnp.minimum(best_t, jnp.min(ts, axis=1))
+        if gid == T.GROUP_TRIANGLE and scene.accel == "bvh":
+            from craytracer_tpu.accel.bvh import bvh_any_hit
+
+            md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
+            best_t = jnp.minimum(best_t, bvh_any_hit(scene.tri_bvh, o, d, md))
+        elif gid == T.GROUP_TRIANGLE and scene.accel == "grid":
+            from craytracer_tpu.accel.grid import grid_any_hit
+
+            md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
+            best_t = jnp.minimum(best_t, grid_any_hit(scene.tri_bvh, o, d, md))
+        else:
+            ts = ts_fn(o, d, getattr(scene, name))
+            best_t = jnp.minimum(best_t, jnp.min(ts, axis=1))
     return best_t

@@ -344,7 +344,9 @@ class SceneBuilder:
             maxs = np.ones(3)
         return mins, maxs
 
-    def build(self) -> T.Scene:
+    def build(self, accel: str = "auto") -> T.Scene:
+        """accel: 'none' (brute force), 'bvh', or 'auto' (bvh when the
+        triangle count warrants it)."""
         f32 = np.float32
 
         def soa(rows, spec):
@@ -407,10 +409,26 @@ class SceneBuilder:
 
         textures = self._build_textures()
 
+        n_tris = len(self._triangles)
+        if accel == "auto":
+            accel = "bvh" if n_tris >= 64 else "none"
+        tri_bvh = None
+        if n_tris == 0:
+            accel = "none"
+        elif accel == "bvh":
+            from craytracer_tpu.accel.bvh import build_bvh
+
+            tri_bvh = build_bvh(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
+        elif accel == "grid":
+            from craytracer_tpu.accel.grid import build_grid
+
+            tri_bvh = build_grid(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
+
         return T.Scene(
             spheres=spheres, planes=planes, rects=rects, disks=disks,
             triangles=triangles, instanced=instanced, materials=materials,
             lights=lights, mesh_lights=mesh_lights, env=env, textures=textures,
+            tri_bvh=tri_bvh, accel=accel,
         )
 
     @staticmethod

@@ -226,7 +226,11 @@ def empty_texture_pack() -> TexturePack:
 
 @flax.struct.dataclass
 class Scene:
-    """The whole differentiable scene as one pytree."""
+    """The whole differentiable scene as one pytree.
+
+    `accel` selects the triangle intersection backend statically
+    ('none' = brute force, 'bvh' = flattened-BVH traversal), mirroring the
+    reference's accel_struct config switch (intersect.h:365-440)."""
 
     spheres: Spheres
     planes: Planes
@@ -239,6 +243,8 @@ class Scene:
     mesh_lights: MeshLights
     env: EnvLight
     textures: TexturePack
+    tri_bvh: object = None  # BVHArrays when accel == 'bvh'
+    accel: str = flax.struct.field(pytree_node=False, default="none")
 
     @property
     def num_lights(self) -> int:

@@ -1,0 +1,117 @@
+"""Accelerator equivalence tests (SURVEY.md §4: grid == BVH == brute force
+on identical rays)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from craytracer_tpu.accel.bvh import build_bvh, bvh_any_hit, bvh_closest_hit
+from craytracer_tpu.accel.grid import build_grid, grid_any_hit, grid_closest_hit
+from craytracer_tpu.constants import TMAX
+from craytracer_tpu.ops.intersect import triangle_ts
+from craytracer_tpu.scene import SceneBuilder
+
+
+def _random_soup(num_tris=200, seed=0, spread=10.0, size=1.0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-spread, spread, (num_tris, 3))
+    v0 = base + rng.normal(0, size, (num_tris, 3))
+    v1 = base + rng.normal(0, size, (num_tris, 3))
+    v2 = base + rng.normal(0, size, (num_tris, 3))
+    return v0.astype(np.float32), v1.astype(np.float32), v2.astype(np.float32)
+
+
+def _random_rays(n=512, seed=1, spread=15.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3))
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _brute_ts(v0, v1, v2, o, d):
+    b = SceneBuilder()
+    b.add_matte("m")
+    for a, bb, c in zip(v0, v1, v2):
+        b.add_triangle(a, bb, c, "m")
+    scene = b.build(accel="none")
+    ts, _, _ = triangle_ts(o, d, scene.triangles)
+    return jnp.min(ts, axis=1)
+
+
+@pytest.fixture(scope="module")
+def soup():
+    v0, v1, v2 = _random_soup()
+    o, d = _random_rays()
+    t_ref = _brute_ts(v0, v1, v2, o, d)
+    return v0, v1, v2, o, d, t_ref
+
+
+def test_bvh_matches_bruteforce(soup):
+    v0, v1, v2, o, d, t_ref = soup
+    bvh = build_bvh(v0, v1, v2)
+    t_bvh, tri = bvh_closest_hit(bvh, o, d)
+    hit_ref = np.asarray(t_ref) < TMAX
+    hit_bvh = np.asarray(t_bvh) < TMAX
+    np.testing.assert_array_equal(hit_ref, hit_bvh)
+    np.testing.assert_allclose(np.asarray(t_bvh)[hit_ref], np.asarray(t_ref)[hit_ref],
+                               rtol=1e-4)
+    assert hit_ref.sum() > 30  # the fixture actually exercises hits
+
+
+def test_grid_matches_bruteforce(soup):
+    v0, v1, v2, o, d, t_ref = soup
+    grid = build_grid(v0, v1, v2)
+    t_grid, tri = grid_closest_hit(grid, o, d)
+    hit_ref = np.asarray(t_ref) < TMAX
+    hit_grid = np.asarray(t_grid) < TMAX
+    np.testing.assert_array_equal(hit_ref, hit_grid)
+    np.testing.assert_allclose(np.asarray(t_grid)[hit_ref], np.asarray(t_ref)[hit_ref],
+                               rtol=1e-4)
+
+
+def test_any_hit_consistency(soup):
+    v0, v1, v2, o, d, t_ref = soup
+    bvh = build_bvh(v0, v1, v2)
+    grid = build_grid(v0, v1, v2)
+    max_dist = jnp.full((o.shape[0],), 12.0)
+    t_b = np.asarray(bvh_any_hit(bvh, o, d, max_dist))
+    t_g = np.asarray(grid_any_hit(grid, o, d, max_dist))
+    blocked_ref = np.asarray(t_ref) < 12.0
+    np.testing.assert_array_equal(t_b < 12.0, blocked_ref)
+    np.testing.assert_array_equal(t_g < 12.0, blocked_ref)
+
+
+def test_bvh_render_matches_bruteforce():
+    """Cornell-style closed scene rendered with accel='bvh' vs 'none' must
+    produce identical images (same RNG stream)."""
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.wavefront import render_sample
+
+    def build(accel):
+        b = SceneBuilder()
+        b.add_matte("w", (0.7, 0.7, 0.7))
+        b.add_emissive("l", (1, 1, 1), 20.0)
+        # tessellated floor (8x8 quads -> 128 tris) + light
+        xs = np.linspace(-20, 20, 9)
+        for i in range(8):
+            for j in range(8):
+                p00 = (xs[i], 0, xs[j])
+                p10 = (xs[i + 1], 0, xs[j])
+                p01 = (xs[i], 0, xs[j + 1])
+                p11 = (xs[i + 1], 0, xs[j + 1])
+                b.add_triangle(p00, p10, p11, "w")
+                b.add_triangle(p00, p11, p01, "w")
+        b.add_rect((-4, 30, -4), (8, 0, 0), (0, 0, 8), "l")
+        return b.build(accel=accel)
+
+    cam = make_camera((0, 15, 40), (0, 0, 0))
+    film = Film(fov=jnp.float32(np.radians(45.0)), width=24, height=24)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+    img_none = render_sample(build("none"), cam, film, ids, 0, 0, 3)
+    img_bvh = render_sample(build("bvh"), cam, film, ids, 0, 0, 3)
+    img_grid = render_sample(build("grid"), cam, film, ids, 0, 0, 3)
+    np.testing.assert_allclose(np.asarray(img_bvh), np.asarray(img_none),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(img_grid), np.asarray(img_none),
+                               rtol=1e-3, atol=1e-4)
