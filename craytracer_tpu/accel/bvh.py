@@ -105,6 +105,25 @@ def build_bvh_arrays(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         zi = jnp.zeros((1,), jnp.int32)
         return BVHArrays(node_min=z3, node_max=z3, right=zi - 1, axis=zi,
                          first=zi, count=zi, tri_index=zi, v0=z3, e1=z3, e2=z3)
+    from craytracer_tpu.native import build_bvh_native
+
+    nat = build_bvh_native(v0, v1, v2, leaf_size)
+    if nat is not None:
+        node_min, node_max, right, axis, first, count, order_np = nat
+        order_np = order_np.astype(np.int64)
+        pv0 = v0[order_np]
+        pe1 = v1[order_np] - v0[order_np]
+        pe2 = v2[order_np] - v0[order_np]
+        f32 = np.float32
+        return BVHArrays(
+            node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
+            right=jnp.asarray(right), axis=jnp.asarray(axis),
+            first=jnp.asarray(first), count=jnp.asarray(count),
+            tri_index=jnp.asarray(order_np, jnp.int32),
+            v0=jnp.asarray(pv0.astype(f32)), e1=jnp.asarray(pe1.astype(f32)),
+            e2=jnp.asarray(pe2.astype(f32)),
+        )
+
     nodes, order = _build_arrays(v0, v1, v2, leaf_size)
     order_np = np.asarray(order, np.int64)
     pv0 = v0[order_np]

@@ -31,13 +31,15 @@ class RenderConfig:
     tile_pixels: int = 0  # 0 = whole image per pass
     log_every: int = 0  # print progress every k passes (0 = silent)
     estimator: str = "reference"
+    trace_type: str = "PATHTRACE"
 
 
-@partial(jax.jit, static_argnames=("max_depth", "estimator"))
+@partial(jax.jit, static_argnames=("max_depth", "estimator", "trace_type"))
 def _pass_step(scene: Scene, camera: Camera, film: Film, pixel_ids, seed, spp_index,
-               max_depth: int, estimator: str = "reference"):
+               max_depth: int, estimator: str = "reference",
+               trace_type: str = "PATHTRACE"):
     return render_sample(scene, camera, film, pixel_ids, seed, spp_index, max_depth,
-                         estimator)
+                         estimator, trace_type)
 
 
 class Renderer:
@@ -64,7 +66,8 @@ class Renderer:
                 ids = jnp.arange(t0, min(t0 + tile, n), dtype=jnp.int32)
                 pass_vals.append(
                     _pass_step(self.scene, self.camera, self.film, ids,
-                               cfg.seed, s, cfg.max_depth, cfg.estimator)
+                               cfg.seed, s, cfg.max_depth, cfg.estimator,
+                               cfg.trace_type)
                 )
             self.accum = self.accum + jnp.concatenate(pass_vals, axis=0)
             done = s + 1 - self.spp_done

@@ -56,16 +56,14 @@ def _offset_ray(point, normal, direction):
     return point + normal * eps * side
 
 
-def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
-                max_depth: int, rr_start: int = 3, with_metrics: bool = False):
-    """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
-    metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
-    `with_metrics` (the on-device counter buffers standing in for the
-    reference's global intersect counters, intersect.h:363-364)."""
-    n = origin.shape[0]
-    f32 = origin.dtype
+def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
+                      max_depth: int, rr_start: int = 3):
+    """Build the per-bounce wavefront step. Returns a function
+    (bounce, state) -> (new_state, aux) where aux carries the per-bounce
+    log record (SampleLog, trace.h:176-219). Shared by trace_paths (fori,
+    aux discarded) and trace_paths_logged (unrolled, aux stacked)."""
 
-    def body(bounce, state):
+    def step(bounce, state):
         o, d, beta, L, good, alive, prev_sg, rays, shadows, live_hist = state
 
         # Detached traversal (SURVEY.md §7 step 7): gradients flow through
@@ -99,6 +97,19 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
 
         # ---- shading frame (computeLocalBasis, trace.h:132-146)
         ft, fb, fn = vm.make_shading_frame(hit.normal, hit.dpdu)
+        # Normal mapping (getSmoothTriangleShadeRec, shapes/triangle.cpp:
+        # 270-292; matte-only per Material_hasNormalMap, materials.cpp:190-204).
+        # Deviation: texels are remapped 2c-1 to tangent-space normals — the
+        # reference feeds raw [0,1] texels into the frame transform.
+        if scene.textures.texels.shape[0] > 1:
+            from craytracer_tpu.bsdf.texture import tex_lookup_nearest
+
+            ntex = jnp.take(scene.materials.normal_tex, hit.mat_id)
+            tex_n = tex_lookup_nearest(scene.textures, ntex, hit.uv) * 2.0 - 1.0
+            n_pert = vm.normalize(vm.to_world(tex_n, ft, fb, fn))
+            use_nm = (ntex >= 0) & (mat_type == T.MAT_MATTE)
+            n_new = jnp.where(use_nm[:, None], n_pert, fn)
+            ft, fb, fn = vm.make_shading_frame(n_new, hit.dpdu)
         mp = gather_params(scene.materials, scene.textures, hit.mat_id, hit.uv)
         wo_world = -d
         wo_local = vm.to_local(wo_world, ft, fb, fn)
@@ -154,8 +165,34 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         rays = rays + n_live
         shadows = shadows + jnp.sum(want_shadow.astype(jnp.int32))
         live_hist = live_hist.at[bounce].set(n_live)
+        # per-bounce log record (SampleLog, trace.h:176-219)
+        aux = {
+            "t": hit.t,
+            "beta": beta,
+            "emissive_indirect_contrib": jnp.where(add_emit[:, None], beta * emitted, 0.0),
+            "env_indirect_contrib": jnp.where(add_env[:, None], beta * env_li, 0.0),
+            "direct_contrib": contrib,
+            "new_sample_pdf": pdf_s,
+            "alive": alive,
+        }
         return (new_o, new_d, new_beta, L, good, new_alive, new_prev_sg,
-                rays, shadows, live_hist)
+                rays, shadows, live_hist), aux
+
+    return step
+
+
+def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
+                max_depth: int, rr_start: int = 3, with_metrics: bool = False):
+    """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
+    metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
+    `with_metrics` (the on-device counter buffers standing in for the
+    reference's global intersect counters, intersect.h:363-364)."""
+    n = origin.shape[0]
+    f32 = origin.dtype
+    step = _make_bounce_step(scene, seed, pixel_ids, spp_index, max_depth, rr_start)
+
+    def body(bounce, state):
+        return step(bounce, state)[0]
 
     state = (
         origin,
@@ -177,19 +214,53 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
     return L, good
 
 
+def trace_paths_logged(scene: T.Scene, origin, direction, seed, pixel_ids,
+                       spp_index, max_depth: int, rr_start: int = 3):
+    """Debug tracer: the exact same bounce step, unrolled, returning the
+    per-bounce sample log — the wavefront form of `pathTraceLogging` +
+    SampleLog (trace.h:176-219, 535-684), used to diagnose NaN/Inf paths.
+
+    Returns (L, good, log) where log maps each SampleLog field to a
+    [max_depth+1, N, ...] array."""
+    n = origin.shape[0]
+    f32 = origin.dtype
+    step = _make_bounce_step(scene, seed, pixel_ids, spp_index, max_depth, rr_start)
+    state = (
+        origin, direction,
+        jnp.ones((n, 3), f32), jnp.zeros((n, 3), f32),
+        jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool), jnp.zeros((n,), bool),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.zeros((max_depth + 1,), jnp.int32),
+    )
+    logs = []
+    for bounce in range(max_depth + 1):
+        state, aux = step(bounce, state)
+        logs.append(aux)
+    _, _, _, L, good, *_ = state
+    log = {k: jnp.stack([a[k] for a in logs]) for k in logs[0]}
+    return L, good, log
+
+
 def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
-                  max_depth: int, estimator: str = "reference"):
+                  max_depth: int, estimator: str = "reference",
+                  trace_type: str = "PATHTRACE"):
     """One progressive pass: raygen + trace.
 
     estimator="reference": L / max(good_paths, 1) — the reference's
     contributing-event normalization (trace.h:528-529), for image parity.
     estimator="physical": plain L — the standard unbiased NEE estimator
-    (kept behind a flag per SURVEY.md §6 hardest-parts note)."""
+    (kept behind a flag per SURVEY.md §6 hardest-parts note).
+    trace_type: PATHTRACE | WHITTED | RAYCAST (config.h trace_type)."""
     from craytracer_tpu.camera import generate_rays
 
     jitter = uniforms(seed, pixel_ids, spp_index, CAMERA_BOUNCE, 2, 0)
     lens_u = uniforms(seed, pixel_ids, spp_index, CAMERA_BOUNCE, 2, 2)
     o, d = generate_rays(camera, film, pixel_ids, jitter, lens_u)
+    if trace_type in ("WHITTED", "RAYCAST"):
+        from craytracer_tpu.integrator.whitted import trace_whitted
+
+        return trace_whitted(scene, o, d, seed, pixel_ids, spp_index, max_depth,
+                             specular_continuation=(trace_type == "WHITTED"))
     L, good = trace_paths(scene, o, d, seed, pixel_ids, spp_index, max_depth)
     if estimator == "physical":
         return L

@@ -83,8 +83,56 @@ def _parse_face_vert(tok: str):
     return v, vt, vn
 
 
-def load_obj(path: str, split_groups: bool = True):
-    """Returns (shapes: list[OBJShape], materials: dict[str, OBJMaterial])."""
+def load_obj(path: str, split_groups: bool = True, use_native: bool = True):
+    """Returns (shapes: list[OBJShape], materials: dict[str, OBJMaterial]).
+
+    Uses the C++ scanner (native/craynative.cpp) when available — the
+    counterpart of the reference's C parser hot loop — and finishes
+    group assembly + vertex dedup in numpy."""
+    if use_native:
+        try:
+            from craytracer_tpu.native import load_obj_native
+
+            nat = load_obj_native(path)
+        except Exception:
+            nat = None
+        if nat is not None:
+            return _assemble_native(path, nat, split_groups)
+    return _load_obj_py(path, split_groups)
+
+
+def _assemble_native(path, nat, split_groups):
+    positions, texcoords, normals, corners, group_rows, mtllib = nat
+    base_dir = os.path.dirname(os.path.abspath(path))
+    materials = load_mtl(os.path.join(base_dir, mtllib)) if mtllib else {}
+    shapes: list[OBJShape] = []
+    if not split_groups and group_rows:
+        group_rows = [(0, corners.shape[0], group_rows[0][2], group_rows[0][3])]
+
+    for begin, end, name, mat in group_rows:
+        tri = corners[begin:end].astype(np.int64)
+        if tri.shape[0] == 0:
+            continue
+        has_vt = texcoords is not None and bool((tri[:, :, 1] >= 0).any())
+        has_vn = normals is not None and bool((tri[:, :, 2] >= 0).any())
+        v_idx = np.maximum(tri[:, :, 0], 0)
+        vt_idx = np.maximum(tri[:, :, 1], 0)
+        vn_idx = np.maximum(tri[:, :, 2], 0)
+        key = np.stack([v_idx, vt_idx if has_vt else np.zeros_like(v_idx),
+                        vn_idx if has_vn else np.zeros_like(v_idx)], axis=-1).reshape(-1, 3)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        shapes.append(OBJShape(
+            name=name, mat_name=mat,
+            positions=positions[uniq[:, 0]],
+            normals=normals[uniq[:, 2]] if has_vn else None,
+            texcoords=texcoords[uniq[:, 1]] if has_vt else None,
+            indices=inv.reshape(-1, 3).astype(np.int32),
+        ))
+    return shapes, materials
+
+
+def _load_obj_py(path: str, split_groups: bool = True):
+    """Pure-python fallback parser."""
     positions, texcoords, normals = [], [], []
     materials: dict[str, OBJMaterial] = {}
     shapes: list[OBJShape] = []

@@ -138,7 +138,11 @@ def _parse_material(builder: SceneBuilder, mat_type: str, kv: dict, search_dirs)
     if mat_type == "MATTE":
         color = _color_from(kv.get("COLOR") or kv.get("DIFF_COLOR"), (0.5, 0.5, 0.5))
         sigma = _f(kv.get("SIGMA"), 0.0)
-        builder.add_matte(name, color, sigma, diffuse_tex=diffuse_tex)
+        normal_tex = -1
+        if "NORMAL_MAP" in kv and kv["NORMAL_MAP"]:
+            normal_tex = _load_texture(builder, kv["NORMAL_MAP"][0], search_dirs)
+        builder.add_matte(name, color, sigma, diffuse_tex=diffuse_tex,
+                          normal_tex=normal_tex)
     elif mat_type == "MIRROR":
         builder.add_mirror(name, _color_from(kv.get("COLOR"), (1, 1, 1)))
     elif mat_type == "TRANSPARENT":

@@ -71,6 +71,20 @@ def sample_one_light(scene: T.Scene, u_pick, u2, hit_point, shading_normal,
         jnp.searchsorted(lights.power_cdf, u_pick, side="right"), 0, num_lights - 1
     ).astype(jnp.int32)
     pick_p = jnp.take(lights.power, idx)
+    ls = sample_light_index(scene, idx, u2, hit_point, shading_normal,
+                            frame_t, frame_b)
+    # Fold in the pick probability (uniformSampleOneLight, trace.h:396).
+    return ls.replace(pdf=ls.pdf * jnp.maximum(pick_p, 1e-12),
+                      valid=ls.valid & (pick_p > 0.0))
+
+
+def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
+                       frame_t, frame_b) -> LightSample:
+    """Sample light `idx` ([N] int32) for every lane — the estimateDirect
+    per-type sampling block (trace.h:230-314) plus the delta lights
+    (directional/point, Light_sample_Li-style lights.cpp:309-327) which the
+    reference reserves for its raycast/whitted modes."""
+    lights = scene.lights
 
     ltype = jnp.take(lights.light_type, idx)
     p0 = jnp.take(lights.p0, idx, axis=0)
@@ -120,10 +134,24 @@ def sample_one_light(scene: T.Scene, u_pick, u2, hit_point, shading_normal,
     pdf_env = jnp.abs(vm.dot(wi_env, shading_normal)) * INV_PI
     dist_env = jnp.broadcast_to(scene.env.world_radius, pdf_env.shape)
 
+    # ---- delta lights (DIRECTIONAL / POINTLIGHT, lights.h:18-34): pdf 1,
+    # shadow ray toward the light (to "infinity" for directional).
+    wi_dir = vm.normalize(p0)  # p0 stores the direction toward the light
+    li_dir = color * intensity[:, None]
+    wi_pnt_raw = p0 - hit_point
+    dist_pnt = vm.length(wi_pnt_raw)
+    wi_pnt = vm.normalize(wi_pnt_raw)
+    # point lights attenuate by 1/d^2 when dist_atten (getIncRadiance,
+    # lights.cpp:41-55); radius slot stores the flag
+    atten = jnp.where(radius > 0.0, 1.0 / jnp.maximum(dist_pnt * dist_pnt, 1e-6), 1.0)
+    li_pnt = color * (intensity * atten)[:, None]
+
     is_rect = ltype == T.LIGHT_AREA_RECT
     is_sph = ltype == T.LIGHT_AREA_SPHERE
     is_dsk = ltype == T.LIGHT_AREA_DISK
     is_env = ltype == T.LIGHT_ENV
+    is_dir = ltype == T.LIGHT_DIRECTIONAL
+    is_pnt = ltype == T.LIGHT_POINT
     is_area = is_rect | is_sph | is_dsk
 
     sp = jnp.where(is_rect[:, None], sp_rect, 0.0)
@@ -157,7 +185,16 @@ def sample_one_light(scene: T.Scene, u_pick, u2, hit_point, shading_normal,
     dist = jnp.where(is_env, dist_env, dist_area)
     reject = jnp.where(is_env, reject_env, reject_area)
 
-    valid = (is_area | is_env) & ~reject & (pdf > 1e-12) & (pick_p > 0.0)
-    # Fold in the pick probability (uniformSampleOneLight, trace.h:396).
-    pdf = pdf * jnp.maximum(pick_p, 1e-12)
+    wi = jnp.where(is_dir[:, None], wi_dir, wi)
+    li = jnp.where(is_dir[:, None], li_dir, li)
+    wi = jnp.where(is_pnt[:, None], wi_pnt, wi)
+    li = jnp.where(is_pnt[:, None], li_pnt, li)
+    one = jnp.ones_like(pdf)
+    pdf = jnp.where(is_dir | is_pnt, one, pdf)
+    dist = jnp.where(is_dir, jnp.broadcast_to(TMAX, dist.shape), dist)
+    dist = jnp.where(is_pnt, dist_pnt, dist)
+    reject_delta = vm.dot(wi, shading_normal) < 0.0
+    reject = jnp.where(is_dir | is_pnt, reject_delta, reject)
+
+    valid = (is_area | is_env | is_dir | is_pnt) & ~reject & (pdf > 1e-12)
     return LightSample(wi=wi, li=li, distance=dist, pdf=pdf, valid=valid)

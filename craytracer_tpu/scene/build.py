@@ -291,6 +291,19 @@ class SceneBuilder:
 
     # -- lights ------------------------------------------------------------
 
+    def add_directional_light(self, toward, color=(1, 1, 1), intensity=1.0):
+        """Delta directional light; `toward` points at the light (wi)."""
+        self._extra_lights.append((T.LIGHT_DIRECTIONAL, np.asarray(toward, np.float32),
+                                   tuple(color), float(intensity), 0.0))
+
+    def add_point_light(self, point, color=(1, 1, 1), intensity=1.0,
+                        dist_atten=True):
+        """Delta point light; radius slot stores the 1/d^2 attenuation flag
+        (PointLight.dist_atten, lights.h:25-34)."""
+        self._extra_lights.append((T.LIGHT_POINT, np.asarray(point, np.float32),
+                                   tuple(color), float(intensity),
+                                   1.0 if dist_atten else 0.0))
+
     def set_env_light(self, kind, color=(1, 1, 1), intensity=1.0, tex_id=-1,
                       rotate_y_angle=0.0):
         """kind: 'constant' or 'texture'. Texture env maps get the reference's
@@ -506,6 +519,16 @@ class SceneBuilder:
             rows.append((T.LIGHT_MESH, np.zeros(3, f32), np.zeros(3, f32), np.zeros(3, f32),
                          np.zeros(3, f32), 0.0, color, inten, total, k))
 
+        # Delta lights (directional/point). The reference's preprocessLights
+        # ignores these types (power stays 0, buildscene.h:878-918) because
+        # its scene grammar cannot create them; since ours can, they get a
+        # sane power = mean(color) * intensity so PATHTRACE NEE can pick
+        # them (documented deviation).
+        for ltype, p0, color, inten, flag in self._extra_lights:
+            rows.append((ltype, p0, np.zeros(3, f32), np.zeros(3, f32),
+                         np.zeros(3, f32), flag, color, inten,
+                         float(np.mean(color) * inten), -1))
+
         # Env light (registered as a selectable light only if intensity > 0,
         # buildscene.h:528-538).
         env_cfg = self._env
@@ -525,6 +548,8 @@ class SceneBuilder:
             c = np.asarray(color, np.float64)
             if ltype == T.LIGHT_ENV:
                 powers.append(float(c.mean() * inten * world_radius))
+            elif ltype in (T.LIGHT_DIRECTIONAL, T.LIGHT_POINT):
+                powers.append(float(c.mean() * inten))
             elif ltype == T.LIGHT_MESH:
                 # preprocessLights leaves mesh lights at power 0 (its switch
                 # covers only ENVLIGHT/AREALIGHT, buildscene.h:878-918), so

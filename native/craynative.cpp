@@ -1,0 +1,351 @@
+// craynative — native runtime components for craytracer_tpu.
+//
+// The reference implements its scene-ingest and accel-build runtime in C++
+// (objloader/objloader.h:738-936, accelerator/bvh.h:117-154); these are the
+// TPU-framework equivalents: a fast OBJ scanner and a median-split BVH
+// builder, exposed through a C ABI consumed via ctypes
+// (craytracer_tpu/native.py). Semantics match the Python fallbacks
+// bit-for-bit at the traversal level (same split rule, same leaf policy).
+//
+// Build: `make -C native` -> libcraynative.so
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cstdint>
+#include <cmath>
+#include <vector>
+#include <string>
+#include <algorithm>
+#include <numeric>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// OBJ loader
+//
+// Returns counts + pointers into an opaque handle; caller copies and frees.
+
+struct ObjGroup {
+    int32_t face_begin;  // index into the face-corner arrays (in corners)
+    int32_t face_end;
+    char name[256];
+    char mat[256];
+};
+
+struct ObjData {
+    std::vector<float> positions;   // 3 * n_pos
+    std::vector<float> texcoords;   // 2 * n_tex
+    std::vector<float> normals;     // 3 * n_nrm
+    // face corners, fan-triangulated: 3 ints per corner (v, vt, vn), 0-based,
+    // -1 when absent
+    std::vector<int32_t> corners;
+    std::vector<ObjGroup> groups;
+    std::string mtllib;
+};
+
+static inline const char* skip_ws(const char* p, const char* end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) p++;
+    return p;
+}
+
+static inline const char* next_line(const char* p, const char* end) {
+    while (p < end && *p != '\n') p++;
+    return p < end ? p + 1 : end;
+}
+
+static inline float parse_float(const char*& p, const char* end) {
+    char* q = nullptr;
+    float v = strtof(p, &q);
+    p = (q && q <= end) ? q : p;
+    return v;
+}
+
+static inline int64_t parse_int(const char*& p, const char* end) {
+    char* q = nullptr;
+    long v = strtol(p, &q, 10);
+    p = (q && q <= end) ? q : p;
+    return v;
+}
+
+void* crn_load_obj(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<char> buf((size_t)size + 1);
+    if (fread(buf.data(), 1, (size_t)size, f) != (size_t)size) {
+        fclose(f);
+        return nullptr;
+    }
+    fclose(f);
+    buf[(size_t)size] = '\n';
+    const char* p = buf.data();
+    const char* end = buf.data() + size;
+
+    auto* obj = new ObjData();
+    obj->positions.reserve(1 << 16);
+    obj->corners.reserve(1 << 17);
+    char cur_name[256] = "";
+    char cur_mat[256] = "";
+    int32_t group_start = 0;
+
+    auto flush_group = [&]() {
+        int32_t cend = (int32_t)(obj->corners.size() / 3);
+        if (cend > group_start) {
+            ObjGroup g;
+            g.face_begin = group_start;
+            g.face_end = cend;
+            snprintf(g.name, sizeof(g.name), "%s", cur_name);
+            snprintf(g.mat, sizeof(g.mat), "%s", cur_mat);
+            obj->groups.push_back(g);
+        }
+        group_start = cend;
+    };
+
+    std::vector<int64_t> face_tmp;  // (v, vt, vn) triples for one polygon
+    while (p < end) {
+        p = skip_ws(p, end);
+        if (p >= end) break;
+        char c0 = p[0];
+        char c1 = (p + 1 < end) ? p[1] : '\0';
+        if (c0 == 'v' && (c1 == ' ' || c1 == '\t')) {
+            p += 2;
+            float x = parse_float(p, end), y = parse_float(p, end), z = parse_float(p, end);
+            obj->positions.push_back(x);
+            obj->positions.push_back(y);
+            obj->positions.push_back(z);
+        } else if (c0 == 'v' && c1 == 't') {
+            p += 2;
+            float u = parse_float(p, end), v = parse_float(p, end);
+            obj->texcoords.push_back(u);
+            obj->texcoords.push_back(v);
+        } else if (c0 == 'v' && c1 == 'n') {
+            p += 2;
+            float x = parse_float(p, end), y = parse_float(p, end), z = parse_float(p, end);
+            obj->normals.push_back(x);
+            obj->normals.push_back(y);
+            obj->normals.push_back(z);
+        } else if (c0 == 'f' && (c1 == ' ' || c1 == '\t')) {
+            p += 1;
+            face_tmp.clear();
+            while (true) {
+                p = skip_ws(p, end);
+                if (p >= end || *p == '\n' || *p == '#') break;
+                int64_t v = parse_int(p, end);
+                int64_t vt = 0, vn = 0;
+                if (p < end && *p == '/') {
+                    p++;
+                    if (p < end && *p != '/') vt = parse_int(p, end);
+                    if (p < end && *p == '/') {
+                        p++;
+                        vn = parse_int(p, end);
+                    }
+                }
+                // resolve 1-based / negative-relative indices now
+                int64_t np_ = (int64_t)obj->positions.size() / 3;
+                int64_t nt = (int64_t)obj->texcoords.size() / 2;
+                int64_t nn = (int64_t)obj->normals.size() / 3;
+                face_tmp.push_back(v > 0 ? v - 1 : (v < 0 ? np_ + v : -1));
+                face_tmp.push_back(vt > 0 ? vt - 1 : (vt < 0 ? nt + vt : -1));
+                face_tmp.push_back(vn > 0 ? vn - 1 : (vn < 0 ? nn + vn : -1));
+                if (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) continue;
+                if (p < end && *p != '\n') continue;
+                break;
+            }
+            size_t nv = face_tmp.size() / 3;
+            for (size_t i = 1; i + 1 < nv; i++) {  // fan triangulation
+                for (int k = 0; k < 3; k++) obj->corners.push_back((int32_t)face_tmp[0 * 3 + k]);
+                for (int k = 0; k < 3; k++) obj->corners.push_back((int32_t)face_tmp[i * 3 + k]);
+                for (int k = 0; k < 3; k++) obj->corners.push_back((int32_t)face_tmp[(i + 1) * 3 + k]);
+            }
+        } else if ((c0 == 'g' || c0 == 'o') && (c1 == ' ' || c1 == '\t')) {
+            flush_group();
+            p += 2;
+            p = skip_ws(p, end);
+            size_t i = 0;
+            while (p < end && *p != '\n' && *p != '\r' && !isspace((unsigned char)*p) && i < 255)
+                cur_name[i++] = *p++;
+            cur_name[i] = '\0';
+        } else if (strncmp(p, "usemtl", 6) == 0) {
+            flush_group();
+            p += 6;
+            p = skip_ws(p, end);
+            size_t i = 0;
+            while (p < end && *p != '\n' && *p != '\r' && !isspace((unsigned char)*p) && i < 255)
+                cur_mat[i++] = *p++;
+            cur_mat[i] = '\0';
+        } else if (strncmp(p, "mtllib", 6) == 0) {
+            p += 6;
+            p = skip_ws(p, end);
+            const char* s = p;
+            while (p < end && *p != '\n' && *p != '\r') p++;
+            obj->mtllib.assign(s, p - s);
+        }
+        p = next_line(p, end);
+    }
+    flush_group();
+    return obj;
+}
+
+int64_t crn_obj_counts(void* h, int64_t* n_pos, int64_t* n_tex, int64_t* n_nrm,
+                       int64_t* n_corners, int64_t* n_groups) {
+    auto* obj = (ObjData*)h;
+    if (!obj) return -1;
+    *n_pos = (int64_t)obj->positions.size() / 3;
+    *n_tex = (int64_t)obj->texcoords.size() / 2;
+    *n_nrm = (int64_t)obj->normals.size() / 3;
+    *n_corners = (int64_t)obj->corners.size() / 3;
+    *n_groups = (int64_t)obj->groups.size();
+    return 0;
+}
+
+int64_t crn_obj_copy(void* h, float* pos, float* tex, float* nrm, int32_t* corners,
+                     int32_t* group_ranges, char* group_names, char* group_mats,
+                     char* mtllib, int64_t name_stride) {
+    auto* obj = (ObjData*)h;
+    if (!obj) return -1;
+    memcpy(pos, obj->positions.data(), obj->positions.size() * sizeof(float));
+    if (!obj->texcoords.empty()) memcpy(tex, obj->texcoords.data(), obj->texcoords.size() * sizeof(float));
+    if (!obj->normals.empty()) memcpy(nrm, obj->normals.data(), obj->normals.size() * sizeof(float));
+    memcpy(corners, obj->corners.data(), obj->corners.size() * sizeof(int32_t));
+    for (size_t i = 0; i < obj->groups.size(); i++) {
+        group_ranges[2 * i] = obj->groups[i].face_begin;
+        group_ranges[2 * i + 1] = obj->groups[i].face_end;
+        snprintf(group_names + i * name_stride, (size_t)name_stride, "%s", obj->groups[i].name);
+        snprintf(group_mats + i * name_stride, (size_t)name_stride, "%s", obj->groups[i].mat);
+    }
+    snprintf(mtllib, (size_t)name_stride, "%s", obj->mtllib.c_str());
+    return 0;
+}
+
+void crn_obj_free(void* h) { delete (ObjData*)h; }
+
+// ---------------------------------------------------------------------------
+// BVH builder — median split on the largest centroid extent, <=leaf_size
+// leaves, depth-first layout (left child = node + 1). Matches
+// craytracer_tpu/accel/bvh.py::_build_arrays.
+
+struct BVHOut {
+    std::vector<float> node_min, node_max;  // 3 * n_nodes
+    std::vector<int32_t> right, axis, first, count;
+    std::vector<int32_t> order;
+};
+
+struct BuildCtx {
+    const float* tmin;
+    const float* tmax;
+    const float* cent;
+    int leaf_size;
+    BVHOut out;
+    std::vector<int32_t> ids;     // workspace (permuted in place)
+    std::vector<int32_t> scratch;
+};
+
+static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi) {
+    int32_t idx = (int32_t)c.out.right.size();
+    c.out.right.push_back(-1);
+    c.out.axis.push_back(0);
+    c.out.first.push_back(-1);
+    c.out.count.push_back(0);
+    c.out.node_min.resize(c.out.node_min.size() + 3);
+    c.out.node_max.resize(c.out.node_max.size() + 3);
+
+    float bmin[3] = {1e30f, 1e30f, 1e30f}, bmax[3] = {-1e30f, -1e30f, -1e30f};
+    float cmin[3] = {1e30f, 1e30f, 1e30f}, cmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (int32_t i = lo; i < hi; i++) {
+        int32_t t = c.ids[i];
+        for (int k = 0; k < 3; k++) {
+            bmin[k] = std::min(bmin[k], c.tmin[3 * t + k]);
+            bmax[k] = std::max(bmax[k], c.tmax[3 * t + k]);
+            cmin[k] = std::min(cmin[k], c.cent[3 * t + k]);
+            cmax[k] = std::max(cmax[k], c.cent[3 * t + k]);
+        }
+    }
+    for (int k = 0; k < 3; k++) {
+        c.out.node_min[3 * idx + k] = bmin[k];
+        c.out.node_max[3 * idx + k] = bmax[k];
+    }
+
+    if (hi - lo <= c.leaf_size) {
+        c.out.first[idx] = (int32_t)c.out.order.size();
+        c.out.count[idx] = hi - lo;
+        for (int32_t i = lo; i < hi; i++) c.out.order.push_back(c.ids[i]);
+        return idx;
+    }
+    int ax = 0;
+    float best_ext = -1.0f;
+    for (int k = 0; k < 3; k++) {
+        float e = cmax[k] - cmin[k];
+        if (e > best_ext) { best_ext = e; ax = k; }
+    }
+    c.out.axis[idx] = ax;
+    const float* cent = c.cent;
+    std::stable_sort(c.ids.begin() + lo, c.ids.begin() + hi,
+                     [cent, ax](int32_t a, int32_t b) {
+                         return cent[3 * a + ax] < cent[3 * b + ax];
+                     });
+    int32_t mid = lo + (hi - lo) / 2;
+    build_node(c, lo, mid);
+    c.out.right[idx] = build_node(c, mid, hi);
+    return idx;
+}
+
+void* crn_build_bvh(const float* v0, const float* v1, const float* v2,
+                    int64_t n, int32_t leaf_size) {
+    auto* c = new BuildCtx();
+    c->leaf_size = leaf_size;
+    std::vector<float>* tmin = new std::vector<float>(3 * (size_t)n);
+    std::vector<float>* tmax = new std::vector<float>(3 * (size_t)n);
+    std::vector<float>* cent = new std::vector<float>(3 * (size_t)n);
+    for (int64_t i = 0; i < n; i++) {
+        for (int k = 0; k < 3; k++) {
+            float a = v0[3 * i + k], b = v1[3 * i + k], d = v2[3 * i + k];
+            float mn = std::min(a, std::min(b, d));
+            float mx = std::max(a, std::max(b, d));
+            (*tmin)[3 * i + k] = mn;
+            (*tmax)[3 * i + k] = mx;
+            (*cent)[3 * i + k] = 0.5f * (mn + mx);
+        }
+    }
+    c->tmin = tmin->data();
+    c->tmax = tmax->data();
+    c->cent = cent->data();
+    c->ids.resize((size_t)n);
+    std::iota(c->ids.begin(), c->ids.end(), 0);
+    if (n > 0) build_node(*c, 0, (int32_t)n);
+    delete tmin;  // data already consumed into out arrays? No — tmin/tmax
+    delete tmax;  // only needed during build; out holds node bounds.
+    delete cent;
+    c->tmin = c->tmax = c->cent = nullptr;
+    return c;
+}
+
+int64_t crn_bvh_counts(void* h, int64_t* n_nodes, int64_t* n_order) {
+    auto* c = (BuildCtx*)h;
+    if (!c) return -1;
+    *n_nodes = (int64_t)c->out.right.size();
+    *n_order = (int64_t)c->out.order.size();
+    return 0;
+}
+
+int64_t crn_bvh_copy(void* h, float* node_min, float* node_max, int32_t* right,
+                     int32_t* axis, int32_t* first, int32_t* count,
+                     int32_t* order) {
+    auto* c = (BuildCtx*)h;
+    if (!c) return -1;
+    auto& o = c->out;
+    memcpy(node_min, o.node_min.data(), o.node_min.size() * sizeof(float));
+    memcpy(node_max, o.node_max.data(), o.node_max.size() * sizeof(float));
+    memcpy(right, o.right.data(), o.right.size() * sizeof(int32_t));
+    memcpy(axis, o.axis.data(), o.axis.size() * sizeof(int32_t));
+    memcpy(first, o.first.data(), o.first.size() * sizeof(int32_t));
+    memcpy(count, o.count.data(), o.count.size() * sizeof(int32_t));
+    memcpy(order, o.order.data(), o.order.size() * sizeof(int32_t));
+    return 0;
+}
+
+void crn_bvh_free(void* h) { delete (BuildCtx*)h; }
+
+}  // extern "C"

@@ -75,6 +75,7 @@ def main(argv=None):
         tile_pixels=args.tile,
         log_every=1,
         estimator=args.estimator,
+        trace_type=cfg.trace_type if cfg.trace_type in ("PATHTRACE", "WHITTED", "RAYCAST") else "PATHTRACE",
     )
     print(f"scene={scene_file} {film.width}x{film.height} spp={rc.num_samples} "
           f"depth={rc.max_depth} estimator={rc.estimator}")
