@@ -32,6 +32,13 @@ class RenderConfig:
     log_every: int = 0  # print progress every k passes (0 = silent)
     estimator: str = "reference"
     trace_type: str = "PATHTRACE"
+    # NaN recovery (main.cpp:127-136): substitute the running average for
+    # NaN samples and report the count.
+    nan_recovery: bool = True
+    # Live preview (the GLFW window's stand-in, gl/glcode.h:108-151):
+    # write a PNG of the running image every `preview_every` passes.
+    preview_path: str = ""
+    preview_every: int = 0
 
 
 @partial(jax.jit, static_argnames=("max_depth", "estimator", "trace_type"))
@@ -49,11 +56,14 @@ class Renderer:
         self.film = film
         self.config = config
         self.accum = jnp.zeros((film.num_pixels, 3), jnp.float32)
-        self.spp_done = 0
+        self.spp_done = 0  # updated when render() completes
+        self._accum_passes = 0  # live count including the in-flight render
+        self.nan_count = 0
 
     def resume_from(self, accum: np.ndarray, spp: int):
         self.accum = jnp.asarray(accum.reshape(-1, 3), jnp.float32)
         self.spp_done = spp
+        self._accum_passes = spp
 
     def render(self, progress_cb: Optional[Callable] = None):
         cfg = self.config
@@ -69,25 +79,49 @@ class Renderer:
                                cfg.seed, s, cfg.max_depth, cfg.estimator,
                                cfg.trace_type)
                 )
-            self.accum = self.accum + jnp.concatenate(pass_vals, axis=0)
+            pass_val = jnp.concatenate(pass_vals, axis=0)
+            if cfg.nan_recovery:
+                # replace NaN samples with the running mean (or 0 on pass 1)
+                nan_px = jnp.isnan(pass_val).any(axis=-1)
+                mean_so_far = self.accum / max(self._accum_passes, 1)
+                pass_val = jnp.where(nan_px[:, None],
+                                     jnp.nan_to_num(mean_so_far), pass_val)
+                self.nan_count += int(nan_px.sum())
+            self.accum = self.accum + pass_val
+            self._accum_passes = s + 1
             done = s + 1 - self.spp_done
             if cfg.log_every and done % cfg.log_every == 0:
                 self.accum.block_until_ready()
                 dt = time.time() - start
-                print(f"pass {s + 1}: {done / dt:.2f} passes/s")
+                nan_note = f" nan={self.nan_count}" if self.nan_count else ""
+                print(f"pass {s + 1}: {done / dt:.2f} passes/s{nan_note}")
+            if cfg.preview_every and cfg.preview_path and (done % cfg.preview_every == 0):
+                self._write_preview()
             if progress_cb is not None:
                 progress_cb(s + 1, self.image())
         self.spp_done += cfg.num_samples
         return self.image()
 
+    def _write_preview(self):
+        try:
+            from PIL import Image
+
+            img = np.asarray(tone_map(self.accum / max(self._accum_passes, 1)))
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(img.reshape(self.film.height, self.film.width, 3)).save(
+                self.config.preview_path
+            )
+        except Exception:
+            pass
+
     def image(self) -> np.ndarray:
         """Tone-mapped [H, W, 3] image of the running mean (the per-pass
         display path, main.cpp:321-325 + genImageFromColorBuffer)."""
-        spp = max(self.spp_done, 1)
+        spp = max(self._accum_passes, self.spp_done, 1)
         mean = self.accum / spp
         img = tone_map(mean)
         return np.asarray(img).reshape(self.film.height, self.film.width, 3)
 
     def raw_mean(self) -> np.ndarray:
-        spp = max(self.spp_done, 1)
+        spp = max(self._accum_passes, self.spp_done, 1)
         return np.asarray(self.accum / spp).reshape(self.film.height, self.film.width, 3)
