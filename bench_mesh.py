@@ -1,0 +1,123 @@
+"""Large-mesh throughput bench: San-Miguel-class triangle counts through the
+BVH path (SURVEY.md §7 step 6 "meshes at scale").
+
+Builds a procedural city of icospheres (default ~327k triangles, --tris to
+scale up), renders on the available backend, and prints one JSON line.
+
+Usage: python bench_mesh.py [--tris 327680] [--size 256] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_scene(target_tris: int):
+    import numpy as np
+
+    sys.path.insert(0, "scenes")
+    from make_fixtures import icosphere
+
+    from craytracer_tpu.scene import SceneBuilder
+
+    v, f = icosphere(3)  # 1280 tris per sphere
+    per = f.shape[0]
+    count = max(1, target_tris // per)
+    grid = int(np.ceil(np.sqrt(count)))
+
+    b = SceneBuilder()
+    b.add_matte("w", (0.7, 0.7, 0.7))
+    b.add_emissive("l", (1, 1, 1), 40.0)
+    b.add_rect((-200, 0, -200), (400, 0, 0), (0, 0, 400), "w")
+    b.add_rect((-10, 80, -10), (20, 0, 0), (0, 0, 20), "l")
+
+    rng = np.random.default_rng(0)
+    v0s, v1s, v2s = [], [], []
+    n = 0
+    for i in range(grid):
+        for j in range(grid):
+            if n >= count:
+                break
+            c = np.array([i * 6.0 - 3 * grid, 1.0 + rng.random() * 2, j * 6.0 - 3 * grid])
+            s = 0.8 + rng.random()
+            w = v * s + c
+            v0s.append(w[f[:, 0]])
+            v1s.append(w[f[:, 1]])
+            v2s.append(w[f[:, 2]])
+            n += 1
+    b.add_triangles_array(np.concatenate(v0s), np.concatenate(v1s),
+                          np.concatenate(v2s), "w")
+    t0 = time.time()
+    scene = b.build(accel="bvh")
+    build_s = time.time() - t0
+    return scene, scene.triangles.mat_id.shape[0], build_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=327680)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--image", default="", help="save a PNG of the render")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.camera import generate_rays
+    from craytracer_tpu.integrator.wavefront import CAMERA_BOUNCE, trace_paths
+    from craytracer_tpu.sampling import uniforms
+
+    scene, n_tris, build_s = build_scene(args.tris)
+    print(f"# scene: {n_tris} triangles, BVH build {build_s:.2f}s", file=sys.stderr)
+
+    cam = make_camera((0, 40, 3.2 * (n_tris / 1280) ** 0.5 + 40), (0, 2, 0))
+    film = Film(fov=jnp.float32(np.radians(50.0)), width=args.size, height=args.size)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+
+    @jax.jit
+    def passes(scene, s0):
+        def body(s, carry):
+            acc, rays = carry
+            jitter = uniforms(0, ids, s0 + s, CAMERA_BOUNCE, 2, 0)
+            o, d = generate_rays(cam, film, ids, jitter)
+            L, good, m = trace_paths(scene, o, d, 0, ids, s0 + s, args.depth,
+                                     with_metrics=True)
+            return acc + L, rays + m["rays"] + m["shadow_rays"]
+
+        return jax.lax.fori_loop(
+            0, args.iters, body,
+            (jnp.zeros((film.num_pixels, 3)), jnp.zeros((), jnp.int32)))
+
+    acc, rays = passes(scene, 0)
+    acc.block_until_ready()
+    t0 = time.time()
+    acc, rays = passes(scene, args.iters)
+    acc.block_until_ready()
+    dt = time.time() - t0
+    rps = int(rays) / dt
+    assert not bool(jnp.isnan(acc).any())
+    print(json.dumps({"metric": f"mesh_{n_tris}tris_rays_per_sec",
+                      "value": round(rps, 1), "unit": "rays/s",
+                      "vs_baseline": round(rps / 150e6, 4)}))
+    if args.image:
+        from PIL import Image
+
+        from craytracer_tpu.utils.tonemap import tone_map
+
+        img = np.asarray(tone_map(acc / args.iters)).reshape(args.size, args.size, 3)
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(args.image)
+
+
+if __name__ == "__main__":
+    main()

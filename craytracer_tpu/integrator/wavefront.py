@@ -252,8 +252,11 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
     (kept behind a flag per SURVEY.md §6 hardest-parts note).
     trace_type: PATHTRACE | WHITTED | RAYCAST (config.h trace_type)."""
     from craytracer_tpu.camera import generate_rays
+    from craytracer_tpu.sampling.multijitter import stratified_jitter
 
-    jitter = uniforms(seed, pixel_ids, spp_index, CAMERA_BOUNCE, 2, 0)
+    # Stratified film jitter — the counter-RNG form of the reference's
+    # multijittered pixel sampling (sampling.cpp:260-352).
+    jitter = stratified_jitter(seed, pixel_ids, spp_index)
     lens_u = uniforms(seed, pixel_ids, spp_index, CAMERA_BOUNCE, 2, 2)
     o, d = generate_rays(camera, film, pixel_ids, jitter, lens_u)
     if trace_type in ("WHITTED", "RAYCAST"):

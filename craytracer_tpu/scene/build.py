@@ -92,6 +92,7 @@ class SceneBuilder:
         self._rects = []
         self._disks = []
         self._triangles = []
+        self._bulk_triangles = []  # list of column-array blocks (bulk adds)
         self._instanced = []
         self._env: Optional[dict] = None
         self._textures = []  # list of (np[H,W,3] f32)
@@ -218,6 +219,38 @@ class SceneBuilder:
                                 np.asarray(uv2, np.float32), fn, bool(smooth),
                                 bool(double_sided), self.material_id(mat)))
 
+    def add_triangles_array(self, v0, v1, v2, mat, normals=None, uvs=None,
+                            smooth=False, double_sided=False):
+        """Bulk-add a triangle soup ([T,3] vertex arrays; `normals` is an
+        optional ([T,3],[T,3],[T,3]) tuple of per-corner normals, `uvs`
+        likewise). Orders of magnitude faster than per-triangle adds for
+        San-Miguel-scale meshes."""
+        v0 = np.asarray(v0, np.float32).reshape(-1, 3)
+        v1 = np.asarray(v1, np.float32).reshape(-1, 3)
+        v2 = np.asarray(v2, np.float32).reshape(-1, 3)
+        t = v0.shape[0]
+        fn = np.cross((v1 - v0).astype(np.float64), (v2 - v0).astype(np.float64))
+        lens = np.linalg.norm(fn, axis=-1, keepdims=True)
+        fn = (fn / np.where(lens > 0, lens, 1.0)).astype(np.float32)
+        n0, n1, n2 = (fn, fn, fn) if normals is None else [
+            np.asarray(x, np.float32) for x in normals]
+        z2 = np.zeros((t, 2), np.float32)
+        uv0, uv1, uv2 = (z2, z2, z2) if uvs is None else [
+            np.asarray(x, np.float32) for x in uvs]
+        mat_id = self.material_id(mat)
+        start = self.num_triangles()
+        self._bulk_triangles.append((
+            v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, fn,
+            np.full(t, bool(smooth)), np.full(t, bool(double_sided)),
+            np.full(t, mat_id, np.int32),
+        ))
+        if self._mats[mat_id].mat_type == T.MAT_EMISSIVE:
+            self._mesh_light_ranges.append((start, start + t, mat_id))
+        return start, start + t
+
+    def num_triangles(self) -> int:
+        return len(self._triangles) + sum(b[0].shape[0] for b in self._bulk_triangles)
+
     def add_mesh(self, positions, indices, mat, normals=None, uvs=None, smooth=False,
                  scaling=(1, 1, 1), location=(0, 0, 0), orientation=(0, 0, 0)):
         """Bake a mesh's triangles into world space (generateMeshTriangles,
@@ -331,9 +364,15 @@ class SceneBuilder:
         for c, n, r, m in self._disks:
             cover(c - r)
             cover(c + r)
-        for tri in self._triangles:
-            for q in tri[:3]:
-                cover(q)
+        cols = getattr(self, "_tri_columns", None)
+        if cols is not None and cols[0].shape[0] > 0:
+            for c in cols[:3]:
+                cover(c.min(axis=0))
+                cover(c.max(axis=0))
+        else:
+            for tri in self._triangles:
+                for q in tri[:3]:
+                    cover(q)
         for inv_t, nmat, kind, p, nt, m in self._instanced:
             # object-space bound of canonical prims is within [-s, s] where s
             # derives from params; conservatively invert the affine on corners.
@@ -388,6 +427,13 @@ class SceneBuilder:
         tv = soa(self._triangles,
                  [((3,), f32)] * 6 + [((2,), f32)] * 3
                  + [((3,), f32), ((), bool), ((), bool), ((), np.int32)])
+        if self._bulk_triangles:
+            merged = []
+            for col in range(13):
+                blocks = [tv[col]] + [blk[col] for blk in self._bulk_triangles]
+                merged.append(np.concatenate(blocks, axis=0))
+            tv = merged
+        self._tri_columns = tv  # verts by global index for lights/bounds
         triangles = T.Triangles(*map(jnp.asarray, tv))
 
         it, inm, ik, ip, int_, im = soa(
@@ -422,7 +468,7 @@ class SceneBuilder:
 
         textures = self._build_textures()
 
-        n_tris = len(self._triangles)
+        n_tris = tv[0].shape[0]
         if accel == "auto":
             accel = "bvh" if n_tris >= 64 else "none"
         tri_bvh = None
@@ -503,14 +549,19 @@ class SceneBuilder:
 
         # Mesh lights: contiguous emissive triangle ranges.
         ml_tri, ml_cdf, ml_off, ml_area = [], [], [0], []
+        cols = getattr(self, "_tri_columns", None)
         for k, (start, end, mat_id) in enumerate(self._mesh_light_ranges):
             _, color, inten = emissive(mat_id)
-            areas = []
-            for t in range(start, end):
-                v0, v1, v2 = self._triangles[t][:3]
-                a = 0.5 * float(np.linalg.norm(np.cross(v1 - v0, v2 - v0)))
-                areas.append(a)
-                ml_tri.append(t)
+            if cols is not None:
+                V0 = cols[0][start:end]
+                V1 = cols[1][start:end]
+                V2 = cols[2][start:end]
+            else:
+                V0 = np.stack([self._triangles[t][0] for t in range(start, end)])
+                V1 = np.stack([self._triangles[t][1] for t in range(start, end)])
+                V2 = np.stack([self._triangles[t][2] for t in range(start, end)])
+            areas = (0.5 * np.linalg.norm(np.cross(V1 - V0, V2 - V0), axis=-1)).tolist()
+            ml_tri.extend(range(start, end))
             total = sum(areas) or 1.0
             cdf = np.cumsum(areas) / total
             ml_cdf.extend(cdf.tolist())

@@ -108,3 +108,35 @@ def test_camera_pinhole_center_ray():
     o, d = generate_rays(cam, film, center, jnp.full((1, 2), 0.5))
     np.testing.assert_allclose(d[0], [0.0, 0.0, -1.0], atol=1e-5)
     np.testing.assert_allclose(o[0], [0.0, 0.0, 10.0], atol=1e-5)
+
+
+def test_multijittered_table_stratification():
+    from craytracer_tpu.sampling.multijitter import multijittered_table
+
+    tbl = multijittered_table(16, 3, seed=1)
+    assert tbl.shape == (3, 16, 2)
+    for s in range(3):
+        pts = tbl[s]
+        # 4x4 grid stratification: exactly one point per coarse cell
+        cells = (pts * 4).astype(int)
+        ids = cells[:, 0] * 4 + cells[:, 1]
+        assert len(set(ids.tolist())) == 16
+        # n^2 fine stratification in each 1-D projection
+        fx = (pts[:, 0] * 16).astype(int)
+        fy = (pts[:, 1] * 16).astype(int)
+        assert len(set(fx.tolist())) == 16
+        assert len(set(fy.tolist())) == 16
+
+
+def test_stratified_jitter_covers_strata():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from craytracer_tpu.sampling.multijitter import stratified_jitter
+
+    ids = jnp.zeros((1,), jnp.int32)
+    pts = np.concatenate([np.asarray(stratified_jitter(0, ids, s)) for s in range(16)])
+    cells = (pts * 4).astype(int)
+    cell_ids = cells[:, 0] * 4 + cells[:, 1]
+    # 16 consecutive samples of one pixel hit all 16 strata exactly once
+    assert sorted(cell_ids.tolist()) == list(range(16))

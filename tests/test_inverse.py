@@ -1,0 +1,61 @@
+"""Inverse rendering: recover material parameters by gradient descent
+through the full wavefront tracer (the BASELINE.json inverse-rendering
+config, scaled down)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from craytracer_tpu.camera import Film, make_camera
+from craytracer_tpu.integrator.wavefront import render_sample
+from craytracer_tpu.scene import SceneBuilder
+
+
+def _scene(albedo):
+    b = SceneBuilder()
+    b.add_matte("floor", (albedo, albedo * 0.8, albedo * 0.5))
+    b.add_emissive("light", (1, 1, 1), 25.0)
+    b.add_rect((-20, 0, -20), (40, 0, 0), (0, 0, 40), "floor")
+    b.add_rect((-3, 20, -3), (6, 0, 0), (0, 0, 6), "light")
+    return b.build()
+
+
+def test_recover_albedo():
+    target_albedo = 0.7
+    scene_target = _scene(target_albedo)
+    cam = make_camera((0, 10, 25), (0, 0, 0))
+    film = Film(fov=jnp.float32(np.radians(40.0)), width=16, height=16)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+
+    def render(scene, spp_index):
+        return render_sample(scene, cam, film, ids, 7, spp_index, 2,
+                             estimator="physical")
+
+    target = render(scene_target, 0)
+
+    scene0 = _scene(0.25)  # wrong initial albedo
+
+    def loss_fn(color_row, spp_index):
+        s = scene0.replace(materials=scene0.materials.replace(
+            color=scene0.materials.color.at[1].set(color_row)))
+        img = render(s, spp_index)
+        return jnp.mean((img - target) ** 2)
+
+    params = scene0.materials.color[1]
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    losses = []
+    for it in range(40):
+        loss, g = step(params, it % 4)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = jnp.clip(params, 0.0, 1.0)
+        losses.append(float(loss))
+
+    recovered = np.asarray(params)
+    expected = np.array([0.7, 0.56, 0.35])
+    np.testing.assert_allclose(recovered, expected, atol=0.05)
+    assert losses[-1] < losses[0] * 0.3  # MC noise floor from per-step RNG streams
