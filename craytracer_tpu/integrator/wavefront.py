@@ -66,12 +66,12 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
     def step(bounce, state):
         o, d, beta, L, good, alive, prev_sg, rays, shadows, live_hist = state
 
-        # Detached traversal (SURVEY.md §7 step 7): gradients flow through
-        # shading/BSDF/light/texture parameters, not through the discrete hit
-        # selection — the standard differentiable-rendering interior-term
-        # treatment. The hit record is a pure function of geometry, so
-        # stop_gradient here only blocks geometry-boundary derivatives.
-        hit = jax.lax.stop_gradient(intersect_scene(scene, o, d))
+        # Detached traversal with differentiable fill (SURVEY.md §7 step 7):
+        # intersect_scene detaches the discrete search and re-derives
+        # t/normal/uv differentiably for the winning primitive (implicit-
+        # function reparametrization), so interior gradients flow w.r.t.
+        # camera rays and scene geometry.
+        hit = intersect_scene(scene, o, d)
         miss = ~hit.hit_mask
         mat_type = jnp.take(scene.materials.mat_type, hit.mat_id)
         emissive_hit = hit.hit_mask & (mat_type == T.MAT_EMISSIVE)

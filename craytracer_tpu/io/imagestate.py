@@ -20,3 +20,17 @@ def save_image_state(path: str, accum: np.ndarray, spp: int, seed: int):
 def load_image_state(path: str):
     d = np.load(path if path.endswith(".npz") else path + ".npz")
     return d["accum"], int(d["spp"]), int(d["seed"])
+
+
+def ppm_to_image_state(ppm_path: str, spp: int = 1):
+    """Reconstruct an accumulator from a tone-mapped PPM
+    (ppmToImageState, main.cpp:169-184): invert gamma + the exposure map
+    and scale by spp. Lossy (the tone map clips), but lets a render resume
+    from an image whose raw state was lost."""
+    from craytracer_tpu.io.image import read_ppm
+
+    img = read_ppm(ppm_path).astype(np.float32) / 255.0
+    # invert tone_map: r = (1 - exp(-2 L))^(1/2.2)
+    lin = np.clip(1.0 - np.power(img, 2.2), 1e-6, 1.0)
+    radiance = -np.log(lin) / 2.0
+    return (radiance.reshape(-1, 3) * spp).astype(np.float32)

@@ -22,6 +22,7 @@ truth that the accelerated traversals (accel/) are tested against.
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from craytracer_tpu.constants import K_EPSILON, TMAX, TWO_PI
@@ -240,16 +241,35 @@ def instanced_ts(o, d, inst: T.Instanced):
 
 # ---------------------------------------------------------------------------
 # Phase 2: attribute fill for the winning primitive of each group.
+#
+# Each fill also returns a DIFFERENTIABLE re-derivation of the hit distance
+# for the (detached) winning primitive, via one implicit-function Newton
+# step: t_diff = t0 - F(t0, theta) / F'(t0) with t0 = detach(t) and F the
+# primitive's along-ray implicit. Forward value is unchanged (F(t0) ~ 0);
+# backward yields the exact first-order dt/dtheta — this is SURVEY.md §7's
+# "custom VJPs that replay from saved hit records" realized through jax AD.
 
 
 def _take(arr, idx):
     return jnp.take(arr, idx, axis=0)
 
 
+def _newton_t(t0, F, Fp):
+    """One implicit-function step; Fp is detached to keep it a pure
+    reparametrization (value preserved, gradient = -F_theta / F_t)."""
+    denom = vm._safe(jax.lax.stop_gradient(Fp))
+    return t0 - F / denom
+
+
 def _fill_sphere(o, d, t, idx, s: T.Spheres):
     c = _take(s.center, idx)
     r = _take(s.radius, idx)
-    hp = o + t[:, None] * d
+    # implicit: F(t) = |o + t d - c|^2 - r^2
+    oc = o + t[:, None] * d - c
+    F = vm.dot(oc, oc) - r * r
+    Fp = 2.0 * vm.dot(oc, d)
+    t_diff = _newton_t(t, F, Fp)
+    hp = o + t_diff[:, None] * d
     n = vm.normalize(hp - c)
     rel = hp - c
     phi = jnp.arctan2(rel[:, 2], rel[:, 0])
@@ -258,14 +278,16 @@ def _fill_sphere(o, d, t, idx, s: T.Spheres):
     uv = jnp.stack([phi_w / TWO_PI, theta / jnp.pi], axis=-1)
     # dpdu ~ (-(z-cz), 0, (x-cx)) (fillShadeRecSphere, shapes/sphere.cpp:4-31)
     dpdu = vm.normalize(jnp.stack([-rel[:, 2], jnp.zeros_like(t), rel[:, 0]], axis=-1))
-    return n, dpdu, uv, _take(s.mat_id, idx)
+    return n, dpdu, uv, _take(s.mat_id, idx), t_diff
 
 
 def _fill_plane(o, d, t, idx, p: T.Planes):
     n = _take(p.normal, idx)
+    p0 = _take(p.point, idx)
+    t_diff = vm.dot(p0 - o, n) / vm._safe(vm.dot(d, n))
     tang, _, _ = vm.orthonormal_basis(n)
     uv = jnp.zeros((t.shape[0], 2), t.dtype)
-    return n, tang, uv, _take(p.mat_id, idx)
+    return n, tang, uv, _take(p.mat_id, idx), t_diff
 
 
 def _fill_rect(o, d, t, idx, r: T.Rects):
@@ -273,7 +295,8 @@ def _fill_rect(o, d, t, idx, r: T.Rects):
     w = _take(r.width, idx)
     h = _take(r.height, idx)
     p0 = _take(r.point, idx)
-    hp = o + t[:, None] * d
+    t_diff = vm.dot(p0 - o, n) / vm._safe(vm.dot(d, n))
+    hp = o + t_diff[:, None] * d
     q = hp - p0
     u = vm.dot(q, w) / vm.dot(w, w)
     v = vm.dot(q, h) / vm.dot(h, h)
@@ -281,16 +304,18 @@ def _fill_rect(o, d, t, idx, r: T.Rects):
     flip = vm.dot(-d, n) < 0.0
     n = jnp.where(flip[:, None], -n, n)
     dpdu = vm.normalize(jnp.where(flip[:, None], -w, w))
-    return n, dpdu, jnp.stack([u, v], axis=-1), _take(r.mat_id, idx)
+    return n, dpdu, jnp.stack([u, v], axis=-1), _take(r.mat_id, idx), t_diff
 
 
 def _fill_disk(o, d, t, idx, k: T.Disks):
     n = _take(k.normal, idx)
+    c0 = _take(k.center, idx)
+    t_diff = vm.dot(c0 - o, n) / vm._safe(vm.dot(d, n))
     flip = vm.dot(-d, n) < 0.0
     n = jnp.where(flip[:, None], -n, n)
     tang, _, _ = vm.orthonormal_basis(n)
     uv = jnp.zeros((t.shape[0], 2), t.dtype)
-    return n, tang, uv, _take(k.mat_id, idx)
+    return n, tang, uv, _take(k.mat_id, idx), t_diff
 
 
 def _fill_triangle(o, d, t, idx, tr: T.Triangles):
@@ -307,6 +332,7 @@ def _fill_triangle(o, d, t, idx, tr: T.Triangles):
     beta = vm.dot(tvec, pvec) * inv_det
     qvec = vm.cross(tvec, e1)
     gamma = vm.dot(d, qvec) * inv_det
+    t_diff = vm.dot(e2, qvec) * inv_det  # exact differentiable MT re-eval
     alpha = 1.0 - beta - gamma
     smooth = _take(tr.smooth, idx)
     fn = _take(tr.face_normal, idx)
@@ -327,7 +353,7 @@ def _fill_triangle(o, d, t, idx, tr: T.Triangles):
     )
     uv = uv - jnp.floor(uv)  # wrap to [0,1) (triangle.cpp:195-199)
     dpdu = vm.normalize(e1)
-    return n, dpdu, uv, _take(tr.mat_id, idx)
+    return n, dpdu, uv, _take(tr.mat_id, idx), t_diff
 
 
 def _fill_instanced(o, d, t, idx, inst: T.Instanced):
@@ -339,6 +365,37 @@ def _fill_instanced(o, d, t, idx, inst: T.Instanced):
     oo = jnp.einsum("nij,nj->ni", a[:, :, :3], o) + a[:, :, 3]
     od = jnp.einsum("nij,nj->ni", a[:, :, :3], d)
     hp = oo + t[:, None] * od
+
+    # differentiable t via one implicit Newton step per kind
+    swept_, tube_ = p[:, 0], p[:, 1]
+    # box: plane of the dominant face (axis/sign detached via hp)
+    half_ = jax.lax.stop_gradient(p[:, 0:3] / 2.0)
+    relb = jax.lax.stop_gradient(hp) / vm._safe(half_)
+    axb = jnp.argmax(jnp.abs(relb), axis=-1)
+    nf = jnp.sign(jnp.take_along_axis(relb, axb[:, None], axis=-1))[:, 0:1] * jnp.eye(3)[axb]
+    F_box = vm.dot(hp, nf) - vm.dot(p[:, 0:3] / 2.0, jnp.abs(nf))
+    Fp_box = vm.dot(od, nf)
+    # cylinder side: F = x^2 + z^2 - 1
+    F_cyl = hp[:, 0] ** 2 + hp[:, 2] ** 2 - 1.0
+    Fp_cyl = 2.0 * (hp[:, 0] * od[:, 0] + hp[:, 2] * od[:, 2])
+    # torus: F = (|p|^2 - (R^2 + r^2))^2 + 4 R^2 (y^2 - r^2)
+    s2t = vm.dot(hp, hp)
+    et = s2t - swept_ * swept_ - tube_ * tube_
+    F_tor = et * et + 4.0 * swept_ * swept_ * (hp[:, 1] ** 2 - tube_ * tube_)
+    Fp_tor = 4.0 * et * vm.dot(hp, od) + 8.0 * swept_ * swept_ * hp[:, 1] * od[:, 1]
+    # cap: plane y = p1
+    F_cap = hp[:, 1] - p[:, 1]
+    Fp_cap = od[:, 1]
+    F = jnp.where(kind == T.INST_AABOX, F_box, 0.0)
+    Fp = jnp.where(kind == T.INST_AABOX, Fp_box, 1.0)
+    F = jnp.where(kind == T.INST_OPEN_CYLINDER, F_cyl, F)
+    Fp = jnp.where(kind == T.INST_OPEN_CYLINDER, Fp_cyl, Fp)
+    F = jnp.where(kind == T.INST_TORUS, F_tor, F)
+    Fp = jnp.where(kind == T.INST_TORUS, Fp_tor, Fp)
+    F = jnp.where(kind == T.INST_DISK, F_cap, F)
+    Fp = jnp.where(kind == T.INST_DISK, Fp_cap, Fp)
+    t_diff = _newton_t(t, F, Fp)
+    hp = oo + t_diff[:, None] * od
 
     # Box normal: dominant axis of hit point scaled by half extents.
     half = p[:, 0:3] / 2.0
@@ -392,7 +449,7 @@ def _fill_instanced(o, d, t, idx, inst: T.Instanced):
     )
     tang, _, _ = vm.orthonormal_basis(n)
     uv = jnp.where((kind == T.INST_OPEN_CYLINDER)[:, None], uv_cyl, jnp.zeros_like(uv_cyl))
-    return n, tang, uv, _take(inst.mat_id, idx)
+    return n, tang, uv, _take(inst.mat_id, idx), t_diff
 
 
 _GROUPS = (
@@ -412,8 +469,15 @@ def _group_size(scene, name):
 def intersect_scene(scene: T.Scene, o, d) -> Hit:
     """Closest hit across all primitive groups. Triangles go through the
     accel backend selected statically by scene.accel; analytic primitives
-    (few in every scene) are always brute-forced."""
+    (few in every scene) are always brute-forced.
+
+    Differentiability: the SEARCH (which primitive, at what distance) is
+    detached; the FILL re-derives t/normal/uv differentiably for the
+    winning primitive, so interior gradients flow w.r.t. ray origins,
+    directions, and scene geometry while discrete selection stays fixed."""
     n = o.shape[0]
+    o_s = jax.lax.stop_gradient(o)
+    d_s = jax.lax.stop_gradient(d)
     best_t = jnp.full((n,), TMAX)
     best_group = jnp.full((n,), T.GROUP_NONE, jnp.int32)
     best_idx = jnp.zeros((n,), jnp.int32)
@@ -424,15 +488,15 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
         if gid == T.GROUP_TRIANGLE and scene.accel == "bvh":
             from craytracer_tpu.accel.bvh import bvh_closest_hit
 
-            gmin, gidx = bvh_closest_hit(scene.tri_bvh, o, d)
+            gmin, gidx = bvh_closest_hit(scene.tri_bvh, o_s, d_s)
             gidx = jnp.maximum(gidx, 0)
         elif gid == T.GROUP_TRIANGLE and scene.accel == "grid":
             from craytracer_tpu.accel.grid import grid_closest_hit
 
-            gmin, gidx = grid_closest_hit(scene.tri_bvh, o, d)
+            gmin, gidx = grid_closest_hit(scene.tri_bvh, o_s, d_s)
             gidx = jnp.maximum(gidx, 0)
         else:
-            ts = ts_fn(o, d, getattr(scene, name))  # [N, M]
+            ts = ts_fn(o_s, d_s, jax.lax.stop_gradient(getattr(scene, name)))  # [N, M]
             gmin = jnp.min(ts, axis=1)
             gidx = jnp.argmin(ts, axis=1).astype(jnp.int32)
         better = gmin < best_t
@@ -440,24 +504,27 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
         best_group = jnp.where(better, gid, best_group)
         best_idx = jnp.where(better, gidx, best_idx)
 
-    point = o + best_t[:, None] * d
     normal = jnp.zeros_like(o).at[:, 2].set(1.0)
     dpdu = jnp.zeros_like(o).at[:, 0].set(1.0)
     uv = jnp.zeros((n, 2), o.dtype)
     mat_id = jnp.zeros((n,), jnp.int32)
+    t_out = best_t  # detached search distances (misses keep TMAX)
 
     for gid, name, _, fill_fn in _GROUPS:
         if _group_size(scene, name) == 0:
             continue
-        g_n, g_dpdu, g_uv, g_mat = fill_fn(o, d, best_t, best_idx, getattr(scene, name))
+        g_n, g_dpdu, g_uv, g_mat, g_t = fill_fn(o, d, best_t, best_idx,
+                                                getattr(scene, name))
         sel = (best_group == gid)[:, None]
         normal = jnp.where(sel, g_n, normal)
         dpdu = jnp.where(sel, g_dpdu, dpdu)
         uv = jnp.where(sel, g_uv, uv)
         mat_id = jnp.where(best_group == gid, g_mat, mat_id)
+        t_out = jnp.where(best_group == gid, g_t, t_out)
 
+    point = o + t_out[:, None] * d
     point = jnp.where((best_t < TMAX)[:, None], point, 0.0)
-    return Hit(t=best_t, group=best_group, prim=best_idx, point=point,
+    return Hit(t=t_out, group=best_group, prim=best_idx, point=point,
                normal=normal, dpdu=dpdu, uv=uv, mat_id=mat_id)
 
 
