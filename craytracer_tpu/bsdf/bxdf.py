@@ -239,6 +239,68 @@ def bsdf_f_direct(wi, wo, mp: MatParams):
     return f
 
 
+def bsdf_f_nodelta(wi, wo, mp: MatParams):
+    """All finite (non-delta) lobes, glossy included — the NEE evaluation
+    for the MIS estimator, which needs light sampling to cover everything
+    BSDF sampling covers. Glass uses the proper Fresnel-weighted reflection
+    term (F, not the reference's 1-F quirk)."""
+    f = jnp.where((mp.mat_type == T.MAT_MATTE)[..., None],
+                  _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b), 0.0)
+    f_plastic = _fb_diffuse_f(wi, wo, mp.color, mp.ks) + _fb_specular_f(
+        wi, wo, mp.ks, mp.alphax, mp.alphay, mp.distrib)
+    f = jnp.where((mp.mat_type == T.MAT_PLASTIC)[..., None], f_plastic, f)
+    f_metal = _metal_f(wi, wo, jnp.ones_like(mp.color), mp.eta3, mp.k3,
+                       mp.alphax, mp.alphay, mp.distrib)
+    f = jnp.where((mp.mat_type == T.MAT_METAL)[..., None], f_metal, f)
+    white = jnp.ones_like(mp.color)
+    same = vm.same_hemisphere(wi, wo)
+    wh_r = vm.normalize(wi + wo)
+    fr_r = fr_dielectric(vm.dot(wh_r, wo), mp.ior_in, mp.ior_out)
+    f_gr = _glass_refl_f(wi, wo, white, mp.ior_in, mp.ior_out,
+                         mp.alphax, mp.alphay, mp.distrib)
+    # replace the (1-Fr) quirk term with Fr for the balanced mode
+    quirk = 1.0 - fr_dielectric(vm.dot(wh_r, wi), mp.ior_in, mp.ior_out)
+    f_gr = f_gr * (fr_r / jnp.maximum(quirk, 1e-6))[..., None]
+    f_gt = _glass_trans_f(wi, wo, white, mp.ior_in, mp.ior_out,
+                          mp.alphax, mp.alphay, mp.distrib)
+    f_glass = jnp.where(same[..., None], f_gr, f_gt)
+    f = jnp.where((mp.mat_type == T.MAT_GLASS)[..., None], f_glass, f)
+    return f
+
+
+def _glass_pdf_mixture(wi, wo, mp: MatParams):
+    """Sampling density of the glass lobe under the fresnel branch choice:
+    p(wi) = kr * p_refl for reflection-side wi, (1-kr) * p_trans otherwise."""
+    same = vm.same_hemisphere(wi, wo)
+    wh_r = vm.normalize(wi + wo)
+    kr_r = fr_dielectric(vm.dot(wh_r, wo), mp.ior_in, mp.ior_out)
+    pdf_r = mf.distribution_pdf(wo, wh_r, mp.alphax, mp.alphay, mp.distrib) / jnp.maximum(
+        4.0 * vm.dot(wo, wh_r), 1e-7)
+    cto = vm.cos_theta(wo)
+    eta = jnp.where(cto > 0.0, mp.ior_in / mp.ior_out, mp.ior_out / mp.ior_in)
+    wh_t = vm.normalize(wo + wi * eta[..., None])
+    kr_t = fr_dielectric(vm.dot(wh_t, wo), mp.ior_in, mp.ior_out)
+    pdf_t = _glass_trans_pdf(wi, wo, mp.ior_in, mp.ior_out,
+                             mp.alphax, mp.alphay, mp.distrib)
+    return jnp.where(same, kr_r * pdf_r, (1.0 - kr_t) * pdf_t)
+
+
+def bsdf_pdf_balanced(wi, wo, mp: MatParams):
+    """Correct one-sample mixture density of bsdf_sample(balanced=True):
+    plastic averages its two lobes (the reference SUMS them,
+    reflection.cpp:789-797 — a quirk kept only in reference mode)."""
+    pdf_matte = _cos_hemisphere_pdf(wi, wo)
+    pdf_plastic = 0.5 * (_cos_hemisphere_pdf(wi, wo) + _fb_specular_pdf(
+        wi, wo, mp.alphax, mp.alphay, mp.distrib))
+    pdf_metal = _metal_pdf(wi, wo, mp.alphax, mp.alphay, mp.distrib)
+    pdf_glass = _glass_pdf_mixture(wi, wo, mp)
+    pdf = jnp.where(mp.mat_type == T.MAT_MATTE, pdf_matte, 0.0)
+    pdf = jnp.where(mp.mat_type == T.MAT_PLASTIC, pdf_plastic, pdf)
+    pdf = jnp.where(mp.mat_type == T.MAT_METAL, pdf_metal, pdf)
+    pdf = jnp.where(mp.mat_type == T.MAT_GLASS, pdf_glass, pdf)
+    return pdf
+
+
 def bsdf_pdf(wi, wo, mp: MatParams):
     """BSDF_pdf: sum of lobe pdfs (reflection.cpp:737-748)."""
     pdf_matte = _cos_hemisphere_pdf(wi, wo)
@@ -254,11 +316,15 @@ def bsdf_pdf(wi, wo, mp: MatParams):
     return pdf
 
 
-def bsdf_sample(u, wo, mp: MatParams):
+def bsdf_sample(u, wo, mp: MatParams, balanced: bool = False):
     """BSDF_sample_f (reflection.cpp:750-811) for the whole hit queue.
 
     `u` is [N, 3]: (lobe-select/sample.x, sample.y, fresnel-branch rand —
     the reference's extra rand() in SpecularTransmission/MicrofacetFresnel).
+
+    `balanced=True` switches the reported densities (and glass reflection
+    Fresnel) to the correct one-sample mixture pdfs used by the MIS
+    estimator; False reproduces the reference's reported values.
 
     Returns (f[N,3], wi[N,3], pdf[N], is_specular[N], is_glossy[N]).
     """
@@ -329,7 +395,11 @@ def bsdf_sample(u, wo, mp: MatParams):
     f_plastic = _fb_diffuse_f(wi_plastic, wo, mp.color, mp.ks) + _fb_specular_f(
         wi_plastic, wo, mp.ks, mp.alphax, mp.alphay, mp.distrib
     )
+    # reference SUMS the lobe pdfs (reflection.cpp:789-797); the balanced
+    # mode uses the correct mixture average
     pdf_plastic = jnp.where(alive_p, pdf_chosen + pdf_other, 0.0)
+    if balanced:
+        pdf_plastic = 0.5 * pdf_plastic
     f_plastic = jnp.where(alive_p[:, None], f_plastic, 0.0)
 
     # ---- METAL (MicrofacetReflection_sample_f, reflection.cpp:329-344)
@@ -354,9 +424,17 @@ def bsdf_sample(u, wo, mp: MatParams):
     gr_ok = vm.same_hemisphere(wo, wi_gr)
     f_gr = _glass_refl_f(wi_gr, wo, white, mp.ior_in, mp.ior_out,
                          mp.alphax, mp.alphay, mp.distrib)
+    if balanced:
+        # proper Fresnel weight F (not the reference's 1 - Fr(wh, wi) quirk)
+        wh_r = vm.normalize(wi_gr + wo)
+        quirk = 1.0 - fr_dielectric(vm.dot(wh_r, wi_gr), mp.ior_in, mp.ior_out)
+        fr_r = fr_dielectric(vm.dot(wh_r, wo), mp.ior_in, mp.ior_out)
+        f_gr = f_gr * (fr_r / jnp.maximum(quirk, 1e-6))[:, None]
     pdf_gr = mf.distribution_pdf(wo, wh_g, mp.alphax, mp.alphay, mp.distrib) / jnp.maximum(
         4.0 * vm.dot(wo, wh_g), 1e-7
     )
+    if balanced:
+        pdf_gr = kr_g * pdf_gr
     f_gr = jnp.where(gr_ok[:, None], f_gr, 0.0)
     pdf_gr = jnp.where(gr_ok, pdf_gr, 0.0)
     # transmission branch
@@ -367,6 +445,8 @@ def bsdf_sample(u, wo, mp: MatParams):
                           mp.alphax, mp.alphay, mp.distrib)
     pdf_gt = _glass_trans_pdf(wi_gt, wo, mp.ior_in, mp.ior_out,
                               mp.alphax, mp.alphay, mp.distrib)
+    if balanced:
+        pdf_gt = (1.0 - kr_g) * pdf_gt
     f_gt = jnp.where(gt_ok[:, None], f_gt, 0.0)
     pdf_gt = jnp.where(gt_ok, pdf_gt, 0.0)
     wi_glass = jnp.where(g_refl[:, None], wi_gr, wi_gt)

@@ -57,14 +57,22 @@ def _offset_ray(point, normal, direction):
 
 
 def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
-                      max_depth: int, rr_start: int = 3):
+                      max_depth: int, rr_start: int = 3, mis: bool = False):
     """Build the per-bounce wavefront step. Returns a function
     (bounce, state) -> (new_state, aux) where aux carries the per-bounce
     log record (SampleLog, trace.h:176-219). Shared by trace_paths (fori,
-    aux discarded) and trace_paths_logged (unrolled, aux stacked)."""
+    aux discarded) and trace_paths_logged (unrolled, aux stacked).
+
+    `mis=True` switches to the multiple-importance-sampling estimator the
+    reference stubs but never uses (powerHeuristic, trace.h:166-169):
+    emitted/env light is added at EVERY bounce weighted against the NEE
+    strategy's density, NEE covers all finite lobes (glossy included) and
+    is weighted against the balanced BSDF density — a strict quality
+    improvement over the reference's spec/glossy-only re-add rule."""
 
     def step(bounce, state):
-        o, d, beta, L, good, alive, prev_sg, rays, shadows, live_hist = state
+        (o, d, beta, L, good, alive, prev_sg, rays, shadows, live_hist,
+         prev_pdf, prev_delta, prev_n) = state
 
         # Detached traversal with differentiable fill (SURVEY.md §7 step 7):
         # intersect_scene detaches the discrete search and re-derives
@@ -77,17 +85,33 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         emissive_hit = hit.hit_mask & (mat_type == T.MAT_EMISSIVE)
 
         # ---- emitted / env radiance (trace.h:419-455)
-        add_cond = alive & ((bounce == 0) | prev_sg)
         e_color = jnp.take(scene.materials.color, hit.mat_id, axis=0)
         e_int = jnp.take(scene.materials.intensity, hit.mat_id)
         emitted = e_color * e_int[:, None]
-        add_emit = add_cond & emissive_hit
-        L = L + jnp.where(add_emit[:, None], beta * emitted, 0.0)
-
         env_dir = jnp.einsum("ij,nj->ni", scene.env.transform, d)
         env_li = env_radiance(scene.env, scene.textures, env_dir)
-        add_env = add_cond & miss
-        L = L + jnp.where(add_env[:, None], beta * env_li, 0.0)
+        if mis:
+            from craytracer_tpu.lights.lights import env_pdf, light_pdf_for_hit
+
+            no_compete = (bounce == 0) | prev_delta
+            p_l = light_pdf_for_hit(scene, hit.group, hit.prim, hit.point, o, d)
+            w_emit = jnp.where(
+                no_compete, 1.0,
+                prev_pdf * prev_pdf / jnp.maximum(prev_pdf * prev_pdf + p_l * p_l, 1e-20))
+            add_emit = alive & emissive_hit
+            L = L + jnp.where(add_emit[:, None], beta * emitted * w_emit[:, None], 0.0)
+            p_env = env_pdf(scene, d, prev_n)
+            w_env = jnp.where(
+                no_compete, 1.0,
+                prev_pdf * prev_pdf / jnp.maximum(prev_pdf * prev_pdf + p_env * p_env, 1e-20))
+            add_env = alive & miss
+            L = L + jnp.where(add_env[:, None], beta * env_li * w_env[:, None], 0.0)
+        else:
+            add_cond = alive & ((bounce == 0) | prev_sg)
+            add_emit = add_cond & emissive_hit
+            L = L + jnp.where(add_emit[:, None], beta * emitted, 0.0)
+            add_env = add_cond & miss
+            L = L + jnp.where(add_env[:, None], beta * env_li, 0.0)
         # good_paths++ on emissive add AND on every counted escape, black or
         # not (trace.h:427-444 quirk).
         good = good + (add_emit | add_env).astype(jnp.int32)
@@ -117,21 +141,43 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         # ---- NEE (trace.h:466-481)
         u_light = uniforms(seed, pixel_ids, spp_index, bounce, 2, _DIM_LIGHT)
         u_pick = uniforms(seed, pixel_ids, spp_index, bounce, 1, _DIM_PICK)[:, 0]
-        nee_mat = ~(
-            (mat_type == T.MAT_MIRROR)
-            | (mat_type == T.MAT_TRANSPARENT)
-            | (mat_type == T.MAT_GLASS)
-        )
+        if mis:
+            from craytracer_tpu.bsdf import bsdf_f_nodelta, bsdf_pdf_balanced
+
+            nee_mat = ~(
+                (mat_type == T.MAT_MIRROR) | (mat_type == T.MAT_TRANSPARENT)
+            )
+        else:
+            nee_mat = ~(
+                (mat_type == T.MAT_MIRROR)
+                | (mat_type == T.MAT_TRANSPARENT)
+                | (mat_type == T.MAT_GLASS)
+            )
         ls = sample_one_light(scene, u_pick, u_light, hit.point, fn, ft, fb)
         wi_l = vm.to_local(ls.wi, ft, fb, fn)
-        f_nee = bsdf_f_direct(wi_l, wo_local, mp) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
+        if mis:
+            f_nee = bsdf_f_nodelta(wi_l, wo_local, mp) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
+        else:
+            f_nee = bsdf_f_direct(wi_l, wo_local, mp) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
         want_shadow = cont & nee_mat & ls.valid & jnp.any(f_nee > 0.0, axis=-1)
         shadow_o = _offset_ray(hit.point, hit.normal, ls.wi)
         t_shadow = shadow_distance(scene, shadow_o, ls.wi, ls.distance)
         lit = t_shadow >= ls.distance - jnp.maximum(K_EPSILON, 1e-3 * ls.distance)
+        nee_scale = f_nee * ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None]
+        if mis:
+            # power heuristic vs the BSDF strategy; delta lights keep w=1
+            ltype_l = jnp.take(scene.lights.light_type, jnp.clip(
+                jnp.searchsorted(scene.lights.power_cdf, u_pick, side="right"),
+                0, scene.lights.light_type.shape[0] - 1)) if scene.lights.light_type.shape[0] else jnp.zeros_like(hit.mat_id)
+            is_delta_l = (ltype_l == T.LIGHT_DIRECTIONAL) | (ltype_l == T.LIGHT_POINT)
+            p_b = bsdf_pdf_balanced(wi_l, wo_local, mp)
+            w_l = jnp.where(
+                is_delta_l, 1.0,
+                ls.pdf * ls.pdf / jnp.maximum(ls.pdf * ls.pdf + p_b * p_b, 1e-20))
+            nee_scale = nee_scale * w_l[:, None]
         contrib = jnp.where(
             (want_shadow & lit)[:, None],
-            beta * f_nee * ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None],
+            beta * nee_scale,
             0.0,
         )
         L = L + contrib
@@ -139,7 +185,8 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
 
         # ---- BSDF sampling (trace.h:484-496)
         u_bsdf = uniforms(seed, pixel_ids, spp_index, bounce, 3, _DIM_BSDF)
-        f_s, wi_local, pdf_s, is_spec, is_glossy = bsdf_sample(u_bsdf, wo_local, mp)
+        f_s, wi_local, pdf_s, is_spec, is_glossy = bsdf_sample(
+            u_bsdf, wo_local, mp, balanced=mis)
         dead_sample = (pdf_s <= 0.0) | jnp.all(f_s == 0.0, axis=-1)
         wi_world = vm.to_world(wi_local, ft, fb, fn)
         weight = f_s * (jnp.abs(vm.dot(wi_world, fn)) / jnp.maximum(pdf_s, 1e-12))[:, None]
@@ -161,6 +208,9 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         new_o = jnp.where(cont[:, None], _offset_ray(hit.point, hit.normal, wi_world), o)
         new_d = jnp.where(cont[:, None], wi_world, d)
         new_prev_sg = jnp.where(cont, is_spec | is_glossy, prev_sg)
+        new_prev_pdf = jnp.where(cont, pdf_s, prev_pdf)
+        new_prev_delta = jnp.where(cont, is_spec, prev_delta)
+        new_prev_n = jnp.where(cont[:, None], fn, prev_n)
         n_live = jnp.sum(alive.astype(jnp.int32))
         rays = rays + n_live
         shadows = shadows + jnp.sum(want_shadow.astype(jnp.int32))
@@ -176,25 +226,16 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
             "alive": alive,
         }
         return (new_o, new_d, new_beta, L, good, new_alive, new_prev_sg,
-                rays, shadows, live_hist), aux
+                rays, shadows, live_hist, new_prev_pdf, new_prev_delta,
+                new_prev_n), aux
 
     return step
 
 
-def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
-                max_depth: int, rr_start: int = 3, with_metrics: bool = False):
-    """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
-    metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
-    `with_metrics` (the on-device counter buffers standing in for the
-    reference's global intersect counters, intersect.h:363-364)."""
+def _init_state(origin, direction, max_depth):
     n = origin.shape[0]
     f32 = origin.dtype
-    step = _make_bounce_step(scene, seed, pixel_ids, spp_index, max_depth, rr_start)
-
-    def body(bounce, state):
-        return step(bounce, state)[0]
-
-    state = (
+    return (
         origin,
         direction,
         jnp.ones((n, 3), f32),
@@ -205,9 +246,29 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros((max_depth + 1,), jnp.int32),
+        jnp.zeros((n,), f32),  # prev bsdf pdf (MIS)
+        jnp.ones((n,), bool),  # prev lobe was delta (MIS; true at start)
+        jnp.zeros((n, 3), f32).at[:, 2].set(1.0),  # prev shading normal
     )
-    state = jax.lax.fori_loop(0, max_depth + 1, body, state)
-    _, _, _, L, good, _, _, rays, shadows, live_hist = state
+
+
+def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
+                max_depth: int, rr_start: int = 3, with_metrics: bool = False,
+                mis: bool = False):
+    """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
+    metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
+    `with_metrics` (the on-device counter buffers standing in for the
+    reference's global intersect counters, intersect.h:363-364)."""
+    step = _make_bounce_step(scene, seed, pixel_ids, spp_index, max_depth,
+                             rr_start, mis=mis)
+
+    def body(bounce, state):
+        return step(bounce, state)[0]
+
+    state = jax.lax.fori_loop(0, max_depth + 1, body,
+                              _init_state(origin, direction, max_depth))
+    L, good = state[3], state[4]
+    rays, shadows, live_hist = state[7], state[8], state[9]
     if with_metrics:
         return L, good, {"rays": rays, "shadow_rays": shadows,
                          "bounce_live": live_hist}
@@ -222,21 +283,13 @@ def trace_paths_logged(scene: T.Scene, origin, direction, seed, pixel_ids,
 
     Returns (L, good, log) where log maps each SampleLog field to a
     [max_depth+1, N, ...] array."""
-    n = origin.shape[0]
-    f32 = origin.dtype
     step = _make_bounce_step(scene, seed, pixel_ids, spp_index, max_depth, rr_start)
-    state = (
-        origin, direction,
-        jnp.ones((n, 3), f32), jnp.zeros((n, 3), f32),
-        jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool), jnp.zeros((n,), bool),
-        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        jnp.zeros((max_depth + 1,), jnp.int32),
-    )
+    state = _init_state(origin, direction, max_depth)
     logs = []
     for bounce in range(max_depth + 1):
         state, aux = step(bounce, state)
         logs.append(aux)
-    _, _, _, L, good, *_ = state
+    L, good = state[3], state[4]
     log = {k: jnp.stack([a[k] for a in logs]) for k in logs[0]}
     return L, good, log
 
@@ -264,8 +317,9 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
 
         return trace_whitted(scene, o, d, seed, pixel_ids, spp_index, max_depth,
                              specular_continuation=(trace_type == "WHITTED"))
-    L, good = trace_paths(scene, o, d, seed, pixel_ids, spp_index, max_depth)
-    if estimator == "physical":
+    L, good = trace_paths(scene, o, d, seed, pixel_ids, spp_index, max_depth,
+                          mis=(estimator == "mis"))
+    if estimator in ("physical", "mis"):
         return L
     norm = jnp.where(good > 0, 1.0 / jnp.maximum(good, 1).astype(L.dtype), 0.0)
     return L * norm[:, None]

@@ -51,6 +51,63 @@ def env_radiance(env: T.EnvLight, textures: T.TexturePack, direction):
     return texel * env.intensity
 
 
+def light_pdf_for_hit(scene: T.Scene, hit_group, hit_prim, hit_point,
+                      prev_point, wi):
+    """MIS: density (solid angle x pick probability) with which
+    `sample_one_light` from `prev_point` would have produced direction `wi`
+    landing on the emissive primitive (hit_group, hit_prim). 0 when the hit
+    is not a NEE-selectable light."""
+    lights = scene.lights
+    L = lights.light_type.shape[0]
+    if L == 0:
+        return jnp.zeros(hit_group.shape, hit_point.dtype)
+    match = (lights.src_group[None, :] == hit_group[:, None]) & (
+        lights.src_prim[None, :] == hit_prim[:, None])  # [N, L]
+    idx = jnp.argmax(match, axis=1).astype(jnp.int32)
+    found = jnp.any(match, axis=1)
+
+    ltype = jnp.take(lights.light_type, idx)
+    p0 = jnp.take(lights.p0, idx, axis=0)
+    v1 = jnp.take(lights.v1, idx, axis=0)
+    v2 = jnp.take(lights.v2, idx, axis=0)
+    lnormal = jnp.take(lights.normal, idx, axis=0)
+    radius = jnp.take(lights.radius, idx)
+    pick_p = jnp.take(lights.power, idx)
+
+    # per-type area density at the hit point (estimateDirect's sampling)
+    pdf_rect = 1.0 / jnp.maximum(vm.length(v1) * vm.length(v2), 1e-12)
+    n_s = vm.normalize(hit_point - p0)  # sphere surface normal at the hit
+    z_axis = vm.normalize(prev_point - p0)
+    cos_local = jnp.maximum(vm.dot(n_s, z_axis), 0.0)
+    pdf_sph = cos_local / jnp.maximum(2.0 * PI * PI * radius * radius, 1e-12)
+    pdf_dsk = 1.0 / (PI * jnp.maximum(radius * radius, 1e-12))
+    pdf_area = jnp.where(ltype == T.LIGHT_AREA_RECT, pdf_rect, 0.0)
+    pdf_area = jnp.where(ltype == T.LIGHT_AREA_SPHERE, pdf_sph, pdf_area)
+    pdf_area = jnp.where(ltype == T.LIGHT_AREA_DISK, pdf_dsk, pdf_area)
+
+    sn = jnp.where((ltype == T.LIGHT_AREA_SPHERE)[:, None], n_s, lnormal)
+    to_hit = hit_point - prev_point
+    dist2 = vm.length_sq(to_hit)
+    cos_l = jnp.abs(vm.dot(sn, -wi))
+    pdf_sa = pdf_area * dist2 / jnp.maximum(cos_l, 1e-6)
+    return jnp.where(found, pdf_sa * pick_p, 0.0)
+
+
+def env_pdf(scene: T.Scene, wi, prev_normal):
+    """MIS: density of the env-light NEE strategy for escape direction `wi`
+    from a vertex with shading normal `prev_normal` (cosine-hemisphere,
+    trace.h:272-296), times the env light's pick probability."""
+    lights = scene.lights
+    if lights.light_type.shape[0] == 0 or scene.env.kind == 0:
+        return jnp.zeros(wi.shape[:-1], wi.dtype)
+    env_pick = jnp.sum(jnp.where(lights.light_type == T.LIGHT_ENV, lights.power, 0.0))
+    # invert the env transform (rotation): the cosine sample was drawn about
+    # the shading normal then rotated
+    wi_local = jnp.einsum("ji,nj->ni", scene.env.transform, wi)
+    cos_t = jnp.maximum(vm.dot(wi_local, prev_normal), 0.0)
+    return cos_t * INV_PI * env_pick
+
+
 def sample_one_light(scene: T.Scene, u_pick, u2, hit_point, shading_normal,
                      frame_t, frame_b) -> LightSample:
     """Pick one light by the power CDF and sample a point on it.

@@ -523,29 +523,32 @@ class SceneBuilder:
 
     def _build_lights(self, mats):
         f32 = np.float32
-        rows = []  # (type, p0, v1, v2, normal, radius, color, intensity, area, mesh_id)
+        rows = []  # (type, p0, v1, v2, normal, radius, color, intensity,
+        #              area, mesh_id, src_group, src_prim)
 
         def emissive(mat_id):
             m = mats[mat_id]
             return m.mat_type == T.MAT_EMISSIVE, m.color, m.intensity
 
-        for p, w, h, n, mat_id in self._rects:
+        for i, (p, w, h, n, mat_id) in enumerate(self._rects):
             is_e, color, inten = emissive(mat_id)
             if is_e:
                 area = float(np.linalg.norm(w) * np.linalg.norm(h))
-                rows.append((T.LIGHT_AREA_RECT, p, w, h, n, 0.0, color, inten, area, -1))
-        for c, r, phi, mn, mx, mat_id in self._spheres:
+                rows.append((T.LIGHT_AREA_RECT, p, w, h, n, 0.0, color, inten, area, -1,
+                             T.GROUP_RECT, i))
+        for i, (c, r, phi, mn, mx, mat_id) in enumerate(self._spheres):
             is_e, color, inten = emissive(mat_id)
             if is_e:
                 area = float(4.0 * PI * r * r)
                 rows.append((T.LIGHT_AREA_SPHERE, c, np.zeros(3, f32), np.zeros(3, f32),
-                             np.zeros(3, f32), r, color, inten, area, -1))
-        for c, n, r, mat_id in self._disks:
+                             np.zeros(3, f32), r, color, inten, area, -1,
+                             T.GROUP_SPHERE, i))
+        for i, (c, n, r, mat_id) in enumerate(self._disks):
             is_e, color, inten = emissive(mat_id)
             if is_e:
                 area = float(PI * r * r)
                 rows.append((T.LIGHT_AREA_DISK, c, np.zeros(3, f32), np.zeros(3, f32),
-                             n, r, color, inten, area, -1))
+                             n, r, color, inten, area, -1, T.GROUP_DISK, i))
 
         # Mesh lights: contiguous emissive triangle ranges.
         ml_tri, ml_cdf, ml_off, ml_area = [], [], [0], []
@@ -568,7 +571,7 @@ class SceneBuilder:
             ml_off.append(len(ml_tri))
             ml_area.append(total)
             rows.append((T.LIGHT_MESH, np.zeros(3, f32), np.zeros(3, f32), np.zeros(3, f32),
-                         np.zeros(3, f32), 0.0, color, inten, total, k))
+                         np.zeros(3, f32), 0.0, color, inten, total, k, -1, -1))
 
         # Delta lights (directional/point). The reference's preprocessLights
         # ignores these types (power stays 0, buildscene.h:878-918) because
@@ -578,7 +581,7 @@ class SceneBuilder:
         for ltype, p0, color, inten, flag in self._extra_lights:
             rows.append((ltype, p0, np.zeros(3, f32), np.zeros(3, f32),
                          np.zeros(3, f32), flag, color, inten,
-                         float(np.mean(color) * inten), -1))
+                         float(np.mean(color) * inten), -1, -1, -1))
 
         # Env light (registered as a selectable light only if intensity > 0,
         # buildscene.h:528-538).
@@ -588,14 +591,14 @@ class SceneBuilder:
         if env_cfg is not None and env_cfg["intensity"] > 0.0:
             rows.append((T.LIGHT_ENV, np.zeros(3, f32), np.zeros(3, f32), np.zeros(3, f32),
                          np.zeros(3, f32), 0.0, env_cfg["color"], env_cfg["intensity"],
-                         world_radius, -1))
+                         world_radius, -1, -1, -1))
 
         # Power per light (preprocessLights, buildscene.h:884-923). The
         # reference's area-light "mean" is the product of color components /3
         # (buildscene.h:911) — preserved for estimator parity.
         powers = []
         for row in rows:
-            ltype, _, _, _, _, radius, color, inten, area, _ = row
+            ltype, _, _, _, _, radius, color, inten, area = row[:9]
             c = np.asarray(color, np.float64)
             if ltype == T.LIGHT_ENV:
                 powers.append(float(c.mean() * inten * world_radius))
@@ -627,6 +630,8 @@ class SceneBuilder:
             power=jnp.asarray(powers, f32).reshape(L),
             power_cdf=jnp.asarray(np.cumsum(powers, dtype=np.float64), f32).reshape(L),
             mesh_light_id=jnp.asarray([r[9] for r in rows], jnp.int32).reshape(L),
+            src_group=jnp.asarray([r[10] for r in rows], jnp.int32).reshape(L),
+            src_prim=jnp.asarray([r[11] for r in rows], jnp.int32).reshape(L),
         )
 
         mesh_lights = T.MeshLights(

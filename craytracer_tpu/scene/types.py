@@ -177,6 +177,8 @@ class Lights:
     power: jnp.ndarray  # [L] normalized selection probabilities
     power_cdf: jnp.ndarray  # [L] inclusive prefix sum of power
     mesh_light_id: jnp.ndarray  # [L] int32 index into mesh-light tables or -1
+    src_group: jnp.ndarray  # [L] GROUP_* of the emissive prim (-1 for env/delta)
+    src_prim: jnp.ndarray  # [L] index within that group (MIS back-reference)
 
 
 @flax.struct.dataclass

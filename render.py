@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=None)
     p.add_argument("--size", default=None, help="WxH override")
     p.add_argument("--scene", default=None, help="scene file override")
-    p.add_argument("--estimator", default="reference", choices=["reference", "physical"])
+    p.add_argument("--estimator", default="reference", choices=["reference", "physical", "mis"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tile", type=int, default=0, help="pixels per tile (0=all)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")

@@ -140,3 +140,26 @@ def test_stratified_jitter_covers_strata():
     cell_ids = cells[:, 0] * 4 + cells[:, 1]
     # 16 consecutive samples of one pixel hit all 16 strata exactly once
     assert sorted(cell_ids.tolist()) == list(range(16))
+
+
+def test_thin_lens_camera_focus():
+    """Thin-lens rays converge at the focal plane: two different lens
+    samples aimed at the same pixel intersect at z = -focal_length."""
+    from craytracer_tpu.camera import THINLENS, Film, generate_rays, make_camera
+
+    cam = make_camera((0, 0, 0), (0, 0, -1), camera_type=THINLENS,
+                      focal_length=3.0, lens_radius=0.2)
+    film = Film(fov=jnp.float32(np.radians(50.0)), width=9, height=9)
+    pix = jnp.array([4 * 9 + 2], jnp.int32)  # off-center pixel
+    o1, d1 = generate_rays(cam, film, pix, jnp.full((1, 2), 0.5),
+                           lens_u=jnp.asarray([[0.1, 0.2]]))
+    o2, d2 = generate_rays(cam, film, pix, jnp.full((1, 2), 0.5),
+                           lens_u=jnp.asarray([[0.8, 0.9]]))
+    # different lens origins
+    assert float(jnp.linalg.norm(o1 - o2)) > 1e-4
+    # propagate both to the focal plane (z = -focal_length in world here)
+    t1 = (-3.0 - o1[0, 2]) / d1[0, 2]
+    t2 = (-3.0 - o2[0, 2]) / d2[0, 2]
+    p1 = o1[0] + t1 * d1[0]
+    p2 = o2[0] + t2 * d2[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
