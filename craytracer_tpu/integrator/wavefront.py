@@ -94,7 +94,8 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
             from craytracer_tpu.lights.lights import env_pdf, light_pdf_for_hit
 
             no_compete = (bounce == 0) | prev_delta
-            p_l = light_pdf_for_hit(scene, hit.group, hit.prim, hit.point, o, d)
+            p_l = light_pdf_for_hit(scene, hit.group, hit.prim, hit.point, o, d,
+                                    hit_normal=hit.normal)
             w_emit = jnp.where(
                 no_compete, 1.0,
                 prev_pdf * prev_pdf / jnp.maximum(prev_pdf * prev_pdf + p_l * p_l, 1e-20))

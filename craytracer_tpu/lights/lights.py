@@ -52,7 +52,7 @@ def env_radiance(env: T.EnvLight, textures: T.TexturePack, direction):
 
 
 def light_pdf_for_hit(scene: T.Scene, hit_group, hit_prim, hit_point,
-                      prev_point, wi):
+                      prev_point, wi, hit_normal=None):
     """MIS: density (solid angle x pick probability) with which
     `sample_one_light` from `prev_point` would have produced direction `wi`
     landing on the emissive primitive (hit_group, hit_prim). 0 when the hit
@@ -65,6 +65,14 @@ def light_pdf_for_hit(scene: T.Scene, hit_group, hit_prim, hit_point,
         lights.src_prim[None, :] == hit_prim[:, None])  # [N, L]
     idx = jnp.argmax(match, axis=1).astype(jnp.int32)
     found = jnp.any(match, axis=1)
+    # emissive mesh triangles map through tri_light_id
+    ml = scene.mesh_lights
+    if ml.surface_area.shape[0] > 0:
+        tri_lid = jnp.take(ml.tri_light_id,
+                           jnp.clip(hit_prim, 0, ml.tri_light_id.shape[0] - 1))
+        mesh_found = (hit_group == T.GROUP_TRIANGLE) & (tri_lid >= 0)
+        idx = jnp.where(mesh_found, jnp.maximum(tri_lid, 0), idx)
+        found = found | mesh_found
 
     ltype = jnp.take(lights.light_type, idx)
     p0 = jnp.take(lights.p0, idx, axis=0)
@@ -84,8 +92,15 @@ def light_pdf_for_hit(scene: T.Scene, hit_group, hit_prim, hit_point,
     pdf_area = jnp.where(ltype == T.LIGHT_AREA_RECT, pdf_rect, 0.0)
     pdf_area = jnp.where(ltype == T.LIGHT_AREA_SPHERE, pdf_sph, pdf_area)
     pdf_area = jnp.where(ltype == T.LIGHT_AREA_DISK, pdf_dsk, pdf_area)
+    mlid2 = jnp.maximum(jnp.take(lights.mesh_light_id, idx), 0)
+    if scene.mesh_lights.surface_area.shape[0] > 0:
+        pdf_msh = 1.0 / jnp.maximum(
+            jnp.take(scene.mesh_lights.surface_area, mlid2), 1e-9)
+        pdf_area = jnp.where(ltype == T.LIGHT_MESH, pdf_msh, pdf_area)
 
     sn = jnp.where((ltype == T.LIGHT_AREA_SPHERE)[:, None], n_s, lnormal)
+    if hit_normal is not None:
+        sn = jnp.where((ltype == T.LIGHT_MESH)[:, None], hit_normal, sn)
     to_hit = hit_point - prev_point
     dist2 = vm.length_sq(to_hit)
     cos_l = jnp.abs(vm.dot(sn, -wi))
@@ -191,6 +206,46 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
     pdf_env = jnp.abs(vm.dot(wi_env, shading_normal)) * INV_PI
     dist_env = jnp.broadcast_to(scene.env.world_radius, pdf_env.shape)
 
+    # ---- MESHLIGHT (MeshLight_genSample, lights.cpp:139-232): CDF binary
+    # search over triangle areas + uniform barycentrics. The reference never
+    # NEE-picks these (power 0); the principled power mode does.
+    ml = scene.mesh_lights
+    mlid = jnp.maximum(jnp.take(lights.mesh_light_id, idx), 0)
+    has_mesh = ml.tri_index.shape[0] > 0
+    if has_mesh:
+        start = jnp.take(ml.light_offset, mlid)
+        end = jnp.take(ml.light_offset, jnp.minimum(mlid + 1, ml.light_offset.shape[0] - 1))
+        u_cdf = u2[:, 0]
+
+        def bs_body(_, carry):
+            lo, hi = carry
+            mid = (lo + hi) // 2
+            val = jnp.take(ml.cdf, jnp.clip(mid, 0, ml.cdf.shape[0] - 1))
+            go_right = val < u_cdf
+            return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+        import jax as _jax
+
+        lo, hi = _jax.lax.fori_loop(0, 32, bs_body, (start, jnp.maximum(end - 1, start)))
+        pos = jnp.clip(lo, start, jnp.maximum(end - 1, start))
+        prev_cdf = jnp.where(pos > start,
+                             jnp.take(ml.cdf, jnp.clip(pos - 1, 0, ml.cdf.shape[0] - 1)), 0.0)
+        cur_cdf = jnp.take(ml.cdf, jnp.clip(pos, 0, ml.cdf.shape[0] - 1))
+        r1 = jnp.clip((u_cdf - prev_cdf) / jnp.maximum(cur_cdf - prev_cdf, 1e-9), 0.0, 1.0)
+        tri = jnp.take(ml.tri_index, jnp.clip(pos, 0, ml.tri_index.shape[0] - 1))
+        tv0 = jnp.take(scene.triangles.v0, tri, axis=0)
+        tv1 = jnp.take(scene.triangles.v1, tri, axis=0)
+        tv2 = jnp.take(scene.triangles.v2, tri, axis=0)
+        sqrt_r1 = jnp.sqrt(r1)[:, None]
+        r2 = u2[:, 1:2]
+        sp_mesh = (1.0 - sqrt_r1) * tv0 + sqrt_r1 * (1.0 - r2) * tv1 + sqrt_r1 * r2 * tv2
+        sn_mesh = jnp.take(scene.triangles.face_normal, tri, axis=0)
+        pdf_mesh = 1.0 / jnp.maximum(jnp.take(ml.surface_area, mlid), 1e-9)
+    else:
+        sp_mesh = jnp.zeros_like(hit_point)
+        sn_mesh = jnp.zeros_like(hit_point)
+        pdf_mesh = jnp.zeros(hit_point.shape[:-1], hit_point.dtype)
+
     # ---- delta lights (DIRECTIONAL / POINTLIGHT, lights.h:18-34): pdf 1,
     # shadow ray toward the light (to "infinity" for directional).
     wi_dir = vm.normalize(p0)  # p0 stores the direction toward the light
@@ -206,20 +261,24 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
     is_rect = ltype == T.LIGHT_AREA_RECT
     is_sph = ltype == T.LIGHT_AREA_SPHERE
     is_dsk = ltype == T.LIGHT_AREA_DISK
+    is_msh = ltype == T.LIGHT_MESH
     is_env = ltype == T.LIGHT_ENV
     is_dir = ltype == T.LIGHT_DIRECTIONAL
     is_pnt = ltype == T.LIGHT_POINT
-    is_area = is_rect | is_sph | is_dsk
+    is_area = is_rect | is_sph | is_dsk | is_msh
 
     sp = jnp.where(is_rect[:, None], sp_rect, 0.0)
     sp = jnp.where(is_sph[:, None], sp_sph, sp)
     sp = jnp.where(is_dsk[:, None], sp_dsk, sp)
+    sp = jnp.where(is_msh[:, None], sp_mesh, sp)
     sn = jnp.where(is_rect[:, None], sn_rect, 0.0)
     sn = jnp.where(is_sph[:, None], sn_sph, sn)
     sn = jnp.where(is_dsk[:, None], sn_dsk, sn)
+    sn = jnp.where(is_msh[:, None], sn_mesh, sn)
     pdf_area = jnp.where(is_rect, pdf_rect, 0.0)
     pdf_area = jnp.where(is_sph, pdf_sph, pdf_area)
     pdf_area = jnp.where(is_dsk, pdf_dsk, pdf_area)
+    pdf_area = jnp.where(is_msh, pdf_mesh, pdf_area)
 
     # Area lights: wi, solid-angle conversion (trace.h:298-309), facing
     # rejections (trace.h:316-323).

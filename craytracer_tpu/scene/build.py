@@ -396,9 +396,14 @@ class SceneBuilder:
             maxs = np.ones(3)
         return mins, maxs
 
-    def build(self, accel: str = "auto") -> T.Scene:
+    def build(self, accel: str = "auto", light_power: str = "reference") -> T.Scene:
         """accel: 'none' (brute force), 'bvh', or 'auto' (bvh when the
-        triangle count warrants it)."""
+        triangle count warrants it).
+        light_power: 'reference' reproduces preprocessLights exactly
+        (product-of-components area "mean", mesh lights at power 0,
+        buildscene.h:875-923); 'principled' uses mean(color) * intensity *
+        area for every light so mesh lights participate in NEE."""
+        self._light_power_mode = light_power
         f32 = np.float32
 
         def soa(rows, spec):
@@ -600,15 +605,18 @@ class SceneBuilder:
         for row in rows:
             ltype, _, _, _, _, radius, color, inten, area = row[:9]
             c = np.asarray(color, np.float64)
+            principled = getattr(self, "_light_power_mode", "reference") == "principled"
             if ltype == T.LIGHT_ENV:
                 powers.append(float(c.mean() * inten * world_radius))
             elif ltype in (T.LIGHT_DIRECTIONAL, T.LIGHT_POINT):
                 powers.append(float(c.mean() * inten))
-            elif ltype == T.LIGHT_MESH:
+            elif ltype == T.LIGHT_MESH and not principled:
                 # preprocessLights leaves mesh lights at power 0 (its switch
                 # covers only ENVLIGHT/AREALIGHT, buildscene.h:878-918), so
                 # they are never NEE-picked — emissive hits only.
                 powers.append(0.0)
+            elif principled:
+                powers.append(float(c.mean() * inten * area))
             else:
                 powers.append(float((c[0] * c[1] * c[2]) / 3.0 * inten * area))
         total_p = sum(powers)
@@ -634,11 +642,19 @@ class SceneBuilder:
             src_prim=jnp.asarray([r[11] for r in rows], jnp.int32).reshape(L),
         )
 
+        n_scene_tris = cols[0].shape[0] if cols is not None else len(self._triangles)
+        tri_light_id = np.full(max(n_scene_tris, 1), -1, np.int32)
+        for row_idx, row in enumerate(rows):
+            if row[0] == T.LIGHT_MESH:
+                k = row[9]
+                start, end, _ = self._mesh_light_ranges[k]
+                tri_light_id[start:end] = row_idx
         mesh_lights = T.MeshLights(
             tri_index=jnp.asarray(ml_tri, jnp.int32).reshape(len(ml_tri)),
             cdf=jnp.asarray(ml_cdf, f32).reshape(len(ml_cdf)),
             light_offset=jnp.asarray(ml_off, jnp.int32),
             surface_area=jnp.asarray(ml_area, f32).reshape(len(ml_area)),
+            tri_light_id=jnp.asarray(tri_light_id),
         )
 
         if env_cfg is None:

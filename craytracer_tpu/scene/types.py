@@ -190,6 +190,8 @@ class MeshLights:
     cdf: jnp.ndarray  # [T] normalized per-light inclusive area CDF
     light_offset: jnp.ndarray  # [K+1] int32 CSR offsets per mesh light
     surface_area: jnp.ndarray  # [K]
+    tri_light_id: jnp.ndarray  # [num_scene_triangles] int32 light row or -1
+    # (MIS back-reference: which Lights row an emissive triangle belongs to)
 
 
 @flax.struct.dataclass

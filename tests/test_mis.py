@@ -63,3 +63,38 @@ def test_mis_reduces_variance(setup):
     v_mis = mis.var(axis=0).mean()
     v_phys = phys.var(axis=0).mean()
     assert v_mis < v_phys * 0.9, (v_mis, v_phys)
+
+
+def test_mesh_light_nee_principled():
+    """Mesh lights participate in NEE under the principled power mode
+    (the reference leaves them at power 0): an emissive quad mesh lights a
+    floor about as strongly as an identical rect light."""
+    import numpy as np
+
+    def build(use_mesh):
+        b = SceneBuilder()
+        b.add_matte("floor", (0.7, 0.7, 0.7))
+        b.add_emissive("lamp", (1, 1, 1), 30.0)
+        b.add_rect((-20, 0, -20), (40, 0, 0), (0, 0, 40), "floor")
+        if use_mesh:
+            # 2-triangle quad at y=8 facing down (wound so face normal is -y)
+            b.add_mesh(
+                positions=[(-2, 8, -2), (2, 8, -2), (2, 8, 2), (-2, 8, 2)],
+                indices=[(0, 1, 2), (0, 2, 3)], mat="lamp")
+        else:
+            b.add_rect((-2, 8, -2), (4, 0, 0), (0, 0, 4), "lamp")
+        return b.build(light_power="principled")
+
+    cam = make_camera((0, 4, 14), (0, 0, 0))
+    film = Film(fov=jnp.float32(np.radians(40.0)), width=10, height=10)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+
+    def mean_radiance(scene):
+        vals = [np.asarray(render_sample(scene, cam, film, ids, 5, s, 2,
+                                         estimator="physical")) for s in range(24)]
+        return np.stack(vals).mean()
+
+    m_mesh = mean_radiance(build(True))
+    m_rect = mean_radiance(build(False))
+    assert m_mesh > 0.005  # mesh light actually illuminates via NEE
+    np.testing.assert_allclose(m_mesh, m_rect, rtol=0.25)
