@@ -19,6 +19,19 @@ TARGET_RAYS_PER_SEC = 150e6
 
 
 def main():
+    import os
+    import signal
+    import sys
+
+    # Watchdog: the axon TPU tunnel can wedge (hangs instead of erroring);
+    # fail loudly rather than hanging the driver.
+    def _timeout(signum, frame):
+        print("bench: TPU unreachable (tunnel hang) — aborting", file=sys.stderr)
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(480)
+
     import jax
     import jax.numpy as jnp
 
@@ -64,6 +77,7 @@ def main():
     dt = sorted(times)[len(times) // 2]
     rps = int(rays) / dt
 
+    signal.alarm(0)
     print(json.dumps({
         "metric": "cornell_fwd_rays_per_sec_per_chip",
         "value": round(rps, 1),

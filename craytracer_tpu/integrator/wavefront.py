@@ -255,16 +255,27 @@ def _init_state(origin, direction, max_depth):
 
 def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
                 max_depth: int, rr_start: int = 3, with_metrics: bool = False,
-                mis: bool = False):
+                mis: bool = False, remat: bool = False):
     """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
     metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
     `with_metrics` (the on-device counter buffers standing in for the
-    reference's global intersect counters, intersect.h:363-364)."""
+    reference's global intersect counters, intersect.h:363-364).
+
+    `remat=True` checkpoints each bounce (jax.checkpoint): the backward pass
+    re-runs the bounce instead of storing its intermediates — trading FLOPs
+    for HBM so large inverse renders fit (SURVEY.md §7 step 7
+    "recomputation-vs-storage of per-bounce records")."""
     step = _make_bounce_step(scene, seed, pixel_ids, spp_index, max_depth,
                              rr_start, mis=mis)
 
-    def body(bounce, state):
-        return step(bounce, state)[0]
+    if remat:
+        ckpt = jax.checkpoint(lambda b, st: step(b, st)[0])
+
+        def body(bounce, state):
+            return ckpt(bounce, state)
+    else:
+        def body(bounce, state):
+            return step(bounce, state)[0]
 
     state = jax.lax.fori_loop(0, max_depth + 1, body,
                               _init_state(origin, direction, max_depth))

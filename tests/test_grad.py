@@ -137,3 +137,27 @@ def test_camera_position_grad_matches_fd():
     fd = (loss_of_cam_x(x0 + eps) - loss_of_cam_x(x0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=0.15)
     assert abs(float(g)) > 1e-6  # nonzero: gradient actually flows
+
+
+def test_remat_grad_matches(setup):
+    """jax.checkpoint'ed bounces give identical gradients (recompute vs
+    store)."""
+    from craytracer_tpu.integrator.wavefront import trace_paths
+    from craytracer_tpu.camera import generate_rays
+    from craytracer_tpu.sampling import uniforms
+    from craytracer_tpu.integrator.wavefront import CAMERA_BOUNCE
+
+    scene, camera, film, ids = setup
+    jitter = uniforms(3, ids, 0, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(camera, film, ids, jitter)
+
+    def loss(a, remat):
+        s = scene.replace(materials=scene.materials.replace(
+            color=scene.materials.color.at[1].set(jnp.stack([a, a, a]))))
+        L, good = trace_paths(s, o, d, 3, ids, 0, 2, remat=remat)
+        return jnp.mean(L)
+
+    a0 = jnp.float32(0.5)
+    g_plain = jax.grad(lambda a: loss(a, False))(a0)
+    g_remat = jax.grad(lambda a: loss(a, True))(a0)
+    np.testing.assert_allclose(float(g_plain), float(g_remat), rtol=1e-5)
