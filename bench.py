@@ -19,9 +19,16 @@ TARGET_RAYS_PER_SEC = 150e6
 
 
 def main():
+    import argparse
     import os
     import signal
     import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default="",
+                    help="capture a JAX profiler trace into this directory "
+                         "(the gperftools/-lprofiler analog, Makefile:2)")
+    args = ap.parse_args()
 
     # Watchdog: the axon TPU tunnel can wedge (hangs instead of erroring);
     # fail loudly rather than hanging the driver.
@@ -69,6 +76,10 @@ def main():
     acc.block_until_ready()
 
     times = []
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            acc, rays = step(scene, camera, film, pixel_ids, 99 * iters)
+            acc.block_until_ready()
     for rep in range(3):
         t0 = time.time()
         acc, rays = step(scene, camera, film, pixel_ids, (rep + 1) * iters)

@@ -20,6 +20,7 @@ def _simple_scene(albedo=0.5, intensity=30.0):
     return b.build()
 
 
+@jax.jit
 def _loss_fn(scene, camera, film, ids):
     img = render_sample(scene, camera, film, ids, seed=3, spp_index=0,
                         max_depth=2, estimator="physical")
@@ -132,7 +133,8 @@ def test_camera_position_grad_matches_fd():
         return jnp.mean(img)
 
     x0 = jnp.float32(2.0)
-    g = jax.grad(loss_of_cam_x)(x0)
+    loss_of_cam_x = jax.jit(loss_of_cam_x)
+    g = jax.jit(jax.grad(loss_of_cam_x))(x0)
     eps = 0.1
     fd = (loss_of_cam_x(x0 + eps) - loss_of_cam_x(x0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=0.15)

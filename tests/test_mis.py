@@ -90,8 +90,9 @@ def test_mesh_light_nee_principled():
     ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
 
     def mean_radiance(scene):
-        vals = [np.asarray(render_sample(scene, cam, film, ids, 5, s, 2,
-                                         estimator="physical")) for s in range(24)]
+        step = jax.jit(lambda spp: render_sample(scene, cam, film, ids, 5, spp, 2,
+                                                 estimator="physical"))
+        vals = [np.asarray(step(s)) for s in range(24)]
         return np.stack(vals).mean()
 
     m_mesh = mean_radiance(build(True))
