@@ -475,7 +475,8 @@ class SceneBuilder:
 
         n_tris = tv[0].shape[0]
         if accel == "auto":
-            accel = "bvh" if n_tris >= 64 else "none"
+            # 4-wide BVH: ~half the serial traversal depth of the binary BVH
+            accel = "bvh4" if n_tris >= 64 else "none"
         tri_bvh = None
         if n_tris == 0:
             accel = "none"
@@ -483,6 +484,10 @@ class SceneBuilder:
             from craytracer_tpu.accel.bvh import build_bvh
 
             tri_bvh = build_bvh(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
+        elif accel == "bvh4":
+            from craytracer_tpu.accel.bvh4 import build_bvh4
+
+            tri_bvh = build_bvh4(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
         elif accel == "grid":
             from craytracer_tpu.accel.grid import build_grid
 

@@ -32,7 +32,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tile", type=int, default=0, help="pixels per tile (0=all)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    p.add_argument("--accel", default=None, choices=["auto", "none", "bvh", "grid"],
+    p.add_argument("--accel", default=None, choices=["auto", "none", "bvh", "bvh4", "grid"],
                    help="triangle accel backend (default: from config)")
     args = p.parse_args(argv)
 
@@ -59,7 +59,7 @@ def main(argv=None):
         print(f"scene file not found: {scene_file}", file=sys.stderr)
         return 1
 
-    accel_map = {"GRID": "grid", "BVH": "bvh", "BVH4": "bvh", "NONE": "none"}
+    accel_map = {"GRID": "grid", "BVH": "bvh", "BVH4": "bvh4", "NONE": "none"}
     accel = args.accel or accel_map.get(cfg.accel_struct, "auto")
     scene, camera, film = load_scene_file(scene_file, accel=accel)
     if args.size:

@@ -115,3 +115,37 @@ def test_bvh_render_matches_bruteforce():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(img_grid), np.asarray(img_none),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_bvh4_matches_bruteforce(soup):
+    from craytracer_tpu.accel.bvh4 import build_bvh4, bvh4_closest_hit, bvh4_any_hit
+
+    v0, v1, v2, o, d, t_ref = soup
+    bvh4 = build_bvh4(v0, v1, v2)
+    t4, tri = bvh4_closest_hit(bvh4, o, d)
+    hit_ref = np.asarray(t_ref) < TMAX
+    np.testing.assert_array_equal(hit_ref, np.asarray(t4) < TMAX)
+    np.testing.assert_allclose(np.asarray(t4)[hit_ref], np.asarray(t_ref)[hit_ref],
+                               rtol=1e-4)
+    max_dist = jnp.full((o.shape[0],), 12.0)
+    t_a = np.asarray(bvh4_any_hit(bvh4, o, d, max_dist))
+    np.testing.assert_array_equal(t_a < 12.0, np.asarray(t_ref) < 12.0)
+
+
+def test_bvh4_render_matches_bvh():
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.wavefront import render_sample
+    from craytracer_tpu.io.scenefile import load_scene_file
+    import os
+
+    scenes = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "scenes")
+    path = os.path.join(scenes, "mesh_scene.txt")
+    s_bvh, cam, film = load_scene_file(path, accel="bvh")
+    s_bvh4, _, _ = load_scene_file(path, accel="bvh4")
+    film = film.replace(width=24, height=24)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+    img_a = render_sample(s_bvh, cam, film, ids, 0, 0, 3)
+    img_b = render_sample(s_bvh4, cam, film, ids, 0, 0, 3)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
+                               rtol=1e-3, atol=1e-4)
