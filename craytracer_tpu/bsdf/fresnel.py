@@ -19,10 +19,10 @@ def fr_dielectric(cos_theta_i, eta_t, eta_i):
     ei = jnp.where(flip, eta_t, eta_i)
     et = jnp.where(flip, eta_i, eta_t)
     ci = jnp.abs(cos_theta_i)
-    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - ci * ci, 1e-12))
     sin_t = ei / et * sin_i
     tir = sin_t >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    ct = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 1e-12))
     r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-12)
     r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-12)
     fr = 0.5 * (r_parl * r_parl + r_perp * r_perp)
@@ -40,9 +40,9 @@ def fr_conductor(cos_theta_i, eta_t, eta_i, k):
     eta2 = eta * eta
     etak2 = etak * etak
     t0 = eta2 - etak2 - s2
-    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * etak2, 0.0))
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * etak2, 1e-12))
     t1 = a2b2 + c2
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 1e-12))
     t2 = 2.0 * c * a
     rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
     t3 = c2 * a2b2 + s2 * s2

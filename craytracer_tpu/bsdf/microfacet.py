@@ -15,8 +15,16 @@ from craytracer_tpu.core import math as vm
 from craytracer_tpu.scene.types import DIST_BECKMANN
 
 
+def _clamp_alpha(a):
+    # alpha 0 belongs to delta lobes; non-microfacet lanes carry 0 through
+    # the masked evaluation and would divide by zero (NaN gradients)
+    return jnp.maximum(a, 1e-4)
+
+
 def distribution_d(wh, ax, ay, dist):
     """D(wh) (microfacet.cpp:4-31)."""
+    ax = _clamp_alpha(ax)
+    ay = _clamp_alpha(ay)
     t2 = vm.tan2_theta(wh)
     c4 = vm.cos2_theta(wh) ** 2
     c2p = vm.cos2_phi(wh)
@@ -35,6 +43,8 @@ def distribution_d(wh, ax, ay, dist):
 def distribution_lambda(w, ax, ay, dist):
     """Lambda(w) (microfacet.cpp:33-66); Beckmann uses the rational
     approximation with the a >= 1.6 cutoff."""
+    ax = _clamp_alpha(ax)
+    ay = _clamp_alpha(ay)
     abs_tan = jnp.abs(vm.tan_theta(w))
     finite = jnp.isfinite(abs_tan)
     alpha = jnp.sqrt(vm.cos2_phi(w) * ax * ax + vm.sin2_phi(w) * ay * ay)
@@ -65,6 +75,8 @@ def sample_wh(wo, u, ax, ay, dist):
     implements the Beckmann inversion and uses it for both types; we add the
     proper TR inversion for the TR path (unreachable from reference scenes,
     which always build BECKMANN)."""
+    ax = _clamp_alpha(ax)
+    ay = _clamp_alpha(ay)
     log_u = jnp.log(jnp.maximum(u[..., 0], 1e-30))
     log_u = jnp.where(jnp.isfinite(log_u), log_u, 0.0)
 
@@ -85,7 +97,7 @@ def sample_wh(wo, u, ax, ay, dist):
     t2 = jnp.where(dist == DIST_BECKMANN, t2_beck, t2_tr)
 
     cos_t = 1.0 / jnp.sqrt(1.0 + t2)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
     wh = vm.spherical_direction(sin_t, cos_t, phi)
     flip = ~vm.same_hemisphere(wo, wh)
     return jnp.where(flip[..., None], -wh, wh)

@@ -86,6 +86,27 @@ def make_camera(
     )
 
 
+def make_camera_jax(position, look_point, up=(0.0, 1.0, 0.0),
+                    focal_dist=0.035, camera_type: int = PINHOLE,
+                    focal_length=3.0, lens_radius=0.2) -> Camera:
+    """Differentiable lookAt (jnp end-to-end): gradients flow through the
+    camera basis, so position AND orientation are optimizable leaves —
+    `make_camera` is the host-side numpy twin."""
+    position = jnp.asarray(position, jnp.float32)
+    look = jnp.asarray(look_point, jnp.float32)
+    upv = jnp.asarray(up, jnp.float32)
+    z = vm.normalize(position - look)
+    x = vm.normalize(vm.cross(upv, z))
+    y = vm.cross(z, x)
+    return Camera(
+        position=position, x_axis=x, y_axis=y, z_axis=z,
+        focal_dist=jnp.asarray(focal_dist, jnp.float32),
+        focal_length=jnp.asarray(focal_length, jnp.float32),
+        lens_radius=jnp.asarray(lens_radius, jnp.float32),
+        camera_type=camera_type,
+    )
+
+
 def film_dims(film: Film, camera: Camera):
     """(frame_length, frame_height, pixel_length) — calcFilmDimension."""
     frame_length = 2.0 * jnp.sin(film.fov / 2.0) * camera.focal_dist

@@ -22,7 +22,9 @@ def cross(a, b):
 
 
 def length(a, keepdims: bool = False):
-    return jnp.sqrt(jnp.maximum(dot(a, a, keepdims=keepdims), 0.0))
+    # clamp above zero: sqrt has an infinite gradient at 0, which poisons
+    # autodiff through masked-out lanes (0 * inf = NaN)
+    return jnp.sqrt(jnp.maximum(dot(a, a, keepdims=keepdims), 1e-20))
 
 
 def length_sq(a, keepdims: bool = False):
@@ -55,7 +57,7 @@ def refract(wi, n, eta):
         eta = eta[..., None]
     sin2_theta_t = eta * eta * sin2_theta_i
     ok = (sin2_theta_t < 1.0)[..., 0]
-    cos_theta_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_theta_t))
+    cos_theta_t = jnp.sqrt(jnp.maximum(1.0 - sin2_theta_t, 1e-12))
     wt = -eta * wi + (eta * cos_theta_i - cos_theta_t) * n
     return ok, wt
 
@@ -128,15 +130,20 @@ def sin2_theta(w):
 
 
 def sin_theta(w):
-    return jnp.sqrt(sin2_theta(w))
+    # gradient-safe sqrt (see length)
+    return jnp.sqrt(jnp.maximum(sin2_theta(w), 1e-16))
 
 
 def tan_theta(w):
-    return sin_theta(w) / _safe(cos_theta(w))
+    # cos clamp at 1e-3 (grazing cutoff ~0.06 deg): keeps 1/cos^2 and its
+    # gradient far from f32 overflow (inf gradients poison masked lanes)
+    c = cos_theta(w)
+    c = jnp.where(jnp.abs(c) < 1e-3, jnp.where(c < 0, -1e-3, 1e-3), c)
+    return sin_theta(w) / c
 
 
 def tan2_theta(w):
-    return sin2_theta(w) / _safe(cos2_theta(w))
+    return sin2_theta(w) / jnp.maximum(cos2_theta(w), 1e-6)
 
 
 def cos_phi(w):

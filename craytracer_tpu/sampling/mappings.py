@@ -39,7 +39,7 @@ def map_to_hemisphere_cosine(u):
     """[..., 2] uniforms -> [..., 3] cosine-weighted local directions (z-up).
     pdf = cos(theta) / pi."""
     d = map_to_disk_polar(u)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - d[..., 0] ** 2 - d[..., 1] ** 2))
+    z = jnp.sqrt(jnp.maximum(1.0 - d[..., 0] ** 2 - d[..., 1] ** 2, 1e-12))
     return jnp.concatenate([d, z[..., None]], axis=-1)
 
 
@@ -47,5 +47,5 @@ def map_to_cos_power(u, e):
     """Phong-lobe warp (mapSampleWithCosPower, sampling.cpp:627-637)."""
     phi = TWO_PI * u[..., 0]
     cos_t = jnp.power(1.0 - jnp.abs(u[..., 1]), 1.0 / (e + 1.0))
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
     return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)

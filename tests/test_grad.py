@@ -163,3 +163,32 @@ def test_remat_grad_matches(setup):
     g_plain = jax.grad(lambda a: loss(a, False))(a0)
     g_remat = jax.grad(lambda a: loss(a, True))(a0)
     np.testing.assert_allclose(float(g_plain), float(g_remat), rtol=1e-5)
+
+
+def test_look_point_grad_flows():
+    """make_camera_jax: gradients flow through the lookAt basis (camera
+    orientation optimization)."""
+    from craytracer_tpu.camera import make_camera_jax
+
+    b = SceneBuilder()
+    b.add_matte("floor", (0.8, 0.8, 0.8))
+    b.add_plane((0, 0, 0), (0, 1, 0), "floor")
+    b.add_point_light((0, 8, 0), (1, 1, 1), intensity=60.0, dist_atten=True)
+    scene = b.build()
+    film = Film(fov=jnp.float32(np.deg2rad(35.0)), width=8, height=8)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+
+    @jax.jit
+    def loss_of_look_x(lx):
+        cam = make_camera_jax((2.0, 6.0, 14.0), jnp.stack([lx, jnp.float32(0.0),
+                                                           jnp.float32(0.0)]))
+        img = render_sample(scene, cam, film, ids, seed=3, spp_index=0,
+                            max_depth=1, estimator="physical")
+        return jnp.mean(img)
+
+    x0 = jnp.float32(0.5)
+    g = jax.jit(jax.grad(loss_of_look_x))(x0)
+    eps = 0.05
+    fd = (loss_of_look_x(x0 + eps) - loss_of_look_x(x0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.2)
+    assert abs(float(g)) > 1e-6
