@@ -495,6 +495,11 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
 
             gmin, gidx = bvh4_closest_hit(scene.tri_bvh, o_s, d_s)
             gidx = jnp.maximum(gidx, 0)
+        elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh4q":
+            from craytracer_tpu.accel.bvh4q import bvh4q_closest_hit
+
+            gmin, gidx = bvh4q_closest_hit(scene.tri_bvh, o_s, d_s)
+            gidx = jnp.maximum(gidx, 0)
         elif gid == T.GROUP_TRIANGLE and scene.accel == "grid":
             from craytracer_tpu.accel.grid import grid_closest_hit
 
@@ -553,6 +558,11 @@ def shadow_distance(scene: T.Scene, o, d, max_dist=None) -> jnp.ndarray:
 
             md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
             best_t = jnp.minimum(best_t, bvh4_any_hit(scene.tri_bvh, o, d, md))
+        elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh4q":
+            from craytracer_tpu.accel.bvh4q import bvh4q_any_hit
+
+            md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
+            best_t = jnp.minimum(best_t, bvh4q_any_hit(scene.tri_bvh, o, d, md))
         elif gid == T.GROUP_TRIANGLE and scene.accel == "grid":
             from craytracer_tpu.accel.grid import grid_any_hit
 

@@ -488,6 +488,10 @@ class SceneBuilder:
             from craytracer_tpu.accel.bvh4 import build_bvh4
 
             tri_bvh = build_bvh4(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
+        elif accel == "bvh4q":
+            from craytracer_tpu.accel.bvh4q import build_bvh4q
+
+            tri_bvh = build_bvh4q(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
         elif accel == "grid":
             from craytracer_tpu.accel.grid import build_grid
 

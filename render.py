@@ -32,7 +32,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tile", type=int, default=0, help="pixels per tile (0=all)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
-    p.add_argument("--accel", default=None, choices=["auto", "none", "bvh", "bvh4", "grid"],
+    p.add_argument("--accel", default=None, choices=["auto", "none", "bvh", "bvh4", "bvh4q", "grid"],
                    help="triangle accel backend (default: from config)")
     args = p.parse_args(argv)
 

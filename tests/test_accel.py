@@ -149,3 +149,19 @@ def test_bvh4_render_matches_bvh():
     img_b = render_sample(s_bvh4, cam, film, ids, 0, 0, 3)
     np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_bvh4q_matches_bruteforce(soup):
+    """Quantized QBVH: conservative u8 bounds -> identical hit results."""
+    from craytracer_tpu.accel.bvh4q import build_bvh4q, bvh4q_closest_hit, bvh4q_any_hit
+
+    v0, v1, v2, o, d, t_ref = soup
+    q = build_bvh4q(v0, v1, v2)
+    tq, tri = bvh4q_closest_hit(q, o, d)
+    hit_ref = np.asarray(t_ref) < TMAX
+    np.testing.assert_array_equal(hit_ref, np.asarray(tq) < TMAX)
+    np.testing.assert_allclose(np.asarray(tq)[hit_ref], np.asarray(t_ref)[hit_ref],
+                               rtol=1e-4)
+    max_dist = jnp.full((o.shape[0],), 12.0)
+    t_a = np.asarray(bvh4q_any_hit(q, o, d, max_dist))
+    np.testing.assert_array_equal(t_a < 12.0, np.asarray(t_ref) < 12.0)
