@@ -96,6 +96,10 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
             no_compete = (bounce == 0) | prev_delta
             p_l = light_pdf_for_hit(scene, hit.group, hit.prim, hit.point, o, d,
                                     hit_normal=hit.normal)
+            # NEE rejects directions below the previous shading normal
+            # (trace.h:316-323); the light strategy has zero density there
+            # (e.g. transmission through glass), so BSDF keeps weight 1.
+            p_l = jnp.where(vm.dot(d, prev_n) >= 0.0, p_l, 0.0)
             w_emit = jnp.where(
                 no_compete, 1.0,
                 prev_pdf * prev_pdf / jnp.maximum(prev_pdf * prev_pdf + p_l * p_l, 1e-20))
