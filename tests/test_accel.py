@@ -165,3 +165,25 @@ def test_bvh4q_matches_bruteforce(soup):
     max_dist = jnp.full((o.shape[0],), 12.0)
     t_a = np.asarray(bvh4q_any_hit(q, o, d, max_dist))
     np.testing.assert_array_equal(t_a < 12.0, np.asarray(t_ref) < 12.0)
+
+
+def test_tiny_trees():
+    """Degenerate sizes: 1-5 triangles through every accel backend."""
+    from craytracer_tpu.accel.bvh4 import build_bvh4, bvh4_closest_hit
+    from craytracer_tpu.accel.bvh4q import build_bvh4q, bvh4q_closest_hit
+
+    for ntri in (1, 3, 5):
+        v0, v1, v2 = _random_soup(ntri, seed=ntri)
+        o, d = _random_rays(128, seed=ntri + 10)
+        t_ref = _brute_ts(v0, v1, v2, o, d)
+        hit_ref = np.asarray(t_ref) < TMAX
+        for build, query in [(build_bvh, bvh_closest_hit),
+                             (build_bvh4, bvh4_closest_hit),
+                             (build_bvh4q, bvh4q_closest_hit),
+                             (build_grid, grid_closest_hit)]:
+            acc = build(v0, v1, v2)
+            t, _ = query(acc, o, d)
+            np.testing.assert_array_equal(hit_ref, np.asarray(t) < TMAX,
+                                          err_msg=f"{build.__name__} ntri={ntri}")
+            np.testing.assert_allclose(np.asarray(t)[hit_ref],
+                                       np.asarray(t_ref)[hit_ref], rtol=1e-4)

@@ -99,3 +99,32 @@ def test_mesh_light_nee_principled():
     m_rect = mean_radiance(build(False))
     assert m_mesh > 0.005  # mesh light actually illuminates via NEE
     np.testing.assert_allclose(m_mesh, m_rect, rtol=0.25)
+
+
+def test_mesh_light_cdf_boundaries():
+    """Binary search hits the right triangle at CDF boundaries (u near 0,
+    0.5, 1) for a single-light two-triangle mesh."""
+    from craytracer_tpu.lights.lights import sample_light_index
+
+    b = SceneBuilder()
+    b.add_matte("f", (0.5, 0.5, 0.5))
+    b.add_emissive("lamp", (1, 1, 1), 5.0)
+    b.add_rect((-20, 0, -20), (40, 0, 0), (0, 0, 40), "f")
+    b.add_mesh(positions=[(-2, 8, -2), (2, 8, -2), (2, 8, 2), (-2, 8, 2)],
+               indices=[(0, 1, 2), (0, 2, 3)], mat="lamp")
+    scene = b.build(light_power="principled")
+    row = int(np.argmax(np.asarray(scene.lights.light_type) == 4))
+    n = 5
+    idx = jnp.full((n,), row, jnp.int32)
+    hp = jnp.zeros((n, 3), jnp.float32)
+    nrm = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+    u2 = jnp.asarray([[0.0, 0.5], [0.49, 0.5], [0.51, 0.5], [0.999, 0.5],
+                      [1.0, 0.5]], jnp.float32)
+    ls = sample_light_index(scene, idx, u2, hp, nrm, nrm, nrm)
+    assert bool(jnp.all(ls.valid))
+    # all sample points lie on the quad at y=8 within its extent
+    wi = np.asarray(ls.wi)
+    dist = np.asarray(ls.distance)
+    pts = np.asarray(hp) + wi * dist[:, None]
+    np.testing.assert_allclose(pts[:, 1], 8.0, atol=1e-3)
+    assert (np.abs(pts[:, 0]) <= 2.001).all() and (np.abs(pts[:, 2]) <= 2.001).all()
