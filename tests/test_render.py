@@ -116,3 +116,17 @@ def test_cornell_energy_reasonable(cornell_render):
     # interior mostly in a sane radiance range (not NaN explosion / black)
     inner = mean[16:48, 16:48]
     assert 0.05 < inner.mean() < 50.0
+
+
+def test_tiled_render_matches_untiled(cornell_render):
+    """tile_pixels splits passes into fixed-size pixel blocks without
+    changing the image (the pixel-range job decomposition, parallel.h:5-44)."""
+    scene = _cornell_scene()
+    cam = make_camera((278.0, 273.0, 800.0), (278.0, 273.0, 0.0))
+    film = Film(fov=jnp.float32(np.radians(40.0)), width=16, height=16)
+    r1 = Renderer(scene, cam, film, RenderConfig(num_samples=2, max_depth=2, seed=3))
+    r2 = Renderer(scene, cam, film, RenderConfig(num_samples=2, max_depth=2, seed=3,
+                                                 tile_pixels=64))
+    img1 = r1.render()
+    img2 = r2.render()
+    np.testing.assert_allclose(img1, img2, atol=1e-6)
