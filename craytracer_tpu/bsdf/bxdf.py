@@ -58,31 +58,48 @@ class MatParams:
     alphay: jnp.ndarray
     distrib: jnp.ndarray
     intensity: jnp.ndarray
+    color_raw: jnp.ndarray  # table color before texture resolution
+    # (emissive radiance uses the raw material color, trace.h:421-427)
+    normal_tex: jnp.ndarray  # int32 normal-map texture id or -1
 
 
 def gather_params(materials: T.Materials, textures: T.TexturePack, mat_id, uv) -> MatParams:
     """The SoA "material -> BSDF factory": gather + texture eval
-    (computeScatteringFunc's texture branch, materials.cpp:117-127)."""
-    g = lambda arr: jnp.take(arr, mat_id, axis=0)
-    color = g(materials.color)
-    tex_id = g(materials.diffuse_tex)
+    (computeScatteringFunc's texture branch, materials.cpp:117-127).
+
+    All 16 fields come from ONE fused row lookup (ops/gather.py) — the
+    material table is packed loop-invariantly and fetched with a single
+    one-hot matmul / gather instead of 16 latency-bound takes."""
+    from craytracer_tpu.ops.gather import take_rows
+
+    (mat_type, color, ks, on_a, on_b, ior_in, ior_out, eta3, k3, alphax,
+     alphay, distrib, intensity, tex_id, normal_tex) = take_rows(
+        mat_id, (materials.mat_type, materials.color, materials.ks,
+                 materials.on_a, materials.on_b, materials.ior_in,
+                 materials.ior_out, materials.eta, materials.k,
+                 materials.alphax, materials.alphay, materials.distrib,
+                 materials.intensity, materials.diffuse_tex,
+                 materials.normal_tex))
+    color_raw = color
     if textures.texels.shape[0] > 1:  # any real textures present
         tex_color = tex_lookup_nearest(textures, tex_id, uv)
         color = jnp.where((tex_id >= 0)[:, None], tex_color, color)
     return MatParams(
-        mat_type=g(materials.mat_type),
+        mat_type=mat_type,
         color=color,
-        ks=g(materials.ks),
-        on_a=g(materials.on_a),
-        on_b=g(materials.on_b),
-        ior_in=g(materials.ior_in),
-        ior_out=g(materials.ior_out),
-        eta3=g(materials.eta),
-        k3=g(materials.k),
-        alphax=g(materials.alphax),
-        alphay=g(materials.alphay),
-        distrib=g(materials.distrib),
-        intensity=g(materials.intensity),
+        ks=ks,
+        on_a=on_a,
+        on_b=on_b,
+        ior_in=ior_in,
+        ior_out=ior_out,
+        eta3=eta3,
+        k3=k3,
+        alphax=alphax,
+        alphay=alphay,
+        distrib=distrib,
+        intensity=intensity,
+        color_raw=color_raw,
+        normal_tex=normal_tex,
     )
 
 
@@ -228,43 +245,59 @@ def _glass_trans_pdf(wi, wo, ior_in, ior_out, ax, ay, dist):
 # Aggregate BSDF ops, masked across material types.
 
 
-def bsdf_f_direct(wi, wo, mp: MatParams):
+def _use(present, *codes) -> bool:
+    """Static lobe gate: `present` is the scene's mat_types_present
+    (None/empty = unknown -> evaluate everything). jit specializes on it,
+    so absent material types compile to NOTHING — the TPU answer to the
+    reference's per-hit BxDF-list construction (materials.cpp:111-188)."""
+    return not present or any(c in present for c in codes)
+
+
+def bsdf_f_direct(wi, wo, mp: MatParams, present=None):
     """BSDF_f with SPECULAR|GLOSSY excluded — the NEE evaluation
     (estimateDirect, trace.h:328; exclusion set at trace.h:410). Only
     diffuse lobes survive: MATTE's Oren-Nayar and PLASTIC's FB-diffuse."""
-    f_matte = _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b)
-    f_plastic = _fb_diffuse_f(wi, wo, mp.color, mp.ks)
-    f = jnp.where((mp.mat_type == T.MAT_MATTE)[..., None], f_matte, 0.0)
-    f = jnp.where((mp.mat_type == T.MAT_PLASTIC)[..., None], f_plastic, f)
+    f = jnp.zeros_like(wi)
+    if _use(present, T.MAT_MATTE):
+        f_matte = _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b)
+        f = jnp.where((mp.mat_type == T.MAT_MATTE)[..., None], f_matte, f)
+    if _use(present, T.MAT_PLASTIC):
+        f_plastic = _fb_diffuse_f(wi, wo, mp.color, mp.ks)
+        f = jnp.where((mp.mat_type == T.MAT_PLASTIC)[..., None], f_plastic, f)
     return f
 
 
-def bsdf_f_nodelta(wi, wo, mp: MatParams):
+def bsdf_f_nodelta(wi, wo, mp: MatParams, present=None):
     """All finite (non-delta) lobes, glossy included — the NEE evaluation
     for the MIS estimator, which needs light sampling to cover everything
     BSDF sampling covers. Glass uses the proper Fresnel-weighted reflection
     term (F, not the reference's 1-F quirk)."""
-    f = jnp.where((mp.mat_type == T.MAT_MATTE)[..., None],
-                  _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b), 0.0)
-    f_plastic = _fb_diffuse_f(wi, wo, mp.color, mp.ks) + _fb_specular_f(
-        wi, wo, mp.ks, mp.alphax, mp.alphay, mp.distrib)
-    f = jnp.where((mp.mat_type == T.MAT_PLASTIC)[..., None], f_plastic, f)
-    f_metal = _metal_f(wi, wo, jnp.ones_like(mp.color), mp.eta3, mp.k3,
-                       mp.alphax, mp.alphay, mp.distrib)
-    f = jnp.where((mp.mat_type == T.MAT_METAL)[..., None], f_metal, f)
-    white = jnp.ones_like(mp.color)
-    same = vm.same_hemisphere(wi, wo)
-    wh_r = vm.normalize(wi + wo)
-    fr_r = fr_dielectric(vm.dot(wh_r, wo), mp.ior_in, mp.ior_out)
-    f_gr = _glass_refl_f(wi, wo, white, mp.ior_in, mp.ior_out,
-                         mp.alphax, mp.alphay, mp.distrib)
-    # replace the (1-Fr) quirk term with Fr for the balanced mode
-    quirk = 1.0 - fr_dielectric(vm.dot(wh_r, wi), mp.ior_in, mp.ior_out)
-    f_gr = f_gr * (fr_r / jnp.maximum(quirk, 1e-6))[..., None]
-    f_gt = _glass_trans_f(wi, wo, white, mp.ior_in, mp.ior_out,
-                          mp.alphax, mp.alphay, mp.distrib)
-    f_glass = jnp.where(same[..., None], f_gr, f_gt)
-    f = jnp.where((mp.mat_type == T.MAT_GLASS)[..., None], f_glass, f)
+    f = jnp.zeros_like(wi)
+    if _use(present, T.MAT_MATTE):
+        f = jnp.where((mp.mat_type == T.MAT_MATTE)[..., None],
+                      _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b), f)
+    if _use(present, T.MAT_PLASTIC):
+        f_plastic = _fb_diffuse_f(wi, wo, mp.color, mp.ks) + _fb_specular_f(
+            wi, wo, mp.ks, mp.alphax, mp.alphay, mp.distrib)
+        f = jnp.where((mp.mat_type == T.MAT_PLASTIC)[..., None], f_plastic, f)
+    if _use(present, T.MAT_METAL):
+        f_metal = _metal_f(wi, wo, jnp.ones_like(mp.color), mp.eta3, mp.k3,
+                           mp.alphax, mp.alphay, mp.distrib)
+        f = jnp.where((mp.mat_type == T.MAT_METAL)[..., None], f_metal, f)
+    if _use(present, T.MAT_GLASS):
+        white = jnp.ones_like(mp.color)
+        same = vm.same_hemisphere(wi, wo)
+        wh_r = vm.normalize(wi + wo)
+        fr_r = fr_dielectric(vm.dot(wh_r, wo), mp.ior_in, mp.ior_out)
+        f_gr = _glass_refl_f(wi, wo, white, mp.ior_in, mp.ior_out,
+                             mp.alphax, mp.alphay, mp.distrib)
+        # replace the (1-Fr) quirk term with Fr for the balanced mode
+        quirk = 1.0 - fr_dielectric(vm.dot(wh_r, wi), mp.ior_in, mp.ior_out)
+        f_gr = f_gr * (fr_r / jnp.maximum(quirk, 1e-6))[..., None]
+        f_gt = _glass_trans_f(wi, wo, white, mp.ior_in, mp.ior_out,
+                              mp.alphax, mp.alphay, mp.distrib)
+        f_glass = jnp.where(same[..., None], f_gr, f_gt)
+        f = jnp.where((mp.mat_type == T.MAT_GLASS)[..., None], f_glass, f)
     return f
 
 
@@ -285,38 +318,49 @@ def _glass_pdf_mixture(wi, wo, mp: MatParams):
     return jnp.where(same, kr_r * pdf_r, (1.0 - kr_t) * pdf_t)
 
 
-def bsdf_pdf_balanced(wi, wo, mp: MatParams):
+def bsdf_pdf_balanced(wi, wo, mp: MatParams, present=None):
     """Correct one-sample mixture density of bsdf_sample(balanced=True):
     plastic averages its two lobes (the reference SUMS them,
     reflection.cpp:789-797 — a quirk kept only in reference mode)."""
-    pdf_matte = _cos_hemisphere_pdf(wi, wo)
-    pdf_plastic = 0.5 * (_cos_hemisphere_pdf(wi, wo) + _fb_specular_pdf(
-        wi, wo, mp.alphax, mp.alphay, mp.distrib))
-    pdf_metal = _metal_pdf(wi, wo, mp.alphax, mp.alphay, mp.distrib)
-    pdf_glass = _glass_pdf_mixture(wi, wo, mp)
-    pdf = jnp.where(mp.mat_type == T.MAT_MATTE, pdf_matte, 0.0)
-    pdf = jnp.where(mp.mat_type == T.MAT_PLASTIC, pdf_plastic, pdf)
-    pdf = jnp.where(mp.mat_type == T.MAT_METAL, pdf_metal, pdf)
-    pdf = jnp.where(mp.mat_type == T.MAT_GLASS, pdf_glass, pdf)
+    pdf = jnp.zeros(wi.shape[:-1], wi.dtype)
+    if _use(present, T.MAT_MATTE):
+        pdf = jnp.where(mp.mat_type == T.MAT_MATTE,
+                        _cos_hemisphere_pdf(wi, wo), pdf)
+    if _use(present, T.MAT_PLASTIC):
+        pdf_plastic = 0.5 * (_cos_hemisphere_pdf(wi, wo) + _fb_specular_pdf(
+            wi, wo, mp.alphax, mp.alphay, mp.distrib))
+        pdf = jnp.where(mp.mat_type == T.MAT_PLASTIC, pdf_plastic, pdf)
+    if _use(present, T.MAT_METAL):
+        pdf = jnp.where(mp.mat_type == T.MAT_METAL,
+                        _metal_pdf(wi, wo, mp.alphax, mp.alphay, mp.distrib), pdf)
+    if _use(present, T.MAT_GLASS):
+        pdf = jnp.where(mp.mat_type == T.MAT_GLASS,
+                        _glass_pdf_mixture(wi, wo, mp), pdf)
     return pdf
 
 
-def bsdf_pdf(wi, wo, mp: MatParams):
+def bsdf_pdf(wi, wo, mp: MatParams, present=None):
     """BSDF_pdf: sum of lobe pdfs (reflection.cpp:737-748)."""
-    pdf_matte = _cos_hemisphere_pdf(wi, wo)
-    pdf_plastic = _cos_hemisphere_pdf(wi, wo) + _fb_specular_pdf(
-        wi, wo, mp.alphax, mp.alphay, mp.distrib
-    )
-    pdf_metal = _metal_pdf(wi, wo, mp.alphax, mp.alphay, mp.distrib)
-    pdf_glass = _glass_trans_pdf(wi, wo, mp.ior_in, mp.ior_out, mp.alphax, mp.alphay, mp.distrib)
-    pdf = jnp.where(mp.mat_type == T.MAT_MATTE, pdf_matte, 0.0)
-    pdf = jnp.where(mp.mat_type == T.MAT_PLASTIC, pdf_plastic, pdf)
-    pdf = jnp.where(mp.mat_type == T.MAT_METAL, pdf_metal, pdf)
-    pdf = jnp.where(mp.mat_type == T.MAT_GLASS, pdf_glass, pdf)
+    pdf = jnp.zeros(wi.shape[:-1], wi.dtype)
+    if _use(present, T.MAT_MATTE):
+        pdf = jnp.where(mp.mat_type == T.MAT_MATTE,
+                        _cos_hemisphere_pdf(wi, wo), pdf)
+    if _use(present, T.MAT_PLASTIC):
+        pdf_plastic = _cos_hemisphere_pdf(wi, wo) + _fb_specular_pdf(
+            wi, wo, mp.alphax, mp.alphay, mp.distrib
+        )
+        pdf = jnp.where(mp.mat_type == T.MAT_PLASTIC, pdf_plastic, pdf)
+    if _use(present, T.MAT_METAL):
+        pdf = jnp.where(mp.mat_type == T.MAT_METAL,
+                        _metal_pdf(wi, wo, mp.alphax, mp.alphay, mp.distrib), pdf)
+    if _use(present, T.MAT_GLASS):
+        pdf_glass = _glass_trans_pdf(wi, wo, mp.ior_in, mp.ior_out,
+                                     mp.alphax, mp.alphay, mp.distrib)
+        pdf = jnp.where(mp.mat_type == T.MAT_GLASS, pdf_glass, pdf)
     return pdf
 
 
-def bsdf_sample(u, wo, mp: MatParams, balanced: bool = False):
+def bsdf_sample(u, wo, mp: MatParams, balanced: bool = False, present=None):
     """BSDF_sample_f (reflection.cpp:750-811) for the whole hit queue.
 
     `u` is [N, 3]: (lobe-select/sample.x, sample.y, fresnel-branch rand —
@@ -326,6 +370,9 @@ def bsdf_sample(u, wo, mp: MatParams, balanced: bool = False):
     Fresnel) to the correct one-sample mixture pdfs used by the MIS
     estimator; False reproduces the reference's reported values.
 
+    `present` statically gates the lobe families (see `_use`): a matte-only
+    scene compiles to just the cosine-hemisphere block.
+
     Returns (f[N,3], wi[N,3], pdf[N], is_specular[N], is_glossy[N]).
     """
     from craytracer_tpu.sampling.mappings import map_to_hemisphere_cosine
@@ -334,126 +381,6 @@ def bsdf_sample(u, wo, mp: MatParams, balanced: bool = False):
     u2 = u[:, :2]
     r_extra = u[:, 2]
 
-    # ---- MATTE: cosine-hemisphere sample (OrenNayar_sample_f,
-    # reflection.cpp:550-562); wo's hemisphere is forced positive for the
-    # sample, f evaluated with the original wo.
-    wi_matte = map_to_hemisphere_cosine(u2)
-    pdf_matte = vm.abs_cos_theta(wi_matte) * INV_PI
-    f_matte = _oren_nayar_f(wi_matte, wo, mp.color, mp.on_a, mp.on_b)
-
-    # ---- MIRROR (SpecularReflection_sample_f, reflection.cpp:240-247)
-    wi_mirror = jnp.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], axis=-1)
-    f_mirror = mp.color / jnp.maximum(vm.abs_cos_theta(wi_mirror), 1e-7)[..., None]
-    pdf_mirror = jnp.ones_like(pdf_matte)
-
-    # ---- TRANSPARENT thin (SpecularTransmission_sample_f "thin" branch,
-    # reflection.cpp:250-282)
-    n_thin = jnp.where((wo[:, 2:3] < 0.0), -1.0, 1.0)
-    kr_thin = fr_dielectric(jnp.abs(wo[:, 2]), mp.ior_in, mp.ior_out)
-    take_refl = r_extra <= kr_thin
-    wi_trans = jnp.where(
-        take_refl[:, None],
-        jnp.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], axis=-1),
-        -wo,
-    )
-    eta_thin = mp.ior_out / mp.ior_in
-    mag_trans = jnp.where(
-        take_refl,
-        kr_thin,
-        (1.0 - kr_thin) * eta_thin * eta_thin,
-    ) / jnp.maximum(vm.abs_cos_theta(wi_trans), 1e-7)
-    f_trans = jnp.broadcast_to(mag_trans[:, None], wo.shape)
-    pdf_trans = jnp.where(take_refl, kr_thin, 1.0 - kr_thin)
-
-    # ---- PLASTIC: 2 lobes, uniform lobe choice with sample remap
-    # (BSDF_sample_f, reflection.cpp:760-766), then both lobes' f and pdf
-    # are summed (reflection.cpp:789-811).
-    pick_spec = u2[:, 0] >= 0.5
-    u_remap = jnp.stack([jnp.where(pick_spec, 2.0 * (u2[:, 0] - 0.5), 2.0 * u2[:, 0]),
-                         u2[:, 1]], axis=-1)
-    u_remap = jnp.clip(u_remap, 0.0, 1.0 - 1e-7)
-    # diffuse lobe sample (FresnelBlendDiffuse_sample_f, reflection.cpp:498-506)
-    wi_pd = map_to_hemisphere_cosine(u_remap)
-    wi_pd = jnp.where((wo[:, 2] < 0.0)[:, None], wi_pd * jnp.array([1.0, 1.0, -1.0]), wi_pd)
-    # specular lobe sample (FresnelBlendSpecular_sample_f, reflection.cpp:545-556)
-    wh_p = mf.sample_wh(wo, u_remap, mp.alphax, mp.alphay, mp.distrib)
-    wi_ps = vm.reflect(wo, wh_p)
-    ps_ok = vm.same_hemisphere(wo, wi_ps)
-    wi_plastic = jnp.where(pick_spec[:, None], wi_ps, wi_pd)
-    # chosen-lobe pdf must be nonzero or the sample dies (reflection.cpp:779-784)
-    pdf_chosen = jnp.where(
-        pick_spec,
-        jnp.where(ps_ok, _fb_specular_pdf(wi_plastic, wo, mp.alphax, mp.alphay, mp.distrib), 0.0),
-        _cos_hemisphere_pdf(wi_plastic, wo),
-    )
-    pdf_other = jnp.where(
-        pick_spec,
-        _cos_hemisphere_pdf(wi_plastic, wo),
-        _fb_specular_pdf(wi_plastic, wo, mp.alphax, mp.alphay, mp.distrib),
-    )
-    alive_p = pdf_chosen > 0.0
-    f_plastic = _fb_diffuse_f(wi_plastic, wo, mp.color, mp.ks) + _fb_specular_f(
-        wi_plastic, wo, mp.ks, mp.alphax, mp.alphay, mp.distrib
-    )
-    # reference SUMS the lobe pdfs (reflection.cpp:789-797); the balanced
-    # mode uses the correct mixture average
-    pdf_plastic = jnp.where(alive_p, pdf_chosen + pdf_other, 0.0)
-    if balanced:
-        pdf_plastic = 0.5 * pdf_plastic
-    f_plastic = jnp.where(alive_p[:, None], f_plastic, 0.0)
-
-    # ---- METAL (MicrofacetReflection_sample_f, reflection.cpp:329-344)
-    wh_m = mf.sample_wh(wo, u2, mp.alphax, mp.alphay, mp.distrib)
-    wi_metal = vm.reflect(wo, wh_m)
-    m_ok = vm.same_hemisphere(wo, wi_metal)
-    f_metal = _metal_f(wi_metal, wo, jnp.ones_like(mp.color), mp.eta3, mp.k3,
-                       mp.alphax, mp.alphay, mp.distrib)
-    pdf_metal = mf.distribution_pdf(wo, wh_m, mp.alphax, mp.alphay, mp.distrib) / jnp.maximum(
-        4.0 * vm.dot(wo, wh_m), 1e-7
-    )
-    f_metal = jnp.where(m_ok[:, None], f_metal, 0.0)
-    pdf_metal = jnp.where(m_ok, pdf_metal, 0.0)
-
-    # ---- GLASS (MicrofacetFresnel_sample_f, reflection.cpp:390-446)
-    white = jnp.ones_like(mp.color)
-    wh_g = mf.sample_wh(wo, u2, mp.alphax, mp.alphay, mp.distrib)
-    kr_g = fr_dielectric(vm.dot(wh_g, wo), mp.ior_in, mp.ior_out)
-    g_refl = r_extra <= kr_g
-    # reflection branch
-    wi_gr = vm.reflect(wo, wh_g)
-    gr_ok = vm.same_hemisphere(wo, wi_gr)
-    f_gr = _glass_refl_f(wi_gr, wo, white, mp.ior_in, mp.ior_out,
-                         mp.alphax, mp.alphay, mp.distrib)
-    if balanced:
-        # proper Fresnel weight F (not the reference's 1 - Fr(wh, wi) quirk)
-        wh_r = vm.normalize(wi_gr + wo)
-        quirk = 1.0 - fr_dielectric(vm.dot(wh_r, wi_gr), mp.ior_in, mp.ior_out)
-        fr_r = fr_dielectric(vm.dot(wh_r, wo), mp.ior_in, mp.ior_out)
-        f_gr = f_gr * (fr_r / jnp.maximum(quirk, 1e-6))[:, None]
-    pdf_gr = mf.distribution_pdf(wo, wh_g, mp.alphax, mp.alphay, mp.distrib) / jnp.maximum(
-        4.0 * vm.dot(wo, wh_g), 1e-7
-    )
-    if balanced:
-        pdf_gr = kr_g * pdf_gr
-    f_gr = jnp.where(gr_ok[:, None], f_gr, 0.0)
-    pdf_gr = jnp.where(gr_ok, pdf_gr, 0.0)
-    # transmission branch
-    eta_g = jnp.where(vm.cos_theta(wo) > 0.0, mp.ior_out / mp.ior_in, mp.ior_in / mp.ior_out)
-    wh_face = jnp.where(vm.dot(wh_g, wo)[..., None] < 0.0, -wh_g, wh_g)
-    gt_ok, wi_gt = vm.refract(wo, wh_face, eta_g)
-    f_gt = _glass_trans_f(wi_gt, wo, white, mp.ior_in, mp.ior_out,
-                          mp.alphax, mp.alphay, mp.distrib)
-    pdf_gt = _glass_trans_pdf(wi_gt, wo, mp.ior_in, mp.ior_out,
-                              mp.alphax, mp.alphay, mp.distrib)
-    if balanced:
-        pdf_gt = (1.0 - kr_g) * pdf_gt
-    f_gt = jnp.where(gt_ok[:, None], f_gt, 0.0)
-    pdf_gt = jnp.where(gt_ok, pdf_gt, 0.0)
-    wi_glass = jnp.where(g_refl[:, None], wi_gr, wi_gt)
-    f_glass = jnp.where(g_refl[:, None], f_gr, f_gt)
-    pdf_glass = jnp.where(g_refl, pdf_gr, pdf_gt)
-
-    # ---- select by material type
     def sel(mtype_code, val_f, val_wi, val_pdf, f, wi, pdf):
         m = mtype == mtype_code
         return (
@@ -464,18 +391,144 @@ def bsdf_sample(u, wo, mp: MatParams, balanced: bool = False):
 
     f = jnp.zeros_like(wo)
     wi = jnp.zeros_like(wo).at[:, 2].set(1.0)
-    pdf = jnp.zeros_like(pdf_matte)
-    f, wi, pdf = sel(T.MAT_MATTE, f_matte, wi_matte, pdf_matte, f, wi, pdf)
-    f, wi, pdf = sel(T.MAT_MIRROR, f_mirror, wi_mirror, pdf_mirror, f, wi, pdf)
-    f, wi, pdf = sel(T.MAT_TRANSPARENT, f_trans, wi_trans, pdf_trans, f, wi, pdf)
-    f, wi, pdf = sel(T.MAT_PLASTIC, f_plastic, wi_plastic, pdf_plastic, f, wi, pdf)
-    f, wi, pdf = sel(T.MAT_METAL, f_metal, wi_metal, pdf_metal, f, wi, pdf)
-    f, wi, pdf = sel(T.MAT_GLASS, f_glass, wi_glass, pdf_glass, f, wi, pdf)
+    pdf = jnp.zeros(wo.shape[:-1], wo.dtype)
+    false_n = jnp.zeros(wo.shape[:-1], bool)
+    is_specular = false_n
+    is_glossy = false_n
 
-    is_specular = (mtype == T.MAT_MIRROR) | (mtype == T.MAT_TRANSPARENT)
-    is_glossy = (
-        (mtype == T.MAT_METAL)
-        | (mtype == T.MAT_GLASS)
-        | ((mtype == T.MAT_PLASTIC) & pick_spec)
-    )
+    if _use(present, T.MAT_MATTE):
+        # ---- MATTE: cosine-hemisphere sample (OrenNayar_sample_f,
+        # reflection.cpp:550-562); wo's hemisphere is forced positive for
+        # the sample, f evaluated with the original wo.
+        wi_matte = map_to_hemisphere_cosine(u2)
+        pdf_matte = vm.abs_cos_theta(wi_matte) * INV_PI
+        f_matte = _oren_nayar_f(wi_matte, wo, mp.color, mp.on_a, mp.on_b)
+        f, wi, pdf = sel(T.MAT_MATTE, f_matte, wi_matte, pdf_matte, f, wi, pdf)
+
+    if _use(present, T.MAT_MIRROR):
+        # ---- MIRROR (SpecularReflection_sample_f, reflection.cpp:240-247)
+        wi_mirror = jnp.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], axis=-1)
+        f_mirror = mp.color / jnp.maximum(vm.abs_cos_theta(wi_mirror), 1e-7)[..., None]
+        pdf_mirror = jnp.ones_like(pdf)
+        f, wi, pdf = sel(T.MAT_MIRROR, f_mirror, wi_mirror, pdf_mirror, f, wi, pdf)
+        is_specular = is_specular | (mtype == T.MAT_MIRROR)
+
+    if _use(present, T.MAT_TRANSPARENT):
+        # ---- TRANSPARENT thin (SpecularTransmission_sample_f "thin"
+        # branch, reflection.cpp:250-282)
+        kr_thin = fr_dielectric(jnp.abs(wo[:, 2]), mp.ior_in, mp.ior_out)
+        take_refl = r_extra <= kr_thin
+        wi_trans = jnp.where(
+            take_refl[:, None],
+            jnp.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], axis=-1),
+            -wo,
+        )
+        eta_thin = mp.ior_out / mp.ior_in
+        mag_trans = jnp.where(
+            take_refl,
+            kr_thin,
+            (1.0 - kr_thin) * eta_thin * eta_thin,
+        ) / jnp.maximum(vm.abs_cos_theta(wi_trans), 1e-7)
+        f_trans = jnp.broadcast_to(mag_trans[:, None], wo.shape)
+        pdf_trans = jnp.where(take_refl, kr_thin, 1.0 - kr_thin)
+        f, wi, pdf = sel(T.MAT_TRANSPARENT, f_trans, wi_trans, pdf_trans, f, wi, pdf)
+        is_specular = is_specular | (mtype == T.MAT_TRANSPARENT)
+
+    if _use(present, T.MAT_PLASTIC):
+        # ---- PLASTIC: 2 lobes, uniform lobe choice with sample remap
+        # (BSDF_sample_f, reflection.cpp:760-766), then both lobes' f and
+        # pdf are summed (reflection.cpp:789-811).
+        pick_spec = u2[:, 0] >= 0.5
+        u_remap = jnp.stack([jnp.where(pick_spec, 2.0 * (u2[:, 0] - 0.5), 2.0 * u2[:, 0]),
+                             u2[:, 1]], axis=-1)
+        u_remap = jnp.clip(u_remap, 0.0, 1.0 - 1e-7)
+        # diffuse lobe sample (FresnelBlendDiffuse_sample_f, reflection.cpp:498-506)
+        wi_pd = map_to_hemisphere_cosine(u_remap)
+        wi_pd = jnp.where((wo[:, 2] < 0.0)[:, None], wi_pd * jnp.array([1.0, 1.0, -1.0]), wi_pd)
+        # specular lobe sample (FresnelBlendSpecular_sample_f, reflection.cpp:545-556)
+        wh_p = mf.sample_wh(wo, u_remap, mp.alphax, mp.alphay, mp.distrib)
+        wi_ps = vm.reflect(wo, wh_p)
+        ps_ok = vm.same_hemisphere(wo, wi_ps)
+        wi_plastic = jnp.where(pick_spec[:, None], wi_ps, wi_pd)
+        # chosen-lobe pdf must be nonzero or the sample dies (reflection.cpp:779-784)
+        pdf_chosen = jnp.where(
+            pick_spec,
+            jnp.where(ps_ok, _fb_specular_pdf(wi_plastic, wo, mp.alphax, mp.alphay, mp.distrib), 0.0),
+            _cos_hemisphere_pdf(wi_plastic, wo),
+        )
+        pdf_other = jnp.where(
+            pick_spec,
+            _cos_hemisphere_pdf(wi_plastic, wo),
+            _fb_specular_pdf(wi_plastic, wo, mp.alphax, mp.alphay, mp.distrib),
+        )
+        alive_p = pdf_chosen > 0.0
+        f_plastic = _fb_diffuse_f(wi_plastic, wo, mp.color, mp.ks) + _fb_specular_f(
+            wi_plastic, wo, mp.ks, mp.alphax, mp.alphay, mp.distrib
+        )
+        # reference SUMS the lobe pdfs (reflection.cpp:789-797); the
+        # balanced mode uses the correct mixture average
+        pdf_plastic = jnp.where(alive_p, pdf_chosen + pdf_other, 0.0)
+        if balanced:
+            pdf_plastic = 0.5 * pdf_plastic
+        f_plastic = jnp.where(alive_p[:, None], f_plastic, 0.0)
+        f, wi, pdf = sel(T.MAT_PLASTIC, f_plastic, wi_plastic, pdf_plastic, f, wi, pdf)
+        is_glossy = is_glossy | ((mtype == T.MAT_PLASTIC) & pick_spec)
+
+    if _use(present, T.MAT_METAL):
+        # ---- METAL (MicrofacetReflection_sample_f, reflection.cpp:329-344)
+        wh_m = mf.sample_wh(wo, u2, mp.alphax, mp.alphay, mp.distrib)
+        wi_metal = vm.reflect(wo, wh_m)
+        m_ok = vm.same_hemisphere(wo, wi_metal)
+        f_metal = _metal_f(wi_metal, wo, jnp.ones_like(mp.color), mp.eta3, mp.k3,
+                           mp.alphax, mp.alphay, mp.distrib)
+        pdf_metal = mf.distribution_pdf(wo, wh_m, mp.alphax, mp.alphay, mp.distrib) / jnp.maximum(
+            4.0 * vm.dot(wo, wh_m), 1e-7
+        )
+        f_metal = jnp.where(m_ok[:, None], f_metal, 0.0)
+        pdf_metal = jnp.where(m_ok, pdf_metal, 0.0)
+        f, wi, pdf = sel(T.MAT_METAL, f_metal, wi_metal, pdf_metal, f, wi, pdf)
+        is_glossy = is_glossy | (mtype == T.MAT_METAL)
+
+    if _use(present, T.MAT_GLASS):
+        # ---- GLASS (MicrofacetFresnel_sample_f, reflection.cpp:390-446)
+        white = jnp.ones_like(mp.color)
+        wh_g = mf.sample_wh(wo, u2, mp.alphax, mp.alphay, mp.distrib)
+        kr_g = fr_dielectric(vm.dot(wh_g, wo), mp.ior_in, mp.ior_out)
+        g_refl = r_extra <= kr_g
+        # reflection branch
+        wi_gr = vm.reflect(wo, wh_g)
+        gr_ok = vm.same_hemisphere(wo, wi_gr)
+        f_gr = _glass_refl_f(wi_gr, wo, white, mp.ior_in, mp.ior_out,
+                             mp.alphax, mp.alphay, mp.distrib)
+        if balanced:
+            # proper Fresnel weight F (not the reference's 1 - Fr(wh, wi) quirk)
+            wh_r = vm.normalize(wi_gr + wo)
+            quirk = 1.0 - fr_dielectric(vm.dot(wh_r, wi_gr), mp.ior_in, mp.ior_out)
+            fr_r = fr_dielectric(vm.dot(wh_r, wo), mp.ior_in, mp.ior_out)
+            f_gr = f_gr * (fr_r / jnp.maximum(quirk, 1e-6))[:, None]
+        pdf_gr = mf.distribution_pdf(wo, wh_g, mp.alphax, mp.alphay, mp.distrib) / jnp.maximum(
+            4.0 * vm.dot(wo, wh_g), 1e-7
+        )
+        if balanced:
+            pdf_gr = kr_g * pdf_gr
+        f_gr = jnp.where(gr_ok[:, None], f_gr, 0.0)
+        pdf_gr = jnp.where(gr_ok, pdf_gr, 0.0)
+        # transmission branch
+        eta_g = jnp.where(vm.cos_theta(wo) > 0.0, mp.ior_out / mp.ior_in, mp.ior_in / mp.ior_out)
+        wh_face = jnp.where(vm.dot(wh_g, wo)[..., None] < 0.0, -wh_g, wh_g)
+        gt_ok, wi_gt = vm.refract(wo, wh_face, eta_g)
+        f_gt = _glass_trans_f(wi_gt, wo, white, mp.ior_in, mp.ior_out,
+                              mp.alphax, mp.alphay, mp.distrib)
+        pdf_gt = _glass_trans_pdf(wi_gt, wo, mp.ior_in, mp.ior_out,
+                                  mp.alphax, mp.alphay, mp.distrib)
+        if balanced:
+            pdf_gt = (1.0 - kr_g) * pdf_gt
+        f_gt = jnp.where(gt_ok[:, None], f_gt, 0.0)
+        pdf_gt = jnp.where(gt_ok, pdf_gt, 0.0)
+        wi_glass = jnp.where(g_refl[:, None], wi_gr, wi_gt)
+        f_glass = jnp.where(g_refl[:, None], f_gr, f_gt)
+        pdf_glass = jnp.where(g_refl, pdf_gr, pdf_gt)
+        f, wi, pdf = sel(T.MAT_GLASS, f_glass, wi_glass, pdf_glass, f, wi, pdf)
+        is_glossy = is_glossy | (mtype == T.MAT_GLASS)
+
     return f, wi, pdf, is_specular, is_glossy

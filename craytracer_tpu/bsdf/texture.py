@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from craytracer_tpu.ops.gather import take_rows
 from craytracer_tpu.scene.types import TexturePack
 
 
@@ -23,9 +24,7 @@ def tex_lookup_nearest(pack: TexturePack, tex_id, uv):
     """[N] tex ids (-1 allowed; returns junk there, caller masks), [N,2] uv
     -> [N,3] texels."""
     tid = jnp.maximum(tex_id, 0)
-    w = jnp.take(pack.width, tid)
-    h = jnp.take(pack.height, tid)
-    off = jnp.take(pack.offset, tid)
+    w, h, off = take_rows(tid, (pack.width, pack.height, pack.offset))
     u = _mirror(uv[..., 0])
     v = _mirror(uv[..., 1])
     x = jnp.clip((u * w.astype(uv.dtype)).astype(jnp.int32), 0, w - 1)
@@ -35,9 +34,7 @@ def tex_lookup_nearest(pack: TexturePack, tex_id, uv):
 
 def tex_lookup_bilinear(pack: TexturePack, tex_id, uv):
     tid = jnp.maximum(tex_id, 0)
-    w = jnp.take(pack.width, tid)
-    h = jnp.take(pack.height, tid)
-    off = jnp.take(pack.offset, tid)
+    w, h, off = take_rows(tid, (pack.width, pack.height, pack.offset))
     u = _mirror(uv[..., 0]) * w.astype(uv.dtype) - 0.5
     v = _mirror(uv[..., 1]) * h.astype(uv.dtype) - 0.5
     x0 = jnp.floor(u)

@@ -69,6 +69,8 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
     strategy's density, NEE covers all finite lobes (glossy included) and
     is weighted against the balanced BSDF density — a strict quality
     improvement over the reference's spec/glossy-only re-add rule."""
+    # Static lobe gate: material types absent from the scene compile away.
+    present = frozenset(scene.mat_types_present) or None
 
     def step(bounce, state):
         (o, d, beta, L, good, alive, prev_sg, rays, shadows, live_hist,
@@ -81,15 +83,19 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         # camera rays and scene geometry.
         hit = intersect_scene(scene, o, d)
         miss = ~hit.hit_mask
-        mat_type = jnp.take(scene.materials.mat_type, hit.mat_id)
+        # One fused material-row lookup per bounce serves the emissive add,
+        # the NEE masks, the normal map id, and the BSDF parameters.
+        mp = gather_params(scene.materials, scene.textures, hit.mat_id, hit.uv)
+        mat_type = mp.mat_type
         emissive_hit = hit.hit_mask & (mat_type == T.MAT_EMISSIVE)
 
         # ---- emitted / env radiance (trace.h:419-455)
-        e_color = jnp.take(scene.materials.color, hit.mat_id, axis=0)
-        e_int = jnp.take(scene.materials.intensity, hit.mat_id)
-        emitted = e_color * e_int[:, None]
-        env_dir = jnp.einsum("ij,nj->ni", scene.env.transform, d)
-        env_li = env_radiance(scene.env, scene.textures, env_dir)
+        emitted = mp.color_raw * mp.intensity[:, None]
+        if scene.env.kind == 0:  # static: no env light, skip the transform
+            env_li = jnp.zeros_like(d)
+        else:
+            env_dir = jnp.einsum("ij,nj->ni", scene.env.transform, d)
+            env_li = env_radiance(scene.env, scene.textures, env_dir)
         if mis:
             from craytracer_tpu.lights.lights import env_pdf, light_pdf_for_hit
 
@@ -133,19 +139,23 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         if scene.textures.texels.shape[0] > 1:
             from craytracer_tpu.bsdf.texture import tex_lookup_nearest
 
-            ntex = jnp.take(scene.materials.normal_tex, hit.mat_id)
+            ntex = mp.normal_tex
             tex_n = tex_lookup_nearest(scene.textures, ntex, hit.uv) * 2.0 - 1.0
             n_pert = vm.normalize(vm.to_world(tex_n, ft, fb, fn))
             use_nm = (ntex >= 0) & (mat_type == T.MAT_MATTE)
             n_new = jnp.where(use_nm[:, None], n_pert, fn)
             ft, fb, fn = vm.make_shading_frame(n_new, hit.dpdu)
-        mp = gather_params(scene.materials, scene.textures, hit.mat_id, hit.uv)
         wo_world = -d
         wo_local = vm.to_local(wo_world, ft, fb, fn)
 
+        # ---- per-bounce uniforms: ONE fused 9-dim RNG call, sliced per
+        # call site (bit-identical to separate calls — dims are a shared
+        # arange). Layout: _DIM_LIGHT..=_DIM_RR above.
+        u_all = uniforms(seed, pixel_ids, spp_index, bounce, 9, 0)
+
         # ---- NEE (trace.h:466-481)
-        u_light = uniforms(seed, pixel_ids, spp_index, bounce, 2, _DIM_LIGHT)
-        u_pick = uniforms(seed, pixel_ids, spp_index, bounce, 1, _DIM_PICK)[:, 0]
+        u_light = u_all[:, _DIM_LIGHT:_DIM_LIGHT + 2]
+        u_pick = u_all[:, _DIM_PICK]
         if mis:
             from craytracer_tpu.bsdf import bsdf_f_nodelta, bsdf_pdf_balanced
 
@@ -161,9 +171,9 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         ls = sample_one_light(scene, u_pick, u_light, hit.point, fn, ft, fb)
         wi_l = vm.to_local(ls.wi, ft, fb, fn)
         if mis:
-            f_nee = bsdf_f_nodelta(wi_l, wo_local, mp) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
+            f_nee = bsdf_f_nodelta(wi_l, wo_local, mp, present=present) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
         else:
-            f_nee = bsdf_f_direct(wi_l, wo_local, mp) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
+            f_nee = bsdf_f_direct(wi_l, wo_local, mp, present=present) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
         want_shadow = cont & nee_mat & ls.valid & jnp.any(f_nee > 0.0, axis=-1)
         shadow_o = _offset_ray(hit.point, hit.normal, ls.wi)
         t_shadow = shadow_distance(scene, shadow_o, ls.wi, ls.distance)
@@ -175,7 +185,7 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
                 jnp.searchsorted(scene.lights.power_cdf, u_pick, side="right"),
                 0, scene.lights.light_type.shape[0] - 1)) if scene.lights.light_type.shape[0] else jnp.zeros_like(hit.mat_id)
             is_delta_l = (ltype_l == T.LIGHT_DIRECTIONAL) | (ltype_l == T.LIGHT_POINT)
-            p_b = bsdf_pdf_balanced(wi_l, wo_local, mp)
+            p_b = bsdf_pdf_balanced(wi_l, wo_local, mp, present=present)
             w_l = jnp.where(
                 is_delta_l, 1.0,
                 ls.pdf * ls.pdf / jnp.maximum(ls.pdf * ls.pdf + p_b * p_b, 1e-20))
@@ -189,16 +199,16 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         good = good + (jnp.any(contrib != 0.0, axis=-1)).astype(jnp.int32)
 
         # ---- BSDF sampling (trace.h:484-496)
-        u_bsdf = uniforms(seed, pixel_ids, spp_index, bounce, 3, _DIM_BSDF)
+        u_bsdf = u_all[:, _DIM_BSDF:_DIM_BSDF + 3]
         f_s, wi_local, pdf_s, is_spec, is_glossy = bsdf_sample(
-            u_bsdf, wo_local, mp, balanced=mis)
+            u_bsdf, wo_local, mp, balanced=mis, present=present)
         dead_sample = (pdf_s <= 0.0) | jnp.all(f_s == 0.0, axis=-1)
         wi_world = vm.to_world(wi_local, ft, fb, fn)
         weight = f_s * (jnp.abs(vm.dot(wi_world, fn)) / jnp.maximum(pdf_s, 1e-12))[:, None]
         new_beta = jnp.where(cont[:, None], beta * weight, beta)
 
         # ---- Russian roulette (trace.h:512-525)
-        u_rr = uniforms(seed, pixel_ids, spp_index, bounce, 1, _DIM_RR)[:, 0]
+        u_rr = u_all[:, _DIM_RR]
         max_comp = jnp.max(new_beta, axis=-1)
         q = jnp.maximum(0.05, 1.0 - max_comp)
         rr_active = cont & (bounce > rr_start)

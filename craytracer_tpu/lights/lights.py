@@ -74,13 +74,12 @@ def light_pdf_for_hit(scene: T.Scene, hit_group, hit_prim, hit_point,
         idx = jnp.where(mesh_found, jnp.maximum(tri_lid, 0), idx)
         found = found | mesh_found
 
-    ltype = jnp.take(lights.light_type, idx)
-    p0 = jnp.take(lights.p0, idx, axis=0)
-    v1 = jnp.take(lights.v1, idx, axis=0)
-    v2 = jnp.take(lights.v2, idx, axis=0)
-    lnormal = jnp.take(lights.normal, idx, axis=0)
-    radius = jnp.take(lights.radius, idx)
-    pick_p = jnp.take(lights.power, idx)
+    from craytracer_tpu.ops.gather import take_rows
+
+    ltype, p0, v1, v2, lnormal, radius, pick_p, mlid_raw = take_rows(
+        idx, (lights.light_type, lights.p0, lights.v1, lights.v2,
+              lights.normal, lights.radius, lights.power,
+              lights.mesh_light_id))
 
     # per-type area density at the hit point (estimateDirect's sampling)
     pdf_rect = 1.0 / jnp.maximum(vm.length(v1) * vm.length(v2), 1e-12)
@@ -92,7 +91,7 @@ def light_pdf_for_hit(scene: T.Scene, hit_group, hit_prim, hit_point,
     pdf_area = jnp.where(ltype == T.LIGHT_AREA_RECT, pdf_rect, 0.0)
     pdf_area = jnp.where(ltype == T.LIGHT_AREA_SPHERE, pdf_sph, pdf_area)
     pdf_area = jnp.where(ltype == T.LIGHT_AREA_DISK, pdf_dsk, pdf_area)
-    mlid2 = jnp.maximum(jnp.take(lights.mesh_light_id, idx), 0)
+    mlid2 = jnp.maximum(mlid_raw, 0)
     if scene.mesh_lights.surface_area.shape[0] > 0:
         pdf_msh = 1.0 / jnp.maximum(
             jnp.take(scene.mesh_lights.surface_area, mlid2), 1e-9)
@@ -158,14 +157,13 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
     reference reserves for its raycast/whitted modes."""
     lights = scene.lights
 
-    ltype = jnp.take(lights.light_type, idx)
-    p0 = jnp.take(lights.p0, idx, axis=0)
-    v1 = jnp.take(lights.v1, idx, axis=0)
-    v2 = jnp.take(lights.v2, idx, axis=0)
-    lnormal = jnp.take(lights.normal, idx, axis=0)
-    radius = jnp.take(lights.radius, idx)
-    color = jnp.take(lights.color, idx, axis=0)
-    intensity = jnp.take(lights.intensity, idx)
+    from craytracer_tpu.ops.gather import take_rows
+
+    (ltype, p0, v1, v2, lnormal, radius, color, intensity,
+     mlid_raw) = take_rows(
+        idx, (lights.light_type, lights.p0, lights.v1, lights.v2,
+              lights.normal, lights.radius, lights.color, lights.intensity,
+              lights.mesh_light_id))
 
     # ---- RECT (trace.h:244-254): uniform point, pdf = 1/(|w||h|)
     sp_rect = p0 + u2[:, 0:1] * v1 + u2[:, 1:2] * v2
@@ -210,7 +208,7 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
     # search over triangle areas + uniform barycentrics. The reference never
     # NEE-picks these (power 0); the principled power mode does.
     ml = scene.mesh_lights
-    mlid = jnp.maximum(jnp.take(lights.mesh_light_id, idx), 0)
+    mlid = jnp.maximum(mlid_raw, 0)
     has_mesh = ml.tri_index.shape[0] > 0
     if has_mesh:
         start = jnp.take(ml.light_offset, mlid)
@@ -233,13 +231,12 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
         cur_cdf = jnp.take(ml.cdf, jnp.clip(pos, 0, ml.cdf.shape[0] - 1))
         r1 = jnp.clip((u_cdf - prev_cdf) / jnp.maximum(cur_cdf - prev_cdf, 1e-9), 0.0, 1.0)
         tri = jnp.take(ml.tri_index, jnp.clip(pos, 0, ml.tri_index.shape[0] - 1))
-        tv0 = jnp.take(scene.triangles.v0, tri, axis=0)
-        tv1 = jnp.take(scene.triangles.v1, tri, axis=0)
-        tv2 = jnp.take(scene.triangles.v2, tri, axis=0)
+        tv0, tv1, tv2, sn_mesh = take_rows(
+            tri, (scene.triangles.v0, scene.triangles.v1,
+                  scene.triangles.v2, scene.triangles.face_normal))
         sqrt_r1 = jnp.sqrt(r1)[:, None]
         r2 = u2[:, 1:2]
         sp_mesh = (1.0 - sqrt_r1) * tv0 + sqrt_r1 * (1.0 - r2) * tv1 + sqrt_r1 * r2 * tv2
-        sn_mesh = jnp.take(scene.triangles.face_normal, tri, axis=0)
         pdf_mesh = 1.0 / jnp.maximum(jnp.take(ml.surface_area, mlid), 1e-9)
     else:
         sp_mesh = jnp.zeros_like(hit_point)

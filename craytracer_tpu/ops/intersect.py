@@ -254,6 +254,12 @@ def _take(arr, idx):
     return jnp.take(arr, idx, axis=0)
 
 
+# All fills fetch their per-primitive attributes with ONE fused lookup
+# (ops/gather.py): separate jnp.take calls are latency-bound on TPU and
+# dominated round-1 bounce time.
+from craytracer_tpu.ops.gather import take_rows
+
+
 def _newton_t(t0, F, Fp):
     """One implicit-function step; Fp is detached to keep it a pure
     reparametrization (value preserved, gradient = -F_theta / F_t)."""
@@ -262,8 +268,7 @@ def _newton_t(t0, F, Fp):
 
 
 def _fill_sphere(o, d, t, idx, s: T.Spheres):
-    c = _take(s.center, idx)
-    r = _take(s.radius, idx)
+    c, r, mat_id = take_rows(idx, (s.center, s.radius, s.mat_id))
     # implicit: F(t) = |o + t d - c|^2 - r^2
     oc = o + t[:, None] * d - c
     F = vm.dot(oc, oc) - r * r
@@ -278,23 +283,20 @@ def _fill_sphere(o, d, t, idx, s: T.Spheres):
     uv = jnp.stack([phi_w / TWO_PI, theta / jnp.pi], axis=-1)
     # dpdu ~ (-(z-cz), 0, (x-cx)) (fillShadeRecSphere, shapes/sphere.cpp:4-31)
     dpdu = vm.normalize(jnp.stack([-rel[:, 2], jnp.zeros_like(t), rel[:, 0]], axis=-1))
-    return n, dpdu, uv, _take(s.mat_id, idx), t_diff
+    return n, dpdu, uv, mat_id, t_diff
 
 
 def _fill_plane(o, d, t, idx, p: T.Planes):
-    n = _take(p.normal, idx)
-    p0 = _take(p.point, idx)
+    n, p0, mat_id = take_rows(idx, (p.normal, p.point, p.mat_id))
     t_diff = vm.dot(p0 - o, n) / vm._safe(vm.dot(d, n))
     tang, _, _ = vm.orthonormal_basis(n)
     uv = jnp.zeros((t.shape[0], 2), t.dtype)
-    return n, tang, uv, _take(p.mat_id, idx), t_diff
+    return n, tang, uv, mat_id, t_diff
 
 
 def _fill_rect(o, d, t, idx, r: T.Rects):
-    n = _take(r.normal, idx)
-    w = _take(r.width, idx)
-    h = _take(r.height, idx)
-    p0 = _take(r.point, idx)
+    n, w, h, p0, mat_id = take_rows(
+        idx, (r.normal, r.width, r.height, r.point, r.mat_id))
     t_diff = vm.dot(p0 - o, n) / vm._safe(vm.dot(d, n))
     hp = o + t_diff[:, None] * d
     q = hp - p0
@@ -304,24 +306,24 @@ def _fill_rect(o, d, t, idx, r: T.Rects):
     flip = vm.dot(-d, n) < 0.0
     n = jnp.where(flip[:, None], -n, n)
     dpdu = vm.normalize(jnp.where(flip[:, None], -w, w))
-    return n, dpdu, jnp.stack([u, v], axis=-1), _take(r.mat_id, idx), t_diff
+    return n, dpdu, jnp.stack([u, v], axis=-1), mat_id, t_diff
 
 
 def _fill_disk(o, d, t, idx, k: T.Disks):
-    n = _take(k.normal, idx)
-    c0 = _take(k.center, idx)
+    n, c0, mat_id = take_rows(idx, (k.normal, k.center, k.mat_id))
     t_diff = vm.dot(c0 - o, n) / vm._safe(vm.dot(d, n))
     flip = vm.dot(-d, n) < 0.0
     n = jnp.where(flip[:, None], -n, n)
     tang, _, _ = vm.orthonormal_basis(n)
     uv = jnp.zeros((t.shape[0], 2), t.dtype)
-    return n, tang, uv, _take(k.mat_id, idx), t_diff
+    return n, tang, uv, mat_id, t_diff
 
 
 def _fill_triangle(o, d, t, idx, tr: T.Triangles):
-    v0 = _take(tr.v0, idx)
-    v1 = _take(tr.v1, idx)
-    v2 = _take(tr.v2, idx)
+    (v0, v1, v2, tn0, tn1, tn2, tuv0, tuv1, tuv2, fn, smooth, ds,
+     mat_id) = take_rows(idx, (tr.v0, tr.v1, tr.v2, tr.n0, tr.n1, tr.n2,
+                               tr.uv0, tr.uv1, tr.uv2, tr.face_normal,
+                               tr.smooth, tr.double_sided, tr.mat_id))
     e1 = v1 - v0
     e2 = v2 - v0
     # Recompute barycentrics for the single winning triangle.
@@ -334,34 +336,23 @@ def _fill_triangle(o, d, t, idx, tr: T.Triangles):
     gamma = vm.dot(d, qvec) * inv_det
     t_diff = vm.dot(e2, qvec) * inv_det  # exact differentiable MT re-eval
     alpha = 1.0 - beta - gamma
-    smooth = _take(tr.smooth, idx)
-    fn = _take(tr.face_normal, idx)
     ns = vm.normalize(
-        alpha[:, None] * _take(tr.n0, idx)
-        + beta[:, None] * _take(tr.n1, idx)
-        + gamma[:, None] * _take(tr.n2, idx)
+        alpha[:, None] * tn0 + beta[:, None] * tn1 + gamma[:, None] * tn2
     )
     n = jnp.where(smooth[:, None], ns, fn)
     # Standalone triangles face the ray (shapes/triangle.cpp:160-166).
-    ds = _take(tr.double_sided, idx)
     flip = ds & (vm.dot(-d, n) < 0.0)
     n = jnp.where(flip[:, None], -n, n)
-    uv = (
-        alpha[:, None] * _take(tr.uv0, idx)
-        + beta[:, None] * _take(tr.uv1, idx)
-        + gamma[:, None] * _take(tr.uv2, idx)
-    )
+    uv = alpha[:, None] * tuv0 + beta[:, None] * tuv1 + gamma[:, None] * tuv2
     uv = uv - jnp.floor(uv)  # wrap to [0,1) (triangle.cpp:195-199)
     dpdu = vm.normalize(e1)
-    return n, dpdu, uv, _take(tr.mat_id, idx), t_diff
+    return n, dpdu, uv, mat_id, t_diff
 
 
 def _fill_instanced(o, d, t, idx, inst: T.Instanced):
-    a = _take(inst.inv_transform, idx)  # [N, 3, 4]
-    nm = _take(inst.normal_mat, idx)  # [N, 3, 3]
-    kind = _take(inst.kind, idx)
-    p = _take(inst.params, idx)
-    ntype = _take(inst.normal_type, idx)
+    a, nm, kind, p, ntype, mat_id = take_rows(
+        idx, (inst.inv_transform, inst.normal_mat, inst.kind, inst.params,
+              inst.normal_type, inst.mat_id))
     oo = jnp.einsum("nij,nj->ni", a[:, :, :3], o) + a[:, :, 3]
     od = jnp.einsum("nij,nj->ni", a[:, :, :3], d)
     hp = oo + t[:, None] * od
@@ -449,7 +440,7 @@ def _fill_instanced(o, d, t, idx, inst: T.Instanced):
     )
     tang, _, _ = vm.orthonormal_basis(n)
     uv = jnp.where((kind == T.INST_OPEN_CYLINDER)[:, None], uv_cyl, jnp.zeros_like(uv_cyl))
-    return n, tang, uv, _take(inst.mat_id, idx), t_diff
+    return n, tang, uv, mat_id, t_diff
 
 
 _GROUPS = (

@@ -36,7 +36,11 @@ def hash_u32(x):
 
 
 def _combine(seed, pixel_id, spp_index, bounce, dim):
-    h = hash_u32(jnp.asarray(pixel_id, jnp.uint32) + _GOLDEN * jnp.uint32(spp_index))
+    # pixel and spp are hashed in separate rounds before combining: a linear
+    # fold (pixel + GOLDEN*spp) aliases whenever pixel2-pixel1 == GOLDEN*k
+    # (mod 2^32), replaying entire sample streams between those lanes.
+    h = hash_u32(jnp.asarray(pixel_id, jnp.uint32))
+    h = hash_u32(h ^ hash_u32(jnp.uint32(spp_index)))
     h = hash_u32(h ^ (jnp.uint32(seed) + _GOLDEN * jnp.uint32(bounce)))
     return hash_u32(h + _GOLDEN * jnp.asarray(dim, jnp.uint32))
 

@@ -497,11 +497,19 @@ class SceneBuilder:
 
             tri_bvh = build_grid(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
 
+        from craytracer_tpu.ops.gather import validate_int_tables
+
+        validate_int_tables(
+            materials.mat_type, materials.distrib, materials.diffuse_tex,
+            materials.normal_tex, lights.light_type, lights.mesh_light_id,
+            triangles.mat_id)
         return T.Scene(
             spheres=spheres, planes=planes, rects=rects, disks=disks,
             triangles=triangles, instanced=instanced, materials=materials,
             lights=lights, mesh_lights=mesh_lights, env=env, textures=textures,
             tri_bvh=tri_bvh, accel=accel,
+            mat_types_present=tuple(sorted(
+                int(t) for t in np.unique(np.asarray(materials.mat_type)))),
         )
 
     @staticmethod

@@ -249,6 +249,11 @@ class Scene:
     textures: TexturePack
     tri_bvh: object = None  # BVHArrays when accel == 'bvh'
     accel: str = flax.struct.field(pytree_node=False, default="none")
+    # Static set of MAT_* codes present in the material table, filled by
+    # SceneBuilder. jit specializes on it: absent material types cost zero
+    # lobe evaluations in the BSDF stage (bsdf/bxdf.py `present`). Empty
+    # tuple = unknown -> evaluate everything.
+    mat_types_present: tuple = flax.struct.field(pytree_node=False, default=())
 
     @property
     def num_lights(self) -> int:

@@ -87,6 +87,8 @@ def _params_for(mat_type, n, **kw):
         distrib=jnp.zeros((n,), jnp.int32), intensity=ones * 0.0,
     )
     defaults.update(kw)
+    defaults.setdefault("color_raw", defaults["color"])
+    defaults.setdefault("normal_tex", jnp.full((n,), -1, jnp.int32))
     return MatParams(**defaults)
 
 

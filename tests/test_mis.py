@@ -43,8 +43,16 @@ def _passes(scene, cam, film, ids, estimator, n_spp):
     return np.stack(vals)  # [spp, N, 3]
 
 
-def test_mis_unbiased_vs_physical(setup):
-    scene, cam, film, ids = setup
+def test_mis_unbiased_vs_physical():
+    # Unbiasedness is checked on a LARGER light than the variance test:
+    # with a 1x1 lamp the physical estimator's glossy spikes are so
+    # heavy-tailed that its 96-spp image mean swings by >20% with the RNG
+    # stream (measured 0.66..0.87 against a 0.66 converged value) — any
+    # pass/fail there measures luck, not bias.
+    scene = _glossy_scene(4.0)
+    cam = make_camera((0, 4, 14), (0, 0, 0))
+    film = Film(fov=jnp.float32(np.radians(40.0)), width=12, height=12)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
     n = 96
     mis = _passes(scene, cam, film, ids, "mis", n)
     phys = _passes(scene, cam, film, ids, "physical", n)
