@@ -99,12 +99,17 @@ def main():
             0, args.iters, body,
             (jnp.zeros((film.num_pixels, 3)), jnp.zeros((), jnp.int32)))
 
-    acc, rays = passes(scene, 0)
-    acc.block_until_ready()
-    t0 = time.time()
-    acc, rays = passes(scene, args.iters)
-    acc.block_until_ready()
-    dt = time.time() - t0
+    import time as _t
+    base = int(_t.time()) % 1000000  # defeat the axon relay result cache
+    acc, rays = passes(scene, base)
+    float(acc.mean())  # forced readback (relay acks block_until_ready early)
+    dts = []
+    for rep in range(2):
+        t0 = time.time()
+        acc, rays = passes(scene, base + (rep + 1) * args.iters)
+        float(acc.mean())
+        dts.append(time.time() - t0)
+    dt = min(dts)
     rps = int(rays) / dt
     assert not bool(jnp.isnan(acc).any())
     print(json.dumps({"metric": f"mesh_{n_tris}tris_rays_per_sec",

@@ -18,6 +18,11 @@ found (intersect.h:443-545 semantics).
 Node layout (depth-first): internal nodes store the right-child index and
 split axis (left child is node+1); leaves store (first_tri, count) into a
 leaf-reordered triangle index array.
+
+TPU note — FAT node rows (same rationale as accel/bvh4.py): XLA gathers
+are latency-bound per op but row width is nearly free, so each node row
+inlines its box, right/axis, and the leaf's <=LEAF_SIZE triangles
+(v0/e1/e2/orig-id) — ONE gather per traversal step instead of 22.
 """
 
 from __future__ import annotations
@@ -34,19 +39,17 @@ LEAF_SIZE = 4
 MAX_STACK = 64
 
 
+# Fat-row layout: [0:3) min, [3:6) max, [6] right child (-1 = leaf),
+# [7] split axis, [8:8+LEAF_SIZE*10) leaf tris (v0[3], e1[3], e2[3], id).
+_TRI_COLS = 10
+_BIN_TRI0 = 8
+BIN_FAT_WIDTH = _BIN_TRI0 + LEAF_SIZE * _TRI_COLS
+
+
 @flax.struct.dataclass
 class BVHArrays:
-    node_min: jnp.ndarray  # [M, 3]
-    node_max: jnp.ndarray  # [M, 3]
-    right: jnp.ndarray  # [M] right-child node index (internal) or -1
-    axis: jnp.ndarray  # [M] split axis (internal)
-    first: jnp.ndarray  # [M] first tri slot (leaf) or -1
-    count: jnp.ndarray  # [M] tri count (leaf) or 0
-    tri_index: jnp.ndarray  # [T_padded] original triangle ids, leaf-ordered
-    # packed leaf triangle data (gather-free leaf tests)
-    v0: jnp.ndarray  # [T_padded, 3]
-    e1: jnp.ndarray  # [T_padded, 3]
-    e2: jnp.ndarray  # [T_padded, 3]
+    fat: jnp.ndarray  # [M, BIN_FAT_WIDTH]
+    n_tris: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def _build_arrays(v0, v1, v2, leaf_size=LEAF_SIZE):
@@ -95,90 +98,63 @@ def _build_arrays(v0, v1, v2, leaf_size=LEAF_SIZE):
 
 def build_bvh_arrays(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                      leaf_size: int = LEAF_SIZE) -> BVHArrays:
-    """Host-side build -> BVHArrays (device)."""
+    """Host-side build -> fat-row BVHArrays (device)."""
     v0 = np.asarray(v0, np.float64)
     v1 = np.asarray(v1, np.float64)
     v2 = np.asarray(v2, np.float64)
     t = v0.shape[0]
     if t == 0:
-        z3 = jnp.zeros((1, 3), jnp.float32)
-        zi = jnp.zeros((1,), jnp.int32)
-        return BVHArrays(node_min=z3, node_max=z3, right=zi - 1, axis=zi,
-                         first=zi, count=zi, tri_index=zi, v0=z3, e1=z3, e2=z3)
+        fat = np.zeros((1, BIN_FAT_WIDTH), np.float32)
+        fat[:, 6] = -1.0
+        fat[:, _BIN_TRI0 + _TRI_COLS - 1::_TRI_COLS] = -1.0
+        return BVHArrays(fat=jnp.asarray(fat), n_tris=0)
+    if t >= (1 << 24):
+        raise ValueError("fat-row BVH inlines f32 triangle ids; "
+                         "triangle count must stay below 2^24")
     from craytracer_tpu.native import build_bvh_native
 
     nat = build_bvh_native(v0, v1, v2, leaf_size)
     if nat is not None:
         node_min, node_max, right, axis, first, count, order_np = nat
-        order_np = order_np.astype(np.int64)
-        pv0 = v0[order_np]
-        pe1 = v1[order_np] - v0[order_np]
-        pe2 = v2[order_np] - v0[order_np]
-        f32 = np.float32
-        return BVHArrays(
-            node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
-            right=jnp.asarray(right), axis=jnp.asarray(axis),
-            first=jnp.asarray(first), count=jnp.asarray(count),
-            tri_index=jnp.asarray(order_np, jnp.int32),
-            v0=jnp.asarray(pv0.astype(f32)), e1=jnp.asarray(pe1.astype(f32)),
-            e2=jnp.asarray(pe2.astype(f32)),
-        )
+    else:
+        nodes, order = _build_arrays(v0, v1, v2, leaf_size)
+        node_min = np.stack([n["min"] for n in nodes]).astype(np.float32)
+        node_max = np.stack([n["max"] for n in nodes]).astype(np.float32)
+        right = np.asarray([n["right"] for n in nodes], np.int32)
+        axis = np.asarray([n["axis"] for n in nodes], np.int32)
+        first = np.asarray([n["first"] for n in nodes], np.int32)
+        count = np.asarray([n["count"] for n in nodes], np.int32)
+        order_np = np.asarray(order, np.int32)
 
-    nodes, order = _build_arrays(v0, v1, v2, leaf_size)
-    order_np = np.asarray(order, np.int64)
-    pv0 = v0[order_np]
-    pe1 = v1[order_np] - v0[order_np]
-    pe2 = v2[order_np] - v0[order_np]
-    f32 = np.float32
-    return BVHArrays(
-        node_min=jnp.asarray(np.stack([n["min"] for n in nodes]).astype(f32)),
-        node_max=jnp.asarray(np.stack([n["max"] for n in nodes]).astype(f32)),
-        right=jnp.asarray([n["right"] for n in nodes], jnp.int32),
-        axis=jnp.asarray([n["axis"] for n in nodes], jnp.int32),
-        first=jnp.asarray([n["first"] for n in nodes], jnp.int32),
-        count=jnp.asarray([n["count"] for n in nodes], jnp.int32),
-        tri_index=jnp.asarray(order_np, jnp.int32),
-        v0=jnp.asarray(pv0.astype(f32)),
-        e1=jnp.asarray(pe1.astype(f32)),
-        e2=jnp.asarray(pe2.astype(f32)),
-    )
+    order64 = order_np.astype(np.int64)
+    pv0 = v0[order64].astype(np.float32)
+    pe1 = (v1[order64] - v0[order64]).astype(np.float32)
+    pe2 = (v2[order64] - v0[order64]).astype(np.float32)
+    tri_rows = np.concatenate(
+        [pv0, pe1, pe2, order_np.astype(np.float32)[:, None]], axis=1)
+
+    m = node_min.shape[0]
+    first64 = first.astype(np.int64)
+    slots = first64[:, None] + np.arange(LEAF_SIZE)[None, :]  # [M, L]
+    valid = (first64[:, None] >= 0) & (np.arange(LEAF_SIZE)[None, :]
+                                       < count.astype(np.int64)[:, None])
+    pad = np.zeros(_TRI_COLS, np.float32)
+    pad[-1] = -1.0
+    blocks = np.where(valid[..., None], tri_rows[np.clip(slots, 0, t - 1)], pad)
+    fat = np.concatenate([
+        node_min.astype(np.float32), node_max.astype(np.float32),
+        right.astype(np.float32)[:, None], axis.astype(np.float32)[:, None],
+        blocks.reshape(m, LEAF_SIZE * _TRI_COLS),
+    ], axis=1).astype(np.float32)
+    return BVHArrays(fat=jnp.asarray(fat), n_tris=t)
 
 
 # keep the public name pointing at the working implementation
 build_bvh = build_bvh_arrays
 
 
-def _leaf_test(bvh: BVHArrays, o, d, leaf_first, leaf_count, best_t, best_tri,
-               any_hit: bool, max_dist):
-    """Masked <=LEAF_SIZE-triangle Moller-Trumbore for the current leaf of
-    every lane (the batched form of calcTriangleIntersect4)."""
-    for j in range(LEAF_SIZE):
-        slot = leaf_first + j
-        valid = j < leaf_count
-        slot_c = jnp.clip(slot, 0, bvh.v0.shape[0] - 1)
-        tv0 = jnp.take(bvh.v0, slot_c, axis=0)
-        te1 = jnp.take(bvh.e1, slot_c, axis=0)
-        te2 = jnp.take(bvh.e2, slot_c, axis=0)
-        pvec = vm.cross(d, te2)
-        det = vm.dot(te1, pvec)
-        inv_det = 1.0 / vm._safe(det)
-        tvec = o - tv0
-        beta = vm.dot(tvec, pvec) * inv_det
-        qvec = vm.cross(tvec, te1)
-        gamma = vm.dot(d, qvec) * inv_det
-        tt = vm.dot(te2, qvec) * inv_det
-        ok = (
-            valid & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
-            & (tt > K_EPSILON) & (tt < best_t)
-        )
-        if any_hit:
-            ok = ok & (tt < max_dist)
-        best_tri = jnp.where(ok, jnp.take(bvh.tri_index, slot_c), best_tri)
-        best_t = jnp.where(ok, tt, best_t)
-    return best_t, best_tri
-
-
 def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
+    """Fat-row stack traversal: one gather per step (module docstring)."""
     n = o.shape[0]
     inv_d = 1.0 / vm._safe(d)
     neg_dir = d < 0.0  # [N, 3]
@@ -189,6 +165,7 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
     sp = jnp.ones((n,), jnp.int32)  # root pushed
     best_t = jnp.full((n,), TMAX)
     best_tri = jnp.full((n,), -1, jnp.int32)
+    n_nodes = bvh.fat.shape[0]
 
     def cond(state):
         sp, *_ = state
@@ -200,9 +177,14 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
         top = jnp.maximum(sp - 1, 0)
         node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
         sp = jnp.where(active, sp - 1, sp)
+        node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
-        nmin = jnp.take(bvh.node_min, node, axis=0)
-        nmax = jnp.take(bvh.node_max, node, axis=0)
+        row = jnp.take(bvh.fat, node_c, axis=0)  # THE gather
+        nmin = row[:, 0:3]
+        nmax = row[:, 3:6]
+        right = row[:, 6].astype(jnp.int32)
+        axis = row[:, 7].astype(jnp.int32)
+
         t0 = (nmin - o) * inv_d
         t1 = (nmax - o) * inv_d
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
@@ -210,21 +192,36 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
         tlimit = jnp.minimum(best_t, max_dist)
         box_hit = active & (tn <= tf) & (tf > 0.0) & (tn < tlimit)
 
-        count = jnp.take(bvh.count, node)
-        first = jnp.take(bvh.first, node)
-        right = jnp.take(bvh.right, node)
-        axis = jnp.take(bvh.axis, node)
-        is_leaf = count > 0
-
-        # Leaf: masked triangle tests.
-        do_leaf = box_hit & is_leaf
-        lt, ltri = _leaf_test(bvh, o, d, first, jnp.where(do_leaf, count, 0),
-                              best_t, best_tri, any_hit, max_dist)
-        best_t, best_tri = lt, ltri
+        # Leaf triangles, tested unconditionally (pads/misses cannot win).
+        tris = row[:, _BIN_TRI0:].reshape(n, LEAF_SIZE, _TRI_COLS)
+        tv0 = tris[..., 0:3]
+        te1 = tris[..., 3:6]
+        te2 = tris[..., 6:9]
+        tid = tris[..., 9].astype(jnp.int32)
+        dN = d[:, None, :]
+        pvec = jnp.cross(dN, te2)
+        det = jnp.sum(te1 * pvec, axis=-1)
+        inv_det = 1.0 / vm._safe(det)
+        tvec = o[:, None, :] - tv0
+        beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, te1)
+        gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
+        tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
+        ok = (active[:, None] & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+              & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t[:, None]))
+        if any_hit:
+            ok = ok & (tt < max_dist[:, None])
+        tt = jnp.where(ok, tt, TMAX)
+        slot = jnp.argmin(tt, axis=1)
+        t_min = jnp.take_along_axis(tt, slot[:, None], axis=1)[:, 0]
+        hit_any = t_min < best_t
+        best_tri = jnp.where(
+            hit_any, jnp.take_along_axis(tid, slot[:, None], axis=1)[:, 0], best_tri)
+        best_t = jnp.where(hit_any, t_min, best_t)
 
         # Internal: push far then near (near popped first), ordered by ray
         # sign along the split axis (accelerator/bvh4.h:306-352).
-        do_push = box_hit & ~is_leaf
+        do_push = box_hit & (right >= 0)
         left = node + 1
         go_left_first = ~jnp.take_along_axis(neg_dir, axis[:, None], axis=1)[:, 0]
         near = jnp.where(go_left_first, left, right)

@@ -16,6 +16,19 @@ Node layout (SoA, the batched analog of BVHNode4's float[24] box block):
                                    internal child)
 Children are tested simultaneously; hits are pushed far-to-near (insertion
 sort over 4 via masked swaps) so the nearest pops first.
+
+TPU note — the FAT-ROW traversal: XLA gathers on TPU are latency-bound
+per gather op (~1.4-4.6ms at 65k-262k lanes on v5e) but row width is
+nearly free (measured: [262k]<-[M,13] == [M,256] within 12%). Round 1
+issued ~69 gathers per while-loop step (5 node fields + 4 child slots x
+LEAF_SIZE tris x 3 vertex arrays); this build instead packs EVERYTHING a
+traversal step needs into one [M, 192] row — 4 child boxes, child ids,
+leaf counts, and all 4 leaf children's triangles (v0/e1/e2/orig-id,
+padded to LEAF_SIZE) — so each step is ONE gather plus dense VPU math.
+Triangles of missed child boxes are tested anyway (correctness-neutral:
+a triangle inside a missed or too-far box can never beat best_t; padded
+slots carry degenerate data that never hits) — masking would cost more
+than the 16 extra Moller-Trumbore lanes.
 """
 
 from __future__ import annotations
@@ -32,33 +45,31 @@ from craytracer_tpu.accel.bvh import LEAF_SIZE, MAX_STACK, _build_arrays
 WIDTH = 4
 
 
+# Fat-row layout (see module docstring): per-node f32 columns
+#   [0:12)   4 child mins, [12:24) 4 child maxs, [24:28) child node ids
+#   [28:28+16*10) 4 children x LEAF_SIZE tris x (v0[3], e1[3], e2[3], id)
+_TRI_COLS = 10
+_FAT_TRI0 = 28
+FAT_WIDTH = _FAT_TRI0 + WIDTH * LEAF_SIZE * _TRI_COLS
+
+
 @flax.struct.dataclass
 class BVH4Arrays:
-    child_min: jnp.ndarray  # [M, 4, 3]
-    child_max: jnp.ndarray  # [M, 4, 3]
-    child: jnp.ndarray  # [M, 4] node index or -1
-    leaf_first: jnp.ndarray  # [M, 4]
-    leaf_count: jnp.ndarray  # [M, 4]
-    tri_index: jnp.ndarray  # [T] leaf-ordered original triangle ids
-    v0: jnp.ndarray  # [T, 3] packed leaf triangles
-    e1: jnp.ndarray
-    e2: jnp.ndarray
+    fat: jnp.ndarray  # [M, FAT_WIDTH] fat node rows (one gather per step)
+    n_tris: int = flax.struct.field(pytree_node=False, default=0)
 
 
-def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-               leaf_size: int = LEAF_SIZE) -> BVH4Arrays:
-    """Collapse the binary median-split BVH into 4-wide nodes."""
+def collapse4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              leaf_size: int = LEAF_SIZE):
+    """Host-side binary-BVH build + one-level collapse into 4-wide nodes.
+
+    Returns numpy (mins[M,4,3], maxs[M,4,3], child[M,4], lf[M,4], lc[M,4],
+    order[T], pv0/pe1/pe2[T,3]) — shared by the fat-row builder here and the
+    quantized builder in bvh4q.py."""
     v0 = np.asarray(v0, np.float64)
     v1 = np.asarray(v1, np.float64)
     v2 = np.asarray(v2, np.float64)
     t = v0.shape[0]
-    if t == 0:
-        z3 = jnp.zeros((1, WIDTH, 3), jnp.float32)
-        zi = jnp.full((1, WIDTH), -1, jnp.int32)
-        z1 = jnp.zeros((1, 3), jnp.float32)
-        return BVH4Arrays(child_min=z3, child_max=z3, child=zi,
-                          leaf_first=zi, leaf_count=jnp.zeros((1, WIDTH), jnp.int32),
-                          tri_index=jnp.zeros((1,), jnp.int32), v0=z1, e1=z1, e2=z1)
 
     from craytracer_tpu.native import build_bvh_native
 
@@ -141,65 +152,64 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         sys.setrecursionlimit(old)
 
     order64 = order.astype(np.int64)
-    pv0 = v0[order64]
-    pe1 = v1[order64] - v0[order64]
-    pe2 = v2[order64] - v0[order64]
-    f32 = np.float32
-    return BVH4Arrays(
-        child_min=jnp.asarray(np.stack([q[0] for q in q_nodes])),
-        child_max=jnp.asarray(np.stack([q[1] for q in q_nodes])),
-        child=jnp.asarray(np.stack([q[2] for q in q_nodes])),
-        leaf_first=jnp.asarray(np.stack([q[3] for q in q_nodes])),
-        leaf_count=jnp.asarray(np.stack([q[4] for q in q_nodes])),
-        tri_index=jnp.asarray(order, jnp.int32),
-        v0=jnp.asarray(pv0.astype(f32)),
-        e1=jnp.asarray(pe1.astype(f32)),
-        e2=jnp.asarray(pe2.astype(f32)),
-    )
+    pv0 = v0[order64].astype(np.float32)
+    pe1 = (v1[order64] - v0[order64]).astype(np.float32)
+    pe2 = (v2[order64] - v0[order64]).astype(np.float32)
+
+    mins = np.stack([q[0] for q in q_nodes]).astype(np.float32)  # [M,4,3]
+    maxs = np.stack([q[1] for q in q_nodes]).astype(np.float32)
+    child = np.stack([q[2] for q in q_nodes])
+    lf = np.stack([q[3] for q in q_nodes]).astype(np.int64)
+    lc = np.stack([q[4] for q in q_nodes]).astype(np.int64)
+    return mins, maxs, child, lf, lc, order, pv0, pe1, pe2
 
 
-def _leaf_test4(bvh: BVH4Arrays, o, d, leaf_first, leaf_count, best_t, best_tri,
-                any_hit, max_dist):
-    """Masked <=LEAF_SIZE-triangle test for one child-leaf per lane."""
-    for j in range(LEAF_SIZE):
-        slot = leaf_first + j
-        valid = (leaf_first >= 0) & (j < leaf_count)
-        slot_c = jnp.clip(slot, 0, bvh.v0.shape[0] - 1)
-        tv0 = jnp.take(bvh.v0, slot_c, axis=0)
-        te1 = jnp.take(bvh.e1, slot_c, axis=0)
-        te2 = jnp.take(bvh.e2, slot_c, axis=0)
-        pvec = vm.cross(d, te2)
-        det = vm.dot(te1, pvec)
-        inv_det = 1.0 / vm._safe(det)
-        tvec = o - tv0
-        beta = vm.dot(tvec, pvec) * inv_det
-        qvec = vm.cross(tvec, te1)
-        gamma = vm.dot(d, qvec) * inv_det
-        tt = vm.dot(te2, qvec) * inv_det
-        ok = (valid & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
-              & (tt > K_EPSILON) & (tt < best_t))
-        if any_hit:
-            ok = ok & (tt < max_dist)
-        best_tri = jnp.where(ok, jnp.take(bvh.tri_index, slot_c), best_tri)
-        best_t = jnp.where(ok, tt, best_t)
-    return best_t, best_tri
+def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+               leaf_size: int = LEAF_SIZE) -> BVH4Arrays:
+    """4-wide BVH with fat node rows (see module docstring)."""
+    t = np.asarray(v0).shape[0]
+    if t == 0:
+        fat = np.zeros((1, FAT_WIDTH), np.float32)
+        fat[:, 24:28] = -1.0  # no children
+        fat[:, _FAT_TRI0 + _TRI_COLS - 1::_TRI_COLS] = -1.0  # no tris
+        return BVH4Arrays(fat=jnp.asarray(fat), n_tris=0)
+    if t >= (1 << 24):
+        raise ValueError("fat-row BVH4 inlines f32 triangle ids; "
+                         "triangle count must stay below 2^24")
+    mins, maxs, child, lf, lc, order, pv0, pe1, pe2 = collapse4(
+        v0, v1, v2, leaf_size)
+    m = mins.shape[0]
+    child = child.astype(np.float32)
+
+    # vectorized fat-row assembly
+    tri_rows = np.concatenate(
+        [pv0, pe1, pe2, order.astype(np.float32)[:, None]], axis=1)  # [T,10]
+    slots = lf[:, :, None] + np.arange(LEAF_SIZE)[None, None, :]  # [M,4,L]
+    valid = (lf[:, :, None] >= 0) & (np.arange(LEAF_SIZE)[None, None, :] < lc[:, :, None])
+    pad = np.zeros(_TRI_COLS, np.float32)
+    pad[-1] = -1.0  # degenerate tri: zero edges never hit, id -1 guards
+    blocks = np.where(valid[..., None],
+                      tri_rows[np.clip(slots, 0, t - 1)], pad)  # [M,4,L,10]
+    fat = np.concatenate([
+        mins.reshape(m, 12), maxs.reshape(m, 12), child,
+        blocks.reshape(m, WIDTH * LEAF_SIZE * _TRI_COLS),
+    ], axis=1).astype(np.float32)
+    return BVH4Arrays(fat=jnp.asarray(fat), n_tris=t)
 
 
 def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
+    """Fat-row stack traversal: ONE [N] gather per step (module docstring)."""
     n = o.shape[0]
     inv_d = 1.0 / vm._safe(d)
     if max_dist is None:
         max_dist = jnp.full((n,), TMAX)
 
-    # Stack entries encode child slots: node*4 + slot for internal pushes is
-    # unnecessary — we push NODE indices; leaf children are resolved at test
-    # time. An entry is (node_index); the 4 children of the popped node are
-    # box-tested together, leaf children get their triangles tested
-    # immediately, internal children are pushed near-first.
     stack = jnp.zeros((n, MAX_STACK), jnp.int32)
     sp = jnp.ones((n,), jnp.int32)  # root node 0 pushed
     best_t = jnp.full((n,), TMAX)
     best_tri = jnp.full((n,), -1, jnp.int32)
+    n_nodes = bvh.fat.shape[0]
+    k_slots = WIDTH * LEAF_SIZE
 
     def cond(state):
         sp, *_ = state
@@ -211,10 +221,14 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
         top = jnp.maximum(sp - 1, 0)
         node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
         sp = jnp.where(active, sp - 1, sp)
-        node_c = jnp.clip(node, 0, bvh.child.shape[0] - 1)
+        node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
-        cmin = jnp.take(bvh.child_min, node_c, axis=0)  # [N, 4, 3]
-        cmax = jnp.take(bvh.child_max, node_c, axis=0)
+        row = jnp.take(bvh.fat, node_c, axis=0)  # [N, FAT_WIDTH] — THE gather
+        cmin = row[:, 0:12].reshape(n, WIDTH, 3)
+        cmax = row[:, 12:24].reshape(n, WIDTH, 3)
+        child = row[:, 24:28].astype(jnp.int32)  # [N, 4]
+
+        # 4-box slab test (rayIntersectAABB4, accelerator/bvh4.h:23-97)
         t0 = (cmin - o[:, None, :]) * inv_d[:, None, :]
         t1 = (cmax - o[:, None, :]) * inv_d[:, None, :]
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [N, 4]
@@ -222,21 +236,37 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
         tlimit = jnp.minimum(best_t, max_dist)
         box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < tlimit[:, None])
 
-        child = jnp.take(bvh.child, node_c, axis=0)  # [N, 4]
-        lf = jnp.take(bvh.leaf_first, node_c, axis=0)
-        lc = jnp.take(bvh.leaf_count, node_c, axis=0)
-        is_leaf_child = (lc > 0) & box_hit
-        is_int_child = (child >= 0) & box_hit
-
-        # test all hit leaf children (up to 4 per lane)
-        for k in range(WIDTH):
-            best_t, best_tri = _leaf_test4(
-                bvh, o, d,
-                jnp.where(is_leaf_child[:, k], lf[:, k], -1),
-                lc[:, k], best_t, best_tri, any_hit, max_dist)
+        # All 16 inlined leaf triangles, tested unconditionally (dense VPU
+        # math beats masking; misses/pads cannot produce a valid closer t).
+        tris = row[:, _FAT_TRI0:].reshape(n, k_slots, _TRI_COLS)
+        tv0 = tris[..., 0:3]
+        te1 = tris[..., 3:6]
+        te2 = tris[..., 6:9]
+        tid = tris[..., 9].astype(jnp.int32)  # [N, 16]
+        dN = d[:, None, :]
+        pvec = jnp.cross(dN, te2)
+        det = jnp.sum(te1 * pvec, axis=-1)
+        inv_det = 1.0 / vm._safe(det)
+        tvec = o[:, None, :] - tv0
+        beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, te1)
+        gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
+        tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
+        ok = (active[:, None] & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+              & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t[:, None]))
+        if any_hit:
+            ok = ok & (tt < max_dist[:, None])
+        tt = jnp.where(ok, tt, TMAX)
+        slot = jnp.argmin(tt, axis=1)
+        t_min = jnp.take_along_axis(tt, slot[:, None], axis=1)[:, 0]
+        hit_any = t_min < best_t
+        best_tri = jnp.where(
+            hit_any, jnp.take_along_axis(tid, slot[:, None], axis=1)[:, 0], best_tri)
+        best_t = jnp.where(hit_any, t_min, best_t)
 
         # push internal children ordered far-to-near by tn (nearest on top):
         # insertion sort of 4 (tn, child) pairs via masked compare-swaps
+        is_int_child = (child >= 0) & box_hit
         key = jnp.where(is_int_child, tn, -jnp.inf)  # far = larger key first
 
         def swap(key, val, i, j):

@@ -3,14 +3,19 @@
 Implements the memory-traffic reduction of "Minimizing Ray Tracing Memory
 Traffic through Quantized Structures and Ray Stream Tracing" (PAPERS.md):
 each node stores its own bounds in f32 once, and its 4 children's boxes as
-u8 offsets within them — 48 bytes of box data per node instead of 96, so
-every traversal step moves ~2.4x less HBM per node gather. Quantization is
-conservative (floor the mins, ceil the maxs), so traversal visits a strict
-superset of the exact-BVH nodes and returns identical hits; only box-test
-culling is (slightly) looser.
+u8 offsets within them. Quantization is conservative with a one-step pad
+(floor the mins then subtract 1, ceil the maxs then add 1, clamped to
+[0,255]) so f32 rounding in the rel-coordinate division can never shrink a
+child box across a quantization boundary — traversal visits a strict
+superset of the exact-BVH nodes and returns identical hits.
 
-Built by re-encoding a BVH4Arrays; traversal mirrors accel/bvh4.py with a
-decode step after the node gather.
+TPU shape: same FAT-ROW single-gather-per-step design as accel/bvh4.py,
+with the 4 children's 24 u8 box bytes bit-packed into 6 u32 columns
+(bitcast to f32 for storage, decoded with shifts after the gather). Row
+width 176 vs bvh4's 192: on hardware whose gather cost is latency-bound
+rather than bandwidth-bound (measured on v5e — width is nearly free), the
+quantization saves little; the A/B number in the README quantifies that
+honestly. Reference: accelerator/bvh4.h node layout.
 """
 
 from __future__ import annotations
@@ -20,34 +25,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from craytracer_tpu.constants import TMAX
+from craytracer_tpu.constants import K_EPSILON, TMAX
 from craytracer_tpu.core import math as vm
-from craytracer_tpu.accel.bvh import MAX_STACK
-from craytracer_tpu.accel.bvh4 import WIDTH, BVH4Arrays, build_bvh4, _leaf_test4
+from craytracer_tpu.accel.bvh import LEAF_SIZE, MAX_STACK
+from craytracer_tpu.accel.bvh4 import WIDTH, _TRI_COLS, collapse4
+
+_Q_TRI0 = 16  # cols: node_min 3, node_scale 3, child 4, packed boxes 6
+QFAT_WIDTH = _Q_TRI0 + WIDTH * LEAF_SIZE * _TRI_COLS
 
 
 @flax.struct.dataclass
 class BVH4QArrays:
-    node_min: jnp.ndarray  # [M, 3] f32 parent bounds
-    node_scale: jnp.ndarray  # [M, 3] f32 extent / 255
-    qmin: jnp.ndarray  # [M, 4, 3] u8 quantized child mins
-    qmax: jnp.ndarray  # [M, 4, 3] u8 quantized child maxs
-    child: jnp.ndarray  # [M, 4]
-    leaf_first: jnp.ndarray  # [M, 4]
-    leaf_count: jnp.ndarray  # [M, 4]
-    tri_index: jnp.ndarray
-    v0: jnp.ndarray
-    e1: jnp.ndarray
-    e2: jnp.ndarray
+    fat: jnp.ndarray  # [M, QFAT_WIDTH]
+    n_tris: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def build_bvh4q(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                leaf_size: int = 4) -> BVH4QArrays:
-    b4 = build_bvh4(v0, v1, v2, leaf_size)
-    cmin = np.asarray(b4.child_min)  # [M, 4, 3]
-    cmax = np.asarray(b4.child_max)
-    child = np.asarray(b4.child)
-    lc = np.asarray(b4.leaf_count)
+                leaf_size: int = LEAF_SIZE) -> BVH4QArrays:
+    t = np.asarray(v0).shape[0]
+    if t == 0:
+        fat = np.zeros((1, QFAT_WIDTH), np.float32)
+        fat[:, 6:10] = -1.0
+        fat[:, _Q_TRI0 + _TRI_COLS - 1::_TRI_COLS] = -1.0
+        return BVH4QArrays(fat=jnp.asarray(fat), n_tris=0)
+    if t >= (1 << 24):
+        raise ValueError("fat-row BVH4Q inlines f32 triangle ids; "
+                         "triangle count must stay below 2^24")
+    cmin, cmax, child, lf, lc, order, pv0, pe1, pe2 = collapse4(
+        v0, v1, v2, leaf_size)
+    m = cmin.shape[0]
     valid = (child >= 0) | (lc > 0)  # [M, 4]
 
     # parent bounds = union of valid child boxes
@@ -63,19 +69,36 @@ def build_bvh4q(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
     rel_min = (cmin - node_min[:, None, :]) / scale[:, None, :]
     rel_max = (cmax - node_min[:, None, :]) / scale[:, None, :]
-    qmin = np.clip(np.floor(rel_min), 0, 255).astype(np.uint8)
-    qmax = np.clip(np.ceil(rel_max), 0, 255).astype(np.uint8)
+    # one-step conservative pad: f32 rounding in the division above may
+    # floor/ceil across an integer boundary (ADVICE.md round 1)
+    qmin = np.clip(np.floor(rel_min) - 1, 0, 255).astype(np.uint32)
+    qmax = np.clip(np.ceil(rel_max) + 1, 0, 255).astype(np.uint32)
     # invalid (empty) slots: inverted boxes that never hit
-    qmin = np.where(valid[..., None], qmin, 255).astype(np.uint8)
-    qmax = np.where(valid[..., None], qmax, 0).astype(np.uint8)
+    qmin = np.where(valid[..., None], qmin, 255).astype(np.uint32)
+    qmax = np.where(valid[..., None], qmax, 0).astype(np.uint32)
 
-    return BVH4QArrays(
-        node_min=jnp.asarray(node_min.astype(np.float32)),
-        node_scale=jnp.asarray(scale),
-        qmin=jnp.asarray(qmin), qmax=jnp.asarray(qmax),
-        child=b4.child, leaf_first=b4.leaf_first, leaf_count=b4.leaf_count,
-        tri_index=b4.tri_index, v0=b4.v0, e1=b4.e1, e2=b4.e2,
-    )
+    # pack: u32[c] = qmin.x|y<<8|z<<16|qmax.x<<24 (c = child 0..3),
+    # u32[4] = 4 children's qmax.y, u32[5] = 4 children's qmax.z
+    packed = np.zeros((m, 6), np.uint32)
+    for c in range(WIDTH):
+        packed[:, c] = (qmin[:, c, 0] | (qmin[:, c, 1] << 8)
+                        | (qmin[:, c, 2] << 16) | (qmax[:, c, 0] << 24))
+        packed[:, 4] |= qmax[:, c, 1] << (8 * c)
+        packed[:, 5] |= qmax[:, c, 2] << (8 * c)
+
+    tri_rows = np.concatenate(
+        [pv0, pe1, pe2, order.astype(np.float32)[:, None]], axis=1)
+    slots = lf[:, :, None] + np.arange(LEAF_SIZE)[None, None, :]
+    ok = (lf[:, :, None] >= 0) & (np.arange(LEAF_SIZE)[None, None, :] < lc[:, :, None])
+    pad = np.zeros(_TRI_COLS, np.float32)
+    pad[-1] = -1.0
+    blocks = np.where(ok[..., None], tri_rows[np.clip(slots, 0, t - 1)], pad)
+    fat = np.concatenate([
+        node_min.astype(np.float32), scale, child.astype(np.float32),
+        packed.view(np.float32),
+        blocks.reshape(m, WIDTH * LEAF_SIZE * _TRI_COLS),
+    ], axis=1).astype(np.float32)
+    return BVH4QArrays(fat=jnp.asarray(fat), n_tris=t)
 
 
 def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
@@ -88,6 +111,8 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
     sp = jnp.ones((n,), jnp.int32)
     best_t = jnp.full((n,), TMAX)
     best_tri = jnp.full((n,), -1, jnp.int32)
+    n_nodes = bvh.fat.shape[0]
+    k_slots = WIDTH * LEAF_SIZE
 
     def cond(state):
         sp, *_ = state
@@ -99,12 +124,22 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
         top = jnp.maximum(sp - 1, 0)
         node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
         sp = jnp.where(active, sp - 1, sp)
-        node_c = jnp.clip(node, 0, bvh.child.shape[0] - 1)
+        node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
-        nmin = jnp.take(bvh.node_min, node_c, axis=0)  # [N, 3]
-        nscale = jnp.take(bvh.node_scale, node_c, axis=0)
-        qmin = jnp.take(bvh.qmin, node_c, axis=0).astype(jnp.float32)  # [N,4,3]
-        qmax = jnp.take(bvh.qmax, node_c, axis=0).astype(jnp.float32)
+        row = jnp.take(bvh.fat, node_c, axis=0)  # THE gather
+        nmin = row[:, 0:3]
+        nscale = row[:, 3:6]
+        child = row[:, 6:10].astype(jnp.int32)
+        packed = jax.lax.bitcast_convert_type(row[:, 10:16], jnp.uint32)  # [N,6]
+        pc = packed[:, :WIDTH]  # [N,4]
+        u8 = lambda w, s: ((w >> np.uint32(s)) & np.uint32(0xFF)).astype(jnp.float32)
+        qmin = jnp.stack([u8(pc, 0), u8(pc, 8), u8(pc, 16)], axis=-1)  # [N,4,3]
+        shifts = np.uint32(8) * jnp.arange(WIDTH, dtype=jnp.uint32)
+        qmax = jnp.stack([
+            u8(pc, 24),
+            ((packed[:, 4:5] >> shifts[None, :]) & np.uint32(0xFF)).astype(jnp.float32),
+            ((packed[:, 5:6] >> shifts[None, :]) & np.uint32(0xFF)).astype(jnp.float32),
+        ], axis=-1)
         cmin = nmin[:, None, :] + qmin * nscale[:, None, :]
         cmax = nmin[:, None, :] + qmax * nscale[:, None, :]
 
@@ -115,18 +150,33 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
         tlimit = jnp.minimum(best_t, max_dist)
         box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < tlimit[:, None])
 
-        child = jnp.take(bvh.child, node_c, axis=0)
-        lf = jnp.take(bvh.leaf_first, node_c, axis=0)
-        lc = jnp.take(bvh.leaf_count, node_c, axis=0)
-        is_leaf_child = (lc > 0) & box_hit
+        tris = row[:, _Q_TRI0:].reshape(n, k_slots, _TRI_COLS)
+        tv0 = tris[..., 0:3]
+        te1 = tris[..., 3:6]
+        te2 = tris[..., 6:9]
+        tid = tris[..., 9].astype(jnp.int32)
+        dN = d[:, None, :]
+        pvec = jnp.cross(dN, te2)
+        det = jnp.sum(te1 * pvec, axis=-1)
+        inv_det = 1.0 / vm._safe(det)
+        tvec = o[:, None, :] - tv0
+        beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, te1)
+        gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
+        tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
+        ok = (active[:, None] & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+              & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t[:, None]))
+        if any_hit:
+            ok = ok & (tt < max_dist[:, None])
+        tt = jnp.where(ok, tt, TMAX)
+        slot = jnp.argmin(tt, axis=1)
+        t_min = jnp.take_along_axis(tt, slot[:, None], axis=1)[:, 0]
+        hit_any = t_min < best_t
+        best_tri = jnp.where(
+            hit_any, jnp.take_along_axis(tid, slot[:, None], axis=1)[:, 0], best_tri)
+        best_t = jnp.where(hit_any, t_min, best_t)
+
         is_int_child = (child >= 0) & box_hit
-
-        for k in range(WIDTH):
-            best_t, best_tri = _leaf_test4(
-                bvh, o, d,
-                jnp.where(is_leaf_child[:, k], lf[:, k], -1),
-                lc[:, k], best_t, best_tri, any_hit, max_dist)
-
         key = jnp.where(is_int_child, tn, -jnp.inf)
         cval = jnp.where(is_int_child, child, -1)
 
