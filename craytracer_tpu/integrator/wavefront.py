@@ -173,11 +173,24 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         if mis:
             f_nee = bsdf_f_nodelta(wi_l, wo_local, mp, present=present) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
         else:
-            f_nee = bsdf_f_direct(wi_l, wo_local, mp, present=present) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
+            # Reference quirk, image-visible: BSDF_f computes local frames
+            # and then passes the WORLD vectors into the lobe formulas
+            # anyway (reflection.cpp:719-735) — so Oren-Nayar / FresnelBlend
+            # NEE terms use world-space cosines. Constant for Lambertian
+            # (sigma=0), visibly different for sigma!=0 and plastic
+            # (verified against the headless reference binary on
+            # scenes/parity_mix.txt).
+            f_nee = bsdf_f_direct(ls.wi, wo_world, mp, present=present) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
         want_shadow = cont & nee_mat & ls.valid & jnp.any(f_nee > 0.0, axis=-1)
         shadow_o = _offset_ray(hit.point, hit.normal, ls.wi)
-        t_shadow = shadow_distance(scene, shadow_o, ls.wi, ls.distance)
-        lit = t_shadow >= ls.distance - jnp.maximum(K_EPSILON, 1e-3 * ls.distance)
+        # The offset origin sits closer to the light along wi; compare the
+        # occluder distance against the OFFSET-ADJUSTED light distance, or
+        # a sample on the light's own surface registers as an occluder
+        # when the light is nearer than ~offset/1e-3 (seen as a dark
+        # ceiling above the cornell lamp).
+        dist_adj = ls.distance - vm.dot(shadow_o - hit.point, ls.wi)
+        t_shadow = shadow_distance(scene, shadow_o, ls.wi, dist_adj)
+        lit = t_shadow >= dist_adj - jnp.maximum(K_EPSILON, 1e-3 * dist_adj)
         nee_scale = f_nee * ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None]
         if mis:
             # power heuristic vs the BSDF strategy; delta lights keep w=1

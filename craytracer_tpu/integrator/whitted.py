@@ -68,8 +68,10 @@ def trace_whitted(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
             f = bsdf_f_direct(wi_l, wo_local, mp) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
             want = cont & ls.valid & jnp.any(f > 0.0, axis=-1)
             so = _offset_ray(hit.point, hit.normal, ls.wi)
-            t_sh = shadow_distance(scene, so, ls.wi, ls.distance)
-            lit = t_sh >= ls.distance - jnp.maximum(K_EPSILON, 1e-3 * ls.distance)
+            # offset-adjusted bound (see wavefront.py shadow test)
+            d_adj = ls.distance - vm.dot(so - hit.point, ls.wi)
+            t_sh = shadow_distance(scene, so, ls.wi, d_adj)
+            lit = t_sh >= d_adj - jnp.maximum(K_EPSILON, 1e-3 * d_adj)
             L = L + jnp.where((want & lit)[:, None],
                               beta * f * ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None],
                               0.0)

@@ -34,3 +34,30 @@ def ppm_to_image_state(ppm_path: str, spp: int = 1):
     lin = np.clip(1.0 - np.power(img, 2.2), 1e-6, 1.0)
     radiance = -np.log(lin) / 2.0
     return (radiance.reshape(-1, 3) * spp).astype(np.float32)
+
+
+def read_reference_is(path: str):
+    """Read the reference's native `savestate.is` (imagestate.h:5-20):
+    ASCII "spp\\n" "width height\\n" followed by width*height*3 raw f32.
+    Returns (accum [H*W, 3] float32 SUM over spp, spp, width, height)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    nl1 = data.index(b"\n")
+    nl2 = data.index(b"\n", nl1 + 1)
+    spp = int(data[:nl1])
+    width, height = (int(x) for x in data[nl1 + 1:nl2].split())
+    accum = np.frombuffer(data[nl2 + 1:], np.float32,
+                          count=width * height * 3).reshape(-1, 3)
+    return accum.copy(), spp, width, height
+
+
+def write_reference_is(path: str, accum: np.ndarray, spp: int,
+                       width: int, height: int):
+    """Write the reference's `savestate.is` format so a render made here
+    can seed the reference binary's `-s` resume path (main.cpp:195-254)."""
+    accum = np.ascontiguousarray(np.asarray(accum, np.float32).reshape(-1))
+    if accum.size != width * height * 3:
+        raise ValueError("accumulator size does not match dimensions")
+    with open(path, "wb") as f:
+        f.write(f"{spp}\n{width} {height}\n".encode())
+        f.write(accum.tobytes())

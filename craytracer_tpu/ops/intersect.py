@@ -70,15 +70,22 @@ def sphere_ts(o, d, s: T.Spheres):
 
     def accept(t):
         hp = o[:, None, :] + t[..., None] * dN - s.center[None, :, :]
-        phi = jnp.arctan2(hp[..., 2], hp[..., 0])
-        cos_t = jnp.clip(hp[..., 1] / s.radius[None, :], -1.0, 1.0)
-        theta = jnp.arccos(cos_t)
+        # reference phi convention: atan2(x, z) (sphere.cpp:56,110)
+        phi = jnp.arctan2(hp[..., 0], hp[..., 2])
+        cos_raw = hp[..., 1] / s.radius[None, :]
+        theta = jnp.arccos(jnp.clip(cos_raw, -1.0, 1.0))
         ok = (
             (t > K_EPSILON)
             & (t < TMAX)
             & (jnp.abs(phi) <= s.phi[None, :])
             & (theta >= s.min_theta[None, :])
             & (theta <= s.max_theta[None, :])
+            # Reference quirk: acos((y-cy)/r) is UNCLAMPED (sphere.cpp:57,
+            # 111); f32 rounding past +-1 gives NaN and the clip comparison
+            # REJECTS the hit. Rejecting |cos|>1 here reproduces the same
+            # near-pole miss statistics (exact per-ray agreement is f32
+            # luck, but the leak probability matches in expectation).
+            & (jnp.abs(cos_raw) <= 1.0)
         )
         return jnp.where(ok, t, TMAX)
 
@@ -277,7 +284,7 @@ def _fill_sphere(o, d, t, idx, s: T.Spheres):
     hp = o + t_diff[:, None] * d
     n = vm.normalize(hp - c)
     rel = hp - c
-    phi = jnp.arctan2(rel[:, 2], rel[:, 0])
+    phi = jnp.arctan2(rel[:, 0], rel[:, 2])  # atan2(x, z), sphere.cpp:23
     phi_w = jnp.where(phi < 0, phi + TWO_PI, phi)
     theta = jnp.arccos(jnp.clip(rel[:, 1] / vm._safe(r), -1.0, 1.0))
     uv = jnp.stack([phi_w / TWO_PI, theta / jnp.pi], axis=-1)

@@ -1,0 +1,39 @@
+#!/bin/sh
+# Build the reference CRaytracer headless so golden parity images can be
+# rendered on this box (no GLFW/GLEW/stb_image installed, OpenEXR is 3.x):
+#  - the GL/GLFW/stb stubs in refbuild/stubinc no-op the preview path
+#    (glfwCreateWindow returns NULL -> main.cpp:227-231 headless branch);
+#  - the sources are copied to a throwaway build dir ONLY to rewrite the
+#    hardcoded '#include "/usr/include/OpenEXR/ImathBox.h"' in
+#    imagefile.h:9 (that file lives in /usr/include/Imath here); nothing
+#    from the copy is committed;
+#  - OpenEXR 3 library names replace the Makefile's 2.x -lIlmImf -lHalf;
+#    gperftools (-lprofiler) is dropped.
+set -e
+REF=${REF:-/root/reference}
+OUT=${OUT:-/root/repo/refbuild/craytracer_ref}
+HERE=$(cd "$(dirname "$0")" && pwd)
+SRC=$(mktemp -d /tmp/refsrc.XXXXXX)
+trap 'rm -rf "$SRC"' EXIT
+
+cp -r "$REF"/. "$SRC"/
+sed -i 's|/usr/include/OpenEXR/ImathBox.h|/usr/include/Imath/ImathBox.h|' "$SRC/imagefile.h"
+
+# -O0 is load-bearing: initAreaLights (buildscene.h:567) and shapePdf
+# (shapes/shapes.cpp:606) fall off the end of non-void functions — UB that
+# g++ >= -O1 exploits by deleting the loop-exit branch, overrunning the
+# object array. The reference's own Makefile compiles with no -O flag.
+g++ -O0 -g -std=c++11 -o "$OUT" \
+    -isystem "$HERE/stubinc" \
+    -isystem /usr/include/Imath -isystem /usr/include/OpenEXR \
+    "$SRC"/main.cpp "$SRC"/aabb.cpp "$SRC"/camera.cpp "$SRC"/lights.cpp \
+    "$SRC"/materials.cpp "$SRC"/mesh.cpp "$SRC"/noise.cpp "$SRC"/sampling.cpp \
+    "$SRC"/texture.cpp "$SRC"/shapes/box.cpp "$SRC"/shapes/cylinder.cpp \
+    "$SRC"/shapes/disk.cpp "$SRC"/shapes/generic.cpp "$SRC"/shapes/instanced.cpp \
+    "$SRC"/shapes/objecttype.cpp "$SRC"/shapes/plane.cpp "$SRC"/shapes/rect.cpp \
+    "$SRC"/shapes/shapes.cpp "$SRC"/shapes/sphere.cpp "$SRC"/shapes/torus.cpp \
+    "$SRC"/shapes/triangle.cpp "$SRC"/util/ray.cpp "$SRC"/util/math.cpp \
+    "$SRC"/util/util.cpp "$SRC"/reflection.cpp "$SRC"/mempool.cpp \
+    "$SRC"/microfacet.cpp \
+    -lpthread -lOpenEXR -lImath -lIex
+echo "built $OUT"

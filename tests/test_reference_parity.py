@@ -1,0 +1,115 @@
+"""Golden-image parity against the ACTUAL reference binary.
+
+The goldens in tests/goldens/ are `savestate.is` raw accumulators written
+by the reference renderer itself (built headless by refbuild/build.sh —
+GL stubbed out, -O0 as its own Makefile does) on the generated parity
+scenes (refbuild/make_parity_scenes.py), 256x256 @ 256 spp, max_depth 5,
+accel NONE, PATHTRACE:
+
+* scenes/parity_cornell.txt — cornell geometry at unit scale with modern-
+  dialect materials and a single down-facing lamp. Unit scale because at
+  the original |p|~550 the reference's absolute K_EPSILON self-shadows
+  its own boxes; single lamp because the original coincident up/down pair
+  sits 0.0015 units under the ceiling, where the good_paths ratio
+  estimator (trace.h:528) responds to epsilon-level shadow decisions —
+  deterministic sensitivity, not MC noise. Accel NONE because the
+  reference's own BVH4 drops the back wall entirely on this scene.
+* scenes/parity_mix.txt — matte/Oren-Nayar/plastic/mirror/gold spheres
+  under one big lamp.
+
+Both scenes declare the lamp as the LAST object: the reference's shadow
+loop early-outs on the FIRST object with t < light_dist (intersect.h:
+487-498) and the shadow ray's endpoint lies on the lamp itself, whose
+rect-t rounds below light_dist about half the time — lamp-before-occluder
+ordering makes the reference skip real occluders on those samples and
+render half-strength shadows (verified against quadrature ground truth:
+the leak put the reference 7-13%% above the exact direct radiance while
+ours matched within 1%%). Lamp-last ordering makes its early-out
+equivalent to a true min, which both renderers agree on.
+
+Ours renders the SAME scene text through the full pipeline (parser ->
+build -> wavefront integrator, estimator='reference') at 128x128 and is
+compared against the golden on tone-mapped block means. Both estimates
+carry MC noise; the tolerances are ~4x the observed same-implementation
+run-to-run spread.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from craytracer_tpu.camera import Film
+from craytracer_tpu.integrator import Renderer, RenderConfig
+from craytracer_tpu.io.imagestate import read_reference_is
+from craytracer_tpu.io.scenefile import load_scene_file
+
+HERE = os.path.dirname(__file__)
+REPO = os.path.dirname(HERE)
+
+
+def _tonemapped(img: np.ndarray) -> np.ndarray:
+    """Reference tone map (shading.h:33-63): exposure -2, gamma 2.2.
+    Bounded [0,1), so Monte-Carlo firefly tails are compressed and block
+    statistics are stable — and it is the metric a user actually sees.
+
+    Negatives are clipped first: the reference binary emits rare garbage
+    samples (the committed cornell golden contains one pixel at -2.4e18 —
+    finite, so it slips the reference's own isnan/isinf guard at
+    main.cpp:127-136)."""
+    lum = np.clip(img, 0.0, None)
+    return (1.0 - np.exp(-2.0 * lum)) ** (1.0 / 2.2)
+
+
+def _block_means(img: np.ndarray, blocks: int = 8):
+    h, w, _ = img.shape
+    tm = _tonemapped(img).mean(-1)
+    return tm.reshape(blocks, h // blocks, blocks, w // blocks).mean(axis=(1, 3))
+
+
+def _render_ours(scene_path: str, size: int = 128, spp: int = 64):
+    scene, cam, film = load_scene_file(scene_path)
+    film = Film(fov=film.fov, width=size, height=size)
+    r = Renderer(scene, cam, film,
+                 RenderConfig(num_samples=spp, max_depth=5,
+                              estimator="reference"))
+    r.render()
+    return np.asarray(r.raw_mean()).reshape(size, size, 3)
+
+
+@pytest.mark.parametrize("name", ["cornell", "mix"])
+def test_reference_image_parity(name):
+    golden_path = os.path.join(HERE, "goldens", f"golden_{name}.is")
+    accum, spp, w, h = read_reference_is(golden_path)
+    ref = (accum / spp).reshape(h, w, 3)
+
+    ours = _render_ours(os.path.join(REPO, "scenes", f"parity_{name}.txt"))
+
+    rb = _block_means(ref)
+    ob = _block_means(ours)
+
+    # overall tone-mapped mean: the headline parity number
+    full_r = _tonemapped(ref).mean()
+    full_o = _tonemapped(ours).mean()
+    assert abs(full_o - full_r) < 0.02 * max(full_r, 0.05), (full_o, full_r)
+
+    # per-block agreement (absolute, in tone-mapped units out of ~1.0)
+    dev = np.abs(ob - rb)
+    assert dev.max() < 0.05, (dev.max(), np.argwhere(dev == dev.max()))
+    assert (dev < 0.02).mean() > 0.9, dev
+
+
+def test_reference_is_roundtrip(tmp_path):
+    """write_reference_is output re-reads bit-identically and matches the
+    reference's on-disk layout."""
+    from craytracer_tpu.io.imagestate import write_reference_is
+
+    rng = np.random.default_rng(0)
+    acc = rng.random((16 * 8, 3)).astype(np.float32)
+    p = str(tmp_path / "state.is")
+    write_reference_is(p, acc, 7, 16, 8)
+    acc2, spp, w, h = read_reference_is(p)
+    assert (spp, w, h) == (7, 16, 8)
+    np.testing.assert_array_equal(acc2, acc.reshape(-1, 3))
