@@ -67,13 +67,17 @@ def main():
             return acc + L, total_rays + m["rays"] + m["shadow_rays"]
 
         init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.int32))
-        return jax.lax.fori_loop(0, iters, body, init)
+        acc, total = jax.lax.fori_loop(0, iters, body, init)
+        # Reduce to scalars on device: timing MUST fetch a value derived
+        # from the result — the axon relay acknowledges block_until_ready
+        # before execution finishes, so un-fetched timings are fiction.
+        return acc.mean(), total
 
     step = jax.jit(many_passes)
 
     # warmup / compile
     acc, rays = step(scene, camera, film, pixel_ids, 0)
-    acc.block_until_ready()
+    float(acc)
 
     # Base the spp offset on wall time so no two invocations of this script
     # ever issue identical device calls: the axon relay caches results for
@@ -84,13 +88,13 @@ def main():
     if args.profile:
         with jax.profiler.trace(args.profile):
             acc, rays = step(scene, camera, film, pixel_ids, base + 99 * iters)
-            acc.block_until_ready()
+            float(acc)
     for rep in range(3):
         t0 = time.time()
         acc, rays = step(scene, camera, film, pixel_ids, base + (rep + 1) * iters)
-        acc.block_until_ready()
+        float(acc)  # forced readback: includes one tunnel RTT
         times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]
+    dt = min(times)
     rps = int(rays) / dt
 
     signal.alarm(0)

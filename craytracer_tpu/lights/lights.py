@@ -98,13 +98,21 @@ def light_pdf_for_hit(scene: T.Scene, hit_group, hit_prim, hit_point,
         pdf_area = jnp.where(ltype == T.LIGHT_MESH, pdf_msh, pdf_area)
 
     sn = jnp.where((ltype == T.LIGHT_AREA_SPHERE)[:, None], n_s, lnormal)
+    is_mesh = ltype == T.LIGHT_MESH
     if hit_normal is not None:
-        sn = jnp.where((ltype == T.LIGHT_MESH)[:, None], hit_normal, sn)
+        sn = jnp.where(is_mesh[:, None], hit_normal, sn)
     to_hit = hit_point - prev_point
     dist2 = vm.length_sq(to_hit)
-    cos_l = jnp.abs(vm.dot(sn, -wi))
+    # SIGNED cosine for one-sided area lights: sample_one_light rejects
+    # samples with dot(to_sample, sn) > 0, i.e. the light strategy has
+    # ZERO density on the back side — the BSDF strategy must keep weight 1
+    # there or back-facing emission (reference emissives emit both sides)
+    # loses energy in MIS mode. Mesh lights keep |cos| (their NEE samples
+    # by area over the whole soup with the hit normal as orientation).
+    cos_signed = vm.dot(sn, -wi)
+    cos_l = jnp.where(is_mesh, jnp.abs(cos_signed), cos_signed)
     pdf_sa = pdf_area * dist2 / jnp.maximum(cos_l, 1e-6)
-    return jnp.where(found, pdf_sa * pick_p, 0.0)
+    return jnp.where(found & (cos_l > 0.0), pdf_sa * pick_p, 0.0)
 
 
 def env_pdf(scene: T.Scene, wi, prev_normal):

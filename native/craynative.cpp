@@ -133,6 +133,7 @@ void* crn_load_obj(const char* path) {
             while (true) {
                 p = skip_ws(p, end);
                 if (p >= end || *p == '\n' || *p == '#') break;
+                const char *corner_start = p;
                 int64_t v = parse_int(p, end);
                 int64_t vt = 0, vn = 0;
                 if (p < end && *p == '/') {
@@ -150,6 +151,9 @@ void* crn_load_obj(const char* path) {
                 face_tmp.push_back(v > 0 ? v - 1 : (v < 0 ? np_ + v : -1));
                 face_tmp.push_back(vt > 0 ? vt - 1 : (vt < 0 ? nt + vt : -1));
                 face_tmp.push_back(vn > 0 ? vn - 1 : (vn < 0 ? nn + vn : -1));
+                if (p == corner_start) break;  // malformed token: parse_int
+                // did not advance — bail out of the corner loop instead of
+                // spinning forever on the same character
                 if (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) continue;
                 if (p < end && *p != '\n') continue;
                 break;

@@ -80,12 +80,26 @@ def main(argv=None):
     print(f"scene={scene_file} {film.width}x{film.height} spp={rc.num_samples} "
           f"depth={rc.max_depth} estimator={rc.estimator}")
 
-    r = Renderer(scene, camera, film, rc)
     if args.state and os.path.exists(args.state if args.state.endswith(".npz")
                                      else args.state + ".npz"):
         accum, spp, seed = load_image_state(args.state)
+        # Resume with the CHECKPOINTED seed: continuing a different RNG
+        # stream into the same accumulator silently breaks the
+        # bit-identical resume guarantee. An explicitly different --seed
+        # is an error, not a preference.
+        if args.seed != 0 and args.seed != seed:
+            print(f"error: --seed {args.seed} differs from the checkpoint's "
+                  f"seed {seed}; resume must continue the same stream",
+                  file=sys.stderr)
+            return 1
+        import dataclasses
+
+        rc = dataclasses.replace(rc, seed=seed)
+        r = Renderer(scene, camera, film, rc)
         r.resume_from(accum, spp)
-        print(f"resumed from {args.state}: {spp} spp done")
+        print(f"resumed from {args.state}: {spp} spp done (seed {seed})")
+    else:
+        r = Renderer(scene, camera, film, rc)
 
     t0 = time.time()
     img = r.render()
@@ -99,7 +113,7 @@ def main(argv=None):
     state_path = os.path.splitext(args.output)[0] + "_state"
     import numpy as np
 
-    save_image_state(state_path, np.asarray(r.accum), r.spp_done, args.seed)
+    save_image_state(state_path, np.asarray(r.accum), r.spp_done, rc.seed)
     print(f"wrote {state_path}.npz")
     return 0
 

@@ -136,3 +136,26 @@ def test_mesh_light_cdf_boundaries():
     pts = np.asarray(hp) + wi * dist[:, None]
     np.testing.assert_allclose(pts[:, 1], 8.0, atol=1e-3)
     assert (np.abs(pts[:, 0]) <= 2.001).all() and (np.abs(pts[:, 2]) <= 2.001).all()
+
+
+def test_mis_backface_emission_keeps_full_weight():
+    """ADVICE round-1 (medium): BSDF-strategy hits on the BACK side of a
+    one-sided area light must keep weight 1 — NEE has zero density there
+    (sample_one_light rejects dot(to_sample, sn) > 0), so any w_emit < 1
+    loses energy. Scene: lamp facing UP (away from the floor); the floor
+    sees its emission only through BSDF sampling."""
+    b = SceneBuilder()
+    b.add_matte("w", (0.6, 0.6, 0.6))
+    b.add_emissive("l", (1, 1, 1), 6.0)
+    b.add_rect((-8, 0, -8), (16, 0, 0), (0, 0, 16), "w")
+    # width x height -> normal +y (UP); the floor below sees the back side
+    b.add_rect((-1, 4, -1), (2, 0, 0), (0, 0, 2), "l")
+    scene = b.build()
+    cam = make_camera((0, 2, 9), (0, 1, 0))
+    film = Film(fov=jnp.float32(np.radians(40.0)), width=10, height=10)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+    n = 192
+    mis = _passes(scene, cam, film, ids, "mis", n).mean()
+    phys = _passes(scene, cam, film, ids, "physical", n).mean()
+    assert phys > 1e-3  # the lamp's back face does light the floor
+    np.testing.assert_allclose(mis, phys, rtol=0.15)
