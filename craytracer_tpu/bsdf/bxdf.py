@@ -84,6 +84,13 @@ def gather_params(materials: T.Materials, textures: T.TexturePack, mat_id, uv) -
     if textures.texels.shape[0] > 1:  # any real textures present
         tex_color = tex_lookup_nearest(textures, tex_id, uv)
         color = jnp.where((tex_id >= 0)[:, None], tex_color, color)
+    # Floor alpha away from 0: non-microfacet rows carry alpha=0, and the
+    # microfacet formulas (evaluated for EVERY lane, then masked) divide by
+    # alpha^2 — jnp.where's backward pass turns those masked infs into NaN
+    # gradients (NaN * 0). Real materials are never below ~1e-3 (the
+    # BeckmannRoughnessToAlpha clamp, microfacet.h:26-32).
+    alphax = jnp.maximum(alphax, 1e-4)
+    alphay = jnp.maximum(alphay, 1e-4)
     return MatParams(
         mat_type=mat_type,
         color=color,

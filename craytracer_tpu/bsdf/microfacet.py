@@ -30,12 +30,17 @@ def distribution_d(wh, ax, ay, dist):
     c2p = vm.cos2_phi(wh)
     s2p = vm.sin2_phi(wh)
     finite = jnp.isfinite(t2) & (c4 > 1e-16)
+    # double-where: sanitize the INPUTS of the masked lanes too, or the
+    # backward pass differentiates the inf/0 expressions and turns the
+    # masked zeros into NaN gradients (d(loss)/d(alpha) tests)
+    t2 = jnp.where(finite, t2, 0.0)
+    c4 = jnp.where(finite, c4, 1.0)
 
     d_beck = jnp.exp(-t2 * (c2p / (ax * ax) + s2p / (ay * ay))) / (
-        PI * ax * ay * jnp.maximum(c4, 1e-16)
+        PI * ax * ay * c4
     )
     e = (c2p / (ax * ax) + s2p / (ay * ay)) * t2
-    d_tr = 1.0 / (PI * ax * ay * jnp.maximum(c4, 1e-16) * (1.0 + e) ** 2)
+    d_tr = 1.0 / (PI * ax * ay * c4 * (1.0 + e) ** 2)
     d = jnp.where(dist == DIST_BECKMANN, d_beck, d_tr)
     return jnp.where(finite, d, 0.0)
 
@@ -47,12 +52,19 @@ def distribution_lambda(w, ax, ay, dist):
     ay = _clamp_alpha(ay)
     abs_tan = jnp.abs(vm.tan_theta(w))
     finite = jnp.isfinite(abs_tan)
+    abs_tan = jnp.where(finite, abs_tan, 0.0)  # double-where (see D above)
     alpha = jnp.sqrt(vm.cos2_phi(w) * ax * ax + vm.sin2_phi(w) * ay * ay)
     a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-16)
+    # the rational branch is only used for a < 1.6, but it is EVALUATED for
+    # all lanes: at a ~ 1e16 its quotient-rule denominator overflows f32 to
+    # inf in the backward pass and 0 * inf = NaN gradients — clamp the
+    # branch input (double-where)
+    a_c = jnp.minimum(a, 1.6)
     lam_beck = jnp.where(
         a >= 1.6,
         0.0,
-        (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a),
+        (1.0 - 1.259 * a_c + 0.396 * a_c * a_c)
+        / (3.535 * a_c + 2.181 * a_c * a_c),
     )
     a2t2 = (alpha * abs_tan) ** 2
     lam_tr = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0

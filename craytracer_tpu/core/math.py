@@ -170,8 +170,14 @@ def same_hemisphere(a, b):
     return a[..., 2] * b[..., 2] > 0.0
 
 
-def _safe(x, eps: float = 1e-20):
-    """Divide-guard: replace ~0 with +-eps, keeping sign."""
+def _safe(x, eps: float = 1e-12):
+    """Divide-guard: replace ~0 with +-eps, keeping sign.
+
+    eps must satisfy 1/eps^2 < f32 max: reverse-mode d(1/x)/dx = -1/x^2,
+    and at the old 1e-20 guard that overflowed to -inf, so every masked
+    lane's 0-cotangent became 0 * inf = NaN and poisoned whole-batch
+    gradients through the fill/BSDF where-chains. 1/x stays ~1e12, far
+    beyond TMAX, so guarded misses are still rejected."""
     return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
 
 
@@ -187,7 +193,9 @@ def spherical_direction(sin_t, cos_t, phi):
 def cartesian_to_spherical(d):
     """World direction -> (theta, phi) with y-up convention used by env maps
     (lights.cpp:233-248 via util/math.h)."""
-    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    # strictly-interior clip: arccos'(+-1) = inf while clip' = 0 there, and
+    # inf * 0 = NaN poisons reverse-mode batches (see ops/intersect.py)
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0 + 1e-6, 1.0 - 1e-6))
     phi = jnp.arctan2(d[..., 0], d[..., 2])
     phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
     return theta, phi

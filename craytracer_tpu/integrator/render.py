@@ -39,14 +39,18 @@ class RenderConfig:
     # write a PNG of the running image every `preview_every` passes.
     preview_path: str = ""
     preview_every: int = 0
+    # Optional table-driven sampler (sampling.tables.SampleTable): the
+    # reference's regular/multijittered/Hammersley sample sets
+    # (sampling.cpp:169-352) for the film-jitter dimension.
+    sampler: object = None
 
 
 @partial(jax.jit, static_argnames=("max_depth", "estimator", "trace_type"))
 def _pass_step(scene: Scene, camera: Camera, film: Film, pixel_ids, seed, spp_index,
                max_depth: int, estimator: str = "reference",
-               trace_type: str = "PATHTRACE"):
+               trace_type: str = "PATHTRACE", sampler=None):
     return render_sample(scene, camera, film, pixel_ids, seed, spp_index, max_depth,
-                         estimator, trace_type)
+                         estimator, trace_type, sampler=sampler)
 
 
 class Renderer:
@@ -77,7 +81,7 @@ class Renderer:
                 pass_vals.append(
                     _pass_step(self.scene, self.camera, self.film, ids,
                                cfg.seed, s, cfg.max_depth, cfg.estimator,
-                               cfg.trace_type)
+                               cfg.trace_type, sampler=cfg.sampler)
                 )
             pass_val = jnp.concatenate(pass_vals, axis=0)
             if cfg.nan_recovery:

@@ -335,20 +335,28 @@ def trace_paths_logged(scene: T.Scene, origin, direction, seed, pixel_ids,
 
 def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
                   max_depth: int, estimator: str = "reference",
-                  trace_type: str = "PATHTRACE"):
+                  trace_type: str = "PATHTRACE", sampler=None):
     """One progressive pass: raygen + trace.
 
     estimator="reference": L / max(good_paths, 1) — the reference's
     contributing-event normalization (trace.h:528-529), for image parity.
     estimator="physical": plain L — the standard unbiased NEE estimator
     (kept behind a flag per SURVEY.md §6 hardest-parts note).
-    trace_type: PATHTRACE | WHITTED | RAYCAST (config.h trace_type)."""
+    trace_type: PATHTRACE | WHITTED | RAYCAST (config.h trace_type).
+    sampler: optional sampling.tables.SampleTable — the reference's
+    table-driven sample sets (regular / multijittered / Hammersley,
+    sampling.cpp:169-352) applied to the film-jitter dimension."""
     from craytracer_tpu.camera import generate_rays
     from craytracer_tpu.sampling.multijitter import stratified_jitter
 
-    # Stratified film jitter — the counter-RNG form of the reference's
-    # multijittered pixel sampling (sampling.cpp:260-352).
-    jitter = stratified_jitter(seed, pixel_ids, spp_index)
+    if sampler is not None:
+        from craytracer_tpu.sampling.tables import table_sample
+
+        jitter = table_sample(sampler, seed, pixel_ids, spp_index, dim=0)
+    else:
+        # Stratified film jitter — the counter-RNG form of the reference's
+        # multijittered pixel sampling (sampling.cpp:260-352).
+        jitter = stratified_jitter(seed, pixel_ids, spp_index)
     lens_u = uniforms(seed, pixel_ids, spp_index, CAMERA_BOUNCE, 2, 2)
     o, d = generate_rays(camera, film, pixel_ids, jitter, lens_u)
     if trace_type in ("WHITTED", "RAYCAST"):

@@ -286,7 +286,10 @@ def _fill_sphere(o, d, t, idx, s: T.Spheres):
     rel = hp - c
     phi = jnp.arctan2(rel[:, 0], rel[:, 2])  # atan2(x, z), sphere.cpp:23
     phi_w = jnp.where(phi < 0, phi + TWO_PI, phi)
-    theta = jnp.arccos(jnp.clip(rel[:, 1] / vm._safe(r), -1.0, 1.0))
+    # strictly-interior clip: at a saturated +-1, arccos'(x) = -inf and
+    # clip' = 0, so the chain rule yields inf * 0 = NaN — which poisons the
+    # WHOLE batch through the fill where-combines in reverse mode
+    theta = jnp.arccos(jnp.clip(rel[:, 1] / vm._safe(r), -1.0 + 1e-6, 1.0 - 1e-6))
     uv = jnp.stack([phi_w / TWO_PI, theta / jnp.pi], axis=-1)
     # dpdu ~ (-(z-cz), 0, (x-cx)) (fillShadeRecSphere, shapes/sphere.cpp:4-31)
     dpdu = vm.normalize(jnp.stack([-rel[:, 2], jnp.zeros_like(t), rel[:, 0]], axis=-1))
@@ -518,10 +521,15 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
     mat_id = jnp.zeros((n,), jnp.int32)
     t_out = best_t  # detached search distances (misses keep TMAX)
 
+    # Fills on MISS lanes must not see t = TMAX (~1e38): o + t*d overflows
+    # to inf, and the inf intermediates turn the masked lanes' reverse-mode
+    # cotangents into NaN, poisoning whole-batch gradients. Their outputs
+    # are discarded by the group-select below anyway.
+    t_fill = jnp.where(best_t < TMAX, best_t, 1.0)
     for gid, name, _, fill_fn in _GROUPS:
         if _group_size(scene, name) == 0:
             continue
-        g_n, g_dpdu, g_uv, g_mat, g_t = fill_fn(o, d, best_t, best_idx,
+        g_n, g_dpdu, g_uv, g_mat, g_t = fill_fn(o, d, t_fill, best_idx,
                                                 getattr(scene, name))
         sel = (best_group == gid)[:, None]
         normal = jnp.where(sel, g_n, normal)

@@ -59,3 +59,53 @@ def test_recover_albedo():
     expected = np.array([0.7, 0.56, 0.35])
     np.testing.assert_allclose(recovered, expected, atol=0.05)
     assert losses[-1] < losses[0] * 0.3  # MC noise floor from per-step RNG streams
+
+
+def test_recover_texture():
+    """Recover a 4x4 texture through the nearest-lookup gather (the
+    BASELINE inverse config's 'texture' parameter class)."""
+    target_tex = np.linspace(0.15, 0.85, 4 * 4 * 3,
+                             dtype=np.float32).reshape(4, 4, 3)
+
+    def build(tex):
+        b = SceneBuilder()
+        tid = b.add_texture("t", tex)
+        b.add_matte("floor", (1, 1, 1), diffuse_tex=tid)
+        b.add_emissive("light", (1, 1, 1), 25.0)
+        b.add_rect((-20, 0, -20), (40, 0, 0), (0, 0, 40), "floor")
+        b.add_rect((-3, 20, -3), (6, 0, 0), (0, 0, 6), "light")
+        return b.build()
+
+    scene_t = build(target_tex)
+    cam = make_camera((0, 18, 20), (0, 0, 0))
+    film = Film(fov=jnp.float32(np.radians(55.0)), width=24, height=24)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+
+    def render(scene, spp_index):
+        return render_sample(scene, cam, film, ids, 7, spp_index, 2,
+                             estimator="physical")
+
+    target = jnp.stack([render(scene_t, k) for k in range(4)]).mean(0)
+
+    scene0 = build(np.full((4, 4, 3), 0.5, np.float32))
+
+    def loss_fn(texels, spp_index):
+        s = scene0.replace(textures=scene0.textures.replace(texels=texels))
+        img = jnp.stack([render(s, spp_index * 4 + k) for k in range(4)]).mean(0)
+        return jnp.mean((img - target) ** 2)
+
+    params = scene0.textures.texels
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    for it in range(60):
+        loss, g = step(params, it % 4)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = jnp.clip(params, 0.0, 1.0)
+
+    rec = np.asarray(params).reshape(4, 4, 3)
+    err = np.abs(rec - target_tex)
+    # texels the camera actually sees converge; tolerate a few edge texels
+    assert np.median(err) < 0.06, np.median(err)
+    assert (err < 0.12).mean() > 0.75, err.mean()
