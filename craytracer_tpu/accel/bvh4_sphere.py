@@ -1,0 +1,190 @@
+"""4-wide fat-row BVH over SPHERES — acceleration for analytic primitives.
+
+The reference's grid/BVH index ALL object types through per-object AABBs
+(getObjectAABB, shapes/shapes.cpp:141; scene/scenedata.h:12-18); round 1
+brute-forced every analytic primitive per ray per bounce, O(N*M) on
+sphere-heavy scenes. This module gives spheres the same fat-row treatment
+as triangles (accel/bvh4.py): the host binary-BVH builder only consumes
+the min/max/centroid of its three input points, so each sphere's AABB
+corners + center are fed to it as a degenerate "triangle" — zero new
+build code — and each 4-wide node row inlines its leaf spheres
+(center[3], radius, phi, min_theta, max_theta, id), one gather per
+traversal step.
+
+Leaf test = the partial-sphere quadratic with the reference's clip
+conventions (sphere.cpp:33-86): phi = atan2(x, z), REJECT on
+|cos theta| > 1 (the unclamped-acos NaN quirk), both roots tried.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from craytracer_tpu.constants import K_EPSILON, TMAX
+from craytracer_tpu.core import math as vm
+from craytracer_tpu.accel.bvh import LEAF_SIZE, MAX_STACK
+from craytracer_tpu.accel.bvh4 import WIDTH, collapse4
+
+_SPH_COLS = 8  # center 3, radius, phi, min_theta, max_theta, id
+_SPH0 = 28  # cols 0:24 child boxes, 24:28 child ids
+SPH_FAT_WIDTH = _SPH0 + WIDTH * LEAF_SIZE * _SPH_COLS
+
+
+@flax.struct.dataclass
+class SphereBVH4:
+    fat: jnp.ndarray  # [M, SPH_FAT_WIDTH]
+    n_prims: int = flax.struct.field(pytree_node=False, default=0)
+
+
+def build_bvh4_spheres(center: np.ndarray, radius: np.ndarray,
+                       phi: np.ndarray, min_theta: np.ndarray,
+                       max_theta: np.ndarray,
+                       leaf_size: int = LEAF_SIZE) -> SphereBVH4:
+    center = np.asarray(center, np.float64)
+    radius = np.asarray(radius, np.float64)
+    p = center.shape[0]
+    if p == 0 or p >= (1 << 24):
+        raise ValueError("sphere BVH needs 1..2^24-1 spheres")
+    bb_min = center - radius[:, None]
+    bb_max = center + radius[:, None]
+    # the binary builder uses only min/max/centroid of its three points
+    mins, maxs, child, lf, lc, order, _, _, _ = collapse4(
+        bb_min, bb_max, center, leaf_size)
+    m = mins.shape[0]
+
+    rows = np.concatenate([
+        center, radius[:, None], np.asarray(phi, np.float64)[:, None],
+        np.asarray(min_theta, np.float64)[:, None],
+        np.asarray(max_theta, np.float64)[:, None],
+        np.arange(p, dtype=np.float64)[:, None],
+    ], axis=1)[order.astype(np.int64)]  # leaf order
+
+    slots = lf[:, :, None] + np.arange(LEAF_SIZE)[None, None, :]
+    ok = (lf[:, :, None] >= 0) & (np.arange(LEAF_SIZE)[None, None, :] < lc[:, :, None])
+    pad = np.zeros(_SPH_COLS, np.float64)
+    pad[-1] = -1.0  # id -1 guards; radius 0 never hits
+    blocks = np.where(ok[..., None], rows[np.clip(slots, 0, p - 1)], pad)
+    fat = np.concatenate([
+        mins.reshape(m, 12), maxs.reshape(m, 12), child.astype(np.float64),
+        blocks.reshape(m, WIDTH * LEAF_SIZE * _SPH_COLS),
+    ], axis=1).astype(np.float32)
+    return SphereBVH4(fat=jnp.asarray(fat), n_prims=p)
+
+
+def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
+    n = o.shape[0]
+    inv_d = 1.0 / vm._safe(d)
+    if max_dist is None:
+        max_dist = jnp.full((n,), TMAX)
+
+    stack = jnp.zeros((n, MAX_STACK), jnp.int32)
+    sp = jnp.ones((n,), jnp.int32)
+    best_t = jnp.full((n,), TMAX)
+    best_prim = jnp.full((n,), -1, jnp.int32)
+    n_nodes = bvh.fat.shape[0]
+    k_slots = WIDTH * LEAF_SIZE
+
+    def cond(state):
+        sp, *_ = state
+        return jnp.any(sp > 0)
+
+    def body(state):
+        sp, stack, best_t, best_prim = state
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
+        sp = jnp.where(active, sp - 1, sp)
+        node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
+
+        row = jnp.take(bvh.fat, node_c, axis=0)  # THE gather
+        cmin = row[:, 0:12].reshape(n, WIDTH, 3)
+        cmax = row[:, 12:24].reshape(n, WIDTH, 3)
+        child = row[:, 24:28].astype(jnp.int32)
+
+        t0 = (cmin - o[:, None, :]) * inv_d[:, None, :]
+        t1 = (cmax - o[:, None, :]) * inv_d[:, None, :]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        tlimit = jnp.minimum(best_t, max_dist)
+        box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < tlimit[:, None])
+
+        # All 16 inlined leaf spheres, tested unconditionally (pads have
+        # radius 0 and id -1 and can never produce a valid hit).
+        prim = row[:, _SPH0:].reshape(n, k_slots, _SPH_COLS)
+        pc = prim[..., 0:3]
+        pr = prim[..., 3]
+        pphi = prim[..., 4]
+        pth0 = prim[..., 5]
+        pth1 = prim[..., 6]
+        pid = prim[..., 7].astype(jnp.int32)
+        oc = o[:, None, :] - pc
+        dN = d[:, None, :]
+        b = 2.0 * jnp.sum(oc * dN, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - pr * pr
+        disc = b * b - 4.0 * c  # a == 1 for unit directions
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        hit_any = disc > 0.0
+
+        def accept(tt):
+            hp = oc + tt[..., None] * dN
+            phi = jnp.arctan2(hp[..., 0], hp[..., 2])
+            cos_raw = hp[..., 1] / jnp.maximum(pr, 1e-12)
+            theta = jnp.arccos(jnp.clip(cos_raw, -1.0, 1.0))
+            ok = (hit_any & (pid >= 0) & (tt > K_EPSILON)
+                  & (jnp.abs(phi) <= pphi)
+                  & (theta >= pth0) & (theta <= pth1)
+                  & (jnp.abs(cos_raw) <= 1.0)  # reference acos-NaN reject
+                  & (tt < best_t[:, None]))
+            if any_hit:
+                ok = ok & (tt < max_dist[:, None])
+            return jnp.where(ok, tt, TMAX)
+
+        tt = jnp.minimum(accept((-b - sq) * 0.5), accept((-b + sq) * 0.5))
+        slot = jnp.argmin(tt, axis=1)
+        t_min = jnp.take_along_axis(tt, slot[:, None], axis=1)[:, 0]
+        better = t_min < best_t
+        best_prim = jnp.where(
+            better, jnp.take_along_axis(pid, slot[:, None], axis=1)[:, 0], best_prim)
+        best_t = jnp.where(better, t_min, best_t)
+
+        is_int_child = (child >= 0) & box_hit
+        key = jnp.where(is_int_child, tn, -jnp.inf)
+        cval = jnp.where(is_int_child, child, -1)
+
+        def swap(key, val, i, j):
+            do = key[:, i] < key[:, j]
+            ki = jnp.where(do, key[:, j], key[:, i])
+            kj = jnp.where(do, key[:, i], key[:, j])
+            vi = jnp.where(do, val[:, j], val[:, i])
+            vj = jnp.where(do, val[:, i], val[:, j])
+            return (key.at[:, i].set(ki).at[:, j].set(kj),
+                    val.at[:, i].set(vi).at[:, j].set(vj))
+
+        for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            key, cval = swap(key, cval, i, j)
+        for k in range(WIDTH):
+            do_push = (cval[:, k] >= 0) & (sp <= MAX_STACK - 1)
+            stack = jnp.where(
+                do_push[:, None] & (jnp.arange(MAX_STACK)[None, :] == sp[:, None]),
+                cval[:, k][:, None], stack)
+            sp = jnp.where(do_push, sp + 1, sp)
+
+        if any_hit:
+            sp = jnp.where(best_t < max_dist, 0, sp)
+        return sp, stack, best_t, best_prim
+
+    sp, stack, best_t, best_prim = jax.lax.while_loop(
+        cond, body, (sp, stack, best_t, best_prim))
+    return best_t, best_prim
+
+
+def bvh4s_closest_hit(bvh: SphereBVH4, o, d):
+    return _traverse_s(bvh, o, d, any_hit=False)
+
+
+def bvh4s_any_hit(bvh: SphereBVH4, o, d, max_dist):
+    t, _ = _traverse_s(bvh, o, d, any_hit=True, max_dist=max_dist)
+    return t

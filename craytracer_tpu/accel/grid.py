@@ -3,9 +3,12 @@
 Build follows the reference's density-derived resolution
 (UniformGrid_create, accelerator/uniformgrid.h:54-134): per-axis cell count
 n_i = w_i * (multiplier * num_tris / volume)^(1/3) with multiplier 3
-(buildscene.h:705). Cell membership uses conservative AABB overlap (the
-reference adds an exact triangle-box SAT cull, uniformgrid.h:94-134; the
-superset only costs a few extra masked tests). Cells are CSR arrays in HBM:
+(buildscene.h:705). Cell membership is fully
+vectorized (numpy over all (triangle, overlapped-cell) pairs — the round-1
+Python triple loop was minutes-to-hours at San-Miguel scale) and culled
+with the reference's EXACT triangle-box SAT (testTriangleAABB,
+shapes/shapes.cpp:434-567, applied per cell at uniformgrid.h:94-134), so
+cells hold only triangles that geometrically intersect them. Cells are CSR arrays in HBM:
 (cell_offset[C+1], tri_slot[total]) — the IntVector-per-cell layout
 (util/intvector.h) flattened.
 
@@ -14,7 +17,10 @@ intersect.h:61-194) as one `lax.while_loop` over the whole ray batch: each
 lane alternates between draining its current cell's triangle list (K at a
 time) and stepping the DDA; a lane retires when its best hit lies inside
 the current cell (closest-hit) or any occluder is inside the distance bound
-(any-hit, gridShadowIntersectTest intersect.h:196-308).
+(any-hit, gridShadowIntersectTest intersect.h:196-308). Triangle rows are
+packed [T, 10] (v0, e1, e2, id) so each probe is ONE gather (see
+accel/bvh4.py fat-row note), and per-cell (start, end) offsets are one
+two-column gather.
 """
 
 from __future__ import annotations
@@ -35,13 +41,44 @@ class GridArrays:
     bbox_min: jnp.ndarray  # [3]
     bbox_max: jnp.ndarray  # [3]
     res: jnp.ndarray  # [3] int32 (nx, ny, nz)
-    cell_offset: jnp.ndarray  # [C+1] int32
-    tri_slot: jnp.ndarray  # [total] int32 slots into packed tri arrays
-    # packed triangle data (deduped by original id, slot-indexed)
-    tri_index: jnp.ndarray  # [T] original ids (identity here)
-    v0: jnp.ndarray  # [T, 3]
-    e1: jnp.ndarray  # [T, 3]
-    e2: jnp.ndarray  # [T, 3]
+    cell_span: jnp.ndarray  # [C, 2] int32 (start, end) into tri_slot
+    tri_slot: jnp.ndarray  # [total] int32 triangle ids, cell-grouped
+    tri_rows: jnp.ndarray  # [T, 10] packed (v0, e1, e2, id)
+
+
+def _tri_aabb_sat(tv0, tv1, tv2, cmin, cmax):
+    """Vectorized exact triangle-AABB test (testTriangleAABB,
+    shapes/shapes.cpp:434-567): box-normal overlap is a precondition here,
+    so only the triangle-plane test and the 9 edge cross axes remain."""
+    ctr = (cmin + cmax) * 0.5
+    h = (cmax - cmin) * 0.5
+    a = tv0 - ctr
+    b = tv1 - ctr
+    c = tv2 - ctr
+    e0 = b - a
+    e1 = c - b
+    e2 = a - c
+
+    ok = np.ones(a.shape[0], bool)
+    # 9 cross-product axes L = unit_i x edge_j
+    for ax in range(3):
+        u = np.zeros(3)
+        u[ax] = 1.0
+        for e in (e0, e1, e2):
+            L = np.cross(u, e)
+            r = (np.abs(L) * h).sum(axis=1)
+            p0 = (L * a).sum(axis=1)
+            p1 = (L * b).sum(axis=1)
+            p2 = (L * c).sum(axis=1)
+            lo = np.minimum(np.minimum(p0, p1), p2)
+            hi = np.maximum(np.maximum(p0, p1), p2)
+            ok &= ~((lo > r) | (hi < -r))
+    # triangle plane vs box
+    n = np.cross(e0, e1)
+    r = (np.abs(n) * h).sum(axis=1)
+    d = (n * a).sum(axis=1)
+    ok &= np.abs(d) <= r
+    return ok
 
 
 def build_grid(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
@@ -51,11 +88,13 @@ def build_grid(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     v2 = np.asarray(v2, np.float64)
     t = v0.shape[0]
     if t == 0:
-        z3 = jnp.zeros((1, 3), jnp.float32)
-        zi = jnp.zeros((1,), jnp.int32)
+        z1 = np.zeros((1, 10), np.float32)
+        z1[0, 9] = -1
         return GridArrays(bbox_min=jnp.zeros(3), bbox_max=jnp.ones(3),
-                          res=jnp.ones(3, jnp.int32), cell_offset=jnp.zeros(2, jnp.int32),
-                          tri_slot=zi, tri_index=zi, v0=z3, e1=z3, e2=z3)
+                          res=jnp.ones(3, jnp.int32),
+                          cell_span=jnp.zeros((1, 2), jnp.int32),
+                          tri_slot=jnp.zeros((1,), jnp.int32),
+                          tri_rows=jnp.asarray(z1))
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
     bmin = tri_min.min(axis=0) - 1e-4
@@ -70,40 +109,54 @@ def build_grid(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     lo = np.clip(((tri_min - bmin) / cell_w).astype(np.int64), 0, res - 1)
     hi = np.clip(((tri_max - bmin) / cell_w).astype(np.int64), 0, res - 1)
 
-    cells: list[list[int]] = [[] for _ in range(nx * ny * nz)]
-    for i in range(t):
-        for iz in range(lo[i, 2], hi[i, 2] + 1):
-            for iy in range(lo[i, 1], hi[i, 1] + 1):
-                base = (iz * ny + iy) * nx
-                for ix in range(lo[i, 0], hi[i, 0] + 1):
-                    cells[base + ix].append(i)
+    # vectorized (tri, cell) pair expansion
+    span = hi - lo + 1  # [T, 3]
+    counts = span.prod(axis=1)
+    total = int(counts.sum())
+    tri_ids = np.repeat(np.arange(t), counts)
+    # local index within each tri's cell box, decoded to (ix, iy, iz)
+    local = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    sx = span[tri_ids, 0]
+    sy = span[tri_ids, 1]
+    ix = lo[tri_ids, 0] + local % sx
+    iy = lo[tri_ids, 1] + (local // sx) % sy
+    iz = lo[tri_ids, 2] + local // (sx * sy)
 
-    offsets = np.zeros(nx * ny * nz + 1, np.int64)
-    flat: list[int] = []
-    for c, lst in enumerate(cells):
-        flat.extend(lst)
-        offsets[c + 1] = len(flat)
+    # exact SAT cull per pair
+    cmin = bmin[None, :] + np.stack([ix, iy, iz], axis=1) * cell_w[None, :]
+    keep = _tri_aabb_sat(v0[tri_ids], v1[tri_ids], v2[tri_ids],
+                         cmin, cmin + cell_w[None, :])
+    tri_ids = tri_ids[keep]
+    lin = ((iz[keep] * ny + iy[keep]) * nx + ix[keep]).astype(np.int64)
 
-    f32 = np.float32
+    order = np.argsort(lin, kind="stable")
+    lin = lin[order]
+    flat = tri_ids[order]
+    n_cells = nx * ny * nz
+    counts_per_cell = np.bincount(lin, minlength=n_cells)
+    offsets = np.concatenate([[0], np.cumsum(counts_per_cell)])
+    cell_span = np.stack([offsets[:-1], offsets[1:]], axis=1)
+
+    tri_rows = np.concatenate([
+        v0, v1 - v0, v2 - v0, np.arange(t, dtype=np.float64)[:, None],
+    ], axis=1).astype(np.float32)
     return GridArrays(
-        bbox_min=jnp.asarray(bmin, f32),
-        bbox_max=jnp.asarray(bmax, f32),
+        bbox_min=jnp.asarray(bmin, np.float32),
+        bbox_max=jnp.asarray(bmax, np.float32),
         res=jnp.asarray([nx, ny, nz], jnp.int32),
-        cell_offset=jnp.asarray(offsets, jnp.int32),
-        tri_slot=jnp.asarray(flat if flat else [0], jnp.int32),
-        tri_index=jnp.arange(t, dtype=jnp.int32),
-        v0=jnp.asarray(v0, f32),
-        e1=jnp.asarray(v1 - v0, f32),
-        e2=jnp.asarray(v2 - v0, f32),
+        cell_span=jnp.asarray(cell_span, jnp.int32),
+        tri_slot=jnp.asarray(flat if flat.size else np.zeros(1), jnp.int32),
+        tri_rows=jnp.asarray(tri_rows),
     )
 
 
 def _tri_test(grid: GridArrays, o, d, slot, valid, best_t, best_tri, any_hit,
               max_dist):
-    slot_c = jnp.clip(slot, 0, grid.v0.shape[0] - 1)
-    tv0 = jnp.take(grid.v0, slot_c, axis=0)
-    te1 = jnp.take(grid.e1, slot_c, axis=0)
-    te2 = jnp.take(grid.e2, slot_c, axis=0)
+    slot_c = jnp.clip(slot, 0, grid.tri_rows.shape[0] - 1)
+    row = jnp.take(grid.tri_rows, slot_c, axis=0)  # ONE gather
+    tv0 = row[:, 0:3]
+    te1 = row[:, 3:6]
+    te2 = row[:, 6:9]
     pvec = vm.cross(d, te2)
     det = vm.dot(te1, pvec)
     inv_det = 1.0 / vm._safe(det)
@@ -151,8 +204,9 @@ def _traverse(grid: GridArrays, o, d, any_hit: bool, max_dist=None):
 
     def cell_range(cell):
         lin = (cell[:, 2] * res[1] + cell[:, 1]) * res[0] + cell[:, 0]
-        lin = jnp.clip(lin, 0, grid.cell_offset.shape[0] - 2)
-        return jnp.take(grid.cell_offset, lin), jnp.take(grid.cell_offset, lin + 1)
+        lin = jnp.clip(lin, 0, grid.cell_span.shape[0] - 1)
+        span = jnp.take(grid.cell_span, lin, axis=0)  # one 2-col gather
+        return span[:, 0], span[:, 1]
 
     cur, end = cell_range(cell)
 

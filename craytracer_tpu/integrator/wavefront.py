@@ -56,7 +56,7 @@ def _offset_ray(point, normal, direction):
     return point + normal * eps * side
 
 
-def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
+def _make_bounce_step(scene: T.Scene, seed, spp_index,
                       max_depth: int, rr_start: int = 3, mis: bool = False):
     """Build the per-bounce wavefront step. Returns a function
     (bounce, state) -> (new_state, aux) where aux carries the per-bounce
@@ -74,7 +74,7 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
 
     def step(bounce, state):
         (o, d, beta, L, good, alive, prev_sg, rays, shadows, live_hist,
-         prev_pdf, prev_delta, prev_n) = state
+         prev_pdf, prev_delta, prev_n, pix, lane) = state
 
         # Detached traversal with differentiable fill (SURVEY.md §7 step 7):
         # intersect_scene detaches the discrete search and re-derives
@@ -151,7 +151,7 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         # ---- per-bounce uniforms: ONE fused 9-dim RNG call, sliced per
         # call site (bit-identical to separate calls — dims are a shared
         # arange). Layout: _DIM_LIGHT..=_DIM_RR above.
-        u_all = uniforms(seed, pixel_ids, spp_index, bounce, 9, 0)
+        u_all = uniforms(seed, pix, spp_index, bounce, 9, 0)
 
         # ---- NEE (trace.h:466-481)
         u_light = u_all[:, _DIM_LIGHT:_DIM_LIGHT + 2]
@@ -242,7 +242,9 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         n_live = jnp.sum(alive.astype(jnp.int32))
         rays = rays + n_live
         shadows = shadows + jnp.sum(want_shadow.astype(jnp.int32))
-        live_hist = live_hist.at[bounce].set(n_live)
+        # .add, not .set: after compaction a bounce runs as two half-width
+        # phases that must sum into the same histogram slot
+        live_hist = live_hist.at[bounce].add(n_live)
         # per-bounce log record (SampleLog, trace.h:176-219)
         aux = {
             "t": hit.t,
@@ -255,12 +257,17 @@ def _make_bounce_step(scene: T.Scene, seed, pixel_ids, spp_index,
         }
         return (new_o, new_d, new_beta, L, good, new_alive, new_prev_sg,
                 rays, shadows, live_hist, new_prev_pdf, new_prev_delta,
-                new_prev_n), aux
+                new_prev_n, pix, lane), aux
 
     return step
 
 
-def _init_state(origin, direction, max_depth):
+# state-tuple indices of per-LANE arrays (everything except the counters
+# at indices 7, 8, 9) — used by the compaction permute
+_LANE_IDX = (0, 1, 2, 3, 4, 5, 6, 10, 11, 12, 13, 14)
+
+
+def _init_state(origin, direction, max_depth, pixel_ids):
     n = origin.shape[0]
     f32 = origin.dtype
     return (
@@ -277,12 +284,14 @@ def _init_state(origin, direction, max_depth):
         jnp.zeros((n,), f32),  # prev bsdf pdf (MIS)
         jnp.ones((n,), bool),  # prev lobe was delta (MIS; true at start)
         jnp.zeros((n, 3), f32).at[:, 2].set(1.0),  # prev shading normal
+        jnp.asarray(pixel_ids, jnp.int32),  # per-lane pixel (RNG counter)
+        jnp.arange(n, dtype=jnp.int32),  # original lane id (scatter-back)
     )
 
 
 def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
                 max_depth: int, rr_start: int = 3, with_metrics: bool = False,
-                mis: bool = False, remat: bool = False):
+                mis: bool = False, remat: bool = False, compact_at: int = 0):
     """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
     metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
     `with_metrics` (the on-device counter buffers standing in for the
@@ -291,8 +300,17 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
     `remat=True` checkpoints each bounce (jax.checkpoint): the backward pass
     re-runs the bounce instead of storing its intermediates — trading FLOPs
     for HBM so large inverse renders fit (SURVEY.md §7 step 7
-    "recomputation-vs-storage of per-bounce records")."""
-    step = _make_bounce_step(scene, seed, pixel_ids, spp_index, max_depth,
+    "recomputation-vs-storage of per-bounce records").
+
+    `compact_at=B` (B > 0) enables STREAM COMPACTION (the north star's
+    wavefront-queue compaction; SURVEY.md §7 "mask-based liveness +
+    periodic stream compaction"): after bounce B-1 the lanes are permuted
+    alive-first with one fused gather and the remaining bounces run on the
+    FIRST HALF only; a lax.cond processes the overflow half only when any
+    of its lanes survived — Russian roulette (trace.h:512-525) makes that
+    rare, so deep tails cost half width. Unbiased by construction (every
+    alive lane is still traced; results scatter back by lane id)."""
+    step = _make_bounce_step(scene, seed, spp_index, max_depth,
                              rr_start, mis=mis)
 
     if remat:
@@ -304,9 +322,56 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         def body(bounce, state):
             return step(bounce, state)[0]
 
-    state = jax.lax.fori_loop(0, max_depth + 1, body,
-                              _init_state(origin, direction, max_depth))
-    L, good = state[3], state[4]
+    n = origin.shape[0]
+    state0 = _init_state(origin, direction, max_depth, pixel_ids)
+
+    if not compact_at or compact_at > max_depth or n < 2:
+        state = jax.lax.fori_loop(0, max_depth + 1, body, state0)
+        L, good = state[3], state[4]
+    else:
+        from craytracer_tpu.ops.gather import take_rows
+
+        state = jax.lax.fori_loop(0, compact_at, body, state0)
+        alive = state[5]
+        order = jnp.argsort(~alive, stable=True)  # alive lanes first
+        permuted = take_rows(order, tuple(state[i] for i in _LANE_IDX))
+        lanes = list(state)
+        for k, i in enumerate(_LANE_IDX):
+            lanes[i] = permuted[k]
+        state = tuple(lanes)
+
+        half = n // 2
+
+        def run_tail(sub_state, counters):
+            full = list(sub_state[:7]) + list(counters) + list(sub_state[7:])
+            full = jax.lax.fori_loop(compact_at, max_depth + 1, body,
+                                     tuple(full))
+            return (tuple(full[i] for i in _LANE_IDX),
+                    (full[7], full[8], full[9]))
+
+        def split(sl):
+            return tuple(state[i][sl] for i in _LANE_IDX)
+
+        counters = (state[7], state[8], state[9])
+        lo, counters = run_tail(split(jnp.s_[:half]), counters)
+        hi = split(jnp.s_[half:])
+
+        def do_hi(args):
+            hi, counters = args
+            return run_tail(hi, counters)
+
+        hi, counters = jax.lax.cond(
+            jnp.any(hi[5]),  # index 5 of _LANE_IDX order == alive? see note
+            do_hi, lambda args: args, (hi, counters))
+
+        merged = [jnp.concatenate([a, b], axis=0) for a, b in zip(lo, hi)]
+        # scatter back to input lane order
+        lane = merged[-1]
+        L = jnp.zeros((n, 3), origin.dtype).at[lane].set(merged[3])
+        good = jnp.zeros((n,), jnp.int32).at[lane].set(merged[4])
+        state = list(state0)
+        state[7], state[8], state[9] = counters
+
     rays, shadows, live_hist = state[7], state[8], state[9]
     if with_metrics:
         return L, good, {"rays": rays, "shadow_rays": shadows,
@@ -322,8 +387,8 @@ def trace_paths_logged(scene: T.Scene, origin, direction, seed, pixel_ids,
 
     Returns (L, good, log) where log maps each SampleLog field to a
     [max_depth+1, N, ...] array."""
-    step = _make_bounce_step(scene, seed, pixel_ids, spp_index, max_depth, rr_start)
-    state = _init_state(origin, direction, max_depth)
+    step = _make_bounce_step(scene, seed, spp_index, max_depth, rr_start)
+    state = _init_state(origin, direction, max_depth, pixel_ids)
     logs = []
     for bounce in range(max_depth + 1):
         state, aux = step(bounce, state)
@@ -364,8 +429,13 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
 
         return trace_whitted(scene, o, d, seed, pixel_ids, spp_index, max_depth,
                              specular_continuation=(trace_type == "WHITTED"))
+    # Deep traces compact after Russian roulette starts killing lanes
+    # (trace.h:512-525 creates the holes; bounce_live shows <50% survival
+    # past bounce 4 on the fixture scenes) — shallow traces skip the
+    # permute overhead.
+    compact_at = 4 if max_depth >= 8 else 0
     L, good = trace_paths(scene, o, d, seed, pixel_ids, spp_index, max_depth,
-                          mis=(estimator == "mis"))
+                          mis=(estimator == "mis"), compact_at=compact_at)
     if estimator in ("physical", "mis"):
         return L
     norm = jnp.where(good > 0, 1.0 / jnp.maximum(good, 1).astype(L.dtype), 0.0)

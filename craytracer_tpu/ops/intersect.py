@@ -486,7 +486,12 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
     for gid, name, ts_fn, _ in _GROUPS:
         if _group_size(scene, name) == 0:
             continue
-        if gid == T.GROUP_TRIANGLE and scene.accel == "bvh":
+        if gid == T.GROUP_SPHERE and scene.sph_bvh is not None:
+            from craytracer_tpu.accel.bvh4_sphere import bvh4s_closest_hit
+
+            gmin, gidx = bvh4s_closest_hit(scene.sph_bvh, o_s, d_s)
+            gidx = jnp.maximum(gidx, 0)
+        elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh":
             from craytracer_tpu.accel.bvh import bvh_closest_hit
 
             gmin, gidx = bvh_closest_hit(scene.tri_bvh, o_s, d_s)
@@ -554,7 +559,12 @@ def shadow_distance(scene: T.Scene, o, d, max_dist=None) -> jnp.ndarray:
     for gid, name, ts_fn, _ in _GROUPS:
         if _group_size(scene, name) == 0:
             continue
-        if gid == T.GROUP_TRIANGLE and scene.accel == "bvh":
+        if gid == T.GROUP_SPHERE and scene.sph_bvh is not None:
+            from craytracer_tpu.accel.bvh4_sphere import bvh4s_any_hit
+
+            md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
+            best_t = jnp.minimum(best_t, bvh4s_any_hit(scene.sph_bvh, o, d, md))
+        elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh":
             from craytracer_tpu.accel.bvh import bvh_any_hit
 
             md = max_dist if max_dist is not None else jnp.full((n,), TMAX)

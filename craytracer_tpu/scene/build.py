@@ -474,6 +474,8 @@ class SceneBuilder:
         textures = self._build_textures()
 
         n_tris = tv[0].shape[0]
+        accel_requested = accel  # sphere accel keys off the request, not
+        # the triangle-count override below
         if accel == "auto":
             # 4-wide BVH: ~half the serial traversal depth of the binary BVH
             accel = "bvh4" if n_tris >= 64 else "none"
@@ -497,6 +499,17 @@ class SceneBuilder:
 
             tri_bvh = build_grid(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
 
+        sph_bvh = None
+        if accel_requested != "none" and spheres.mat_id.shape[0] >= 256:
+            # sphere-heavy scene: index analytic spheres too (the
+            # reference's accelerators hold every object type)
+            from craytracer_tpu.accel.bvh4_sphere import build_bvh4_spheres
+
+            sph_bvh = build_bvh4_spheres(
+                np.asarray(spheres.center), np.asarray(spheres.radius),
+                np.asarray(spheres.phi), np.asarray(spheres.min_theta),
+                np.asarray(spheres.max_theta))
+
         from craytracer_tpu.ops.gather import validate_int_tables
 
         validate_int_tables(
@@ -507,7 +520,7 @@ class SceneBuilder:
             spheres=spheres, planes=planes, rects=rects, disks=disks,
             triangles=triangles, instanced=instanced, materials=materials,
             lights=lights, mesh_lights=mesh_lights, env=env, textures=textures,
-            tri_bvh=tri_bvh, accel=accel,
+            tri_bvh=tri_bvh, sph_bvh=sph_bvh, accel=accel,
             mat_types_present=tuple(sorted(
                 int(t) for t in np.unique(np.asarray(materials.mat_type)))),
         )

@@ -248,6 +248,10 @@ class Scene:
     env: EnvLight
     textures: TexturePack
     tri_bvh: object = None  # BVHArrays when accel == 'bvh'
+    # Sphere acceleration (analytic primitives indexed like the reference's
+    # grid/BVH hold all object types, scene/scenedata.h:12-18): built for
+    # sphere-heavy scenes, None = brute force.
+    sph_bvh: object = None
     accel: str = flax.struct.field(pytree_node=False, default="none")
     # Static set of MAT_* codes present in the material table, filled by
     # SceneBuilder. jit specializes on it: absent material types cost zero

@@ -187,3 +187,41 @@ def test_tiny_trees():
                                           err_msg=f"{build.__name__} ntri={ntri}")
             np.testing.assert_allclose(np.asarray(t)[hit_ref],
                                        np.asarray(t_ref)[hit_ref], rtol=1e-4)
+
+
+def test_sphere_bvh_matches_brute_force():
+    """Analytic-primitive acceleration (scene/scenedata.h:12-18: the
+    reference's accelerators hold all object types): a 600-sphere scene
+    through the sphere fat-row BVH must produce the same image as the
+    brute-force [N, M] path."""
+    import numpy as np
+
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.wavefront import render_sample
+    from craytracer_tpu.scene import SceneBuilder
+
+    def build(accel):
+        rng = np.random.default_rng(5)  # identical scene per accel mode
+        b = SceneBuilder()
+        b.add_matte("w", (0.7, 0.7, 0.7))
+        b.add_emissive("l", (1, 1, 1), 30.0)
+        b.add_rect((-40, 0, -40), (80, 0, 0), (0, 0, 80), "w")
+        b.add_rect((-4, 30, -4), (8, 0, 0), (0, 0, 8), "l")
+        for i in range(600):
+            c = rng.uniform(-20, 20, 3)
+            c[1] = rng.uniform(0.5, 6.0)
+            b.add_sphere(tuple(c), rng.uniform(0.3, 0.9), "w")
+        return b.build(accel=accel)
+
+    s_acc = build("bvh4")
+    s_brt = build("none")
+    assert s_acc.sph_bvh is not None and s_brt.sph_bvh is None
+
+    cam = make_camera((0, 18, 45), (0, 2, 0))
+    film = Film(fov=jnp.float32(np.radians(45.0)), width=24, height=24)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+    img_a = np.asarray(render_sample(s_acc, cam, film, ids, 3, 0, 3,
+                                     estimator="physical"))
+    img_b = np.asarray(render_sample(s_brt, cam, film, ids, 3, 0, 3,
+                                     estimator="physical"))
+    np.testing.assert_allclose(img_a, img_b, rtol=2e-4, atol=2e-4)

@@ -164,3 +164,28 @@ def test_seed_determinism():
     b = render(6)
     np.testing.assert_array_equal(a1, a2)
     assert np.abs(a1 - b).max() > 1e-4
+
+
+def test_stream_compaction_equivalence():
+    """compact_at (north-star stream compaction) must be invisible in the
+    output: same radiance, good_paths, and bounce_live histogram as the
+    full-width loop on a deep RR-heavy trace."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _cornell
+    from craytracer_tpu.camera import generate_rays
+    from craytracer_tpu.integrator.wavefront import (CAMERA_BOUNCE,
+                                                     trace_paths)
+    from craytracer_tpu.sampling import uniforms
+
+    scene, cam, film = _cornell(24, 24)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+    o, d = generate_rays(cam, film, ids, uniforms(0, ids, 0, CAMERA_BOUNCE, 2, 0))
+    L0, g0, m0 = trace_paths(scene, o, d, 0, ids, 0, 16, with_metrics=True)
+    L1, g1, m1 = trace_paths(scene, o, d, 0, ids, 0, 16, with_metrics=True,
+                             compact_at=4)
+    np.testing.assert_allclose(np.asarray(L0), np.asarray(L1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    np.testing.assert_array_equal(np.asarray(m0["bounce_live"]),
+                                  np.asarray(m1["bounce_live"]))
