@@ -85,83 +85,78 @@ def collapse4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         count = np.asarray([n["count"] for n in nodes], np.int32)
         order = np.asarray(order_l, np.int32)
 
-    # binary children: left = i + 1, right = right[i]; leaves have count > 0
-    def bin_children(i):
-        return (i + 1, int(right[i]))
+    node_min = np.asarray(node_min, np.float64)
+    node_max = np.asarray(node_max, np.float64)
+    right = np.asarray(right, np.int64)
+    first = np.asarray(first, np.int64)
+    count = np.asarray(count, np.int64)
+    is_leaf_arr = count > 0
 
-    def is_leaf(i):
-        return count[i] > 0
+    if is_leaf_arr[0]:
+        # single-leaf tree: one q node whose first slot is the leaf
+        mins = np.ones((1, WIDTH, 3), np.float32)
+        maxs = -np.ones((1, WIDTH, 3), np.float32)
+        child = np.full((1, WIDTH), -1, np.int64)
+        lf = np.full((1, WIDTH), -1, np.int64)
+        lc = np.zeros((1, WIDTH), np.int64)
+        mins[0, 0] = node_min[0]
+        maxs[0, 0] = node_max[0]
+        lf[0, 0] = first[0]
+        lc[0, 0] = count[0]
+    else:
+        # Vectorized level-order collapse (the recursive per-node emit was
+        # the build bottleneck at millions of triangles): each BFS wave of
+        # binary internal nodes becomes a wave of 4-wide nodes; a node's 4
+        # slots are its grandchildren where its children are internal, the
+        # children themselves where they are leaves (-1 = empty slot).
+        waves = []  # (slots[F,4] binary ids or -1)
+        frontier = np.array([0], np.int64)
+        total = 0
+        starts = []
+        while frontier.size:
+            starts.append(total)
+            total += frontier.size
+            l = frontier + 1
+            r = right[frontier]
+            leaf_l = is_leaf_arr[l]
+            leaf_r = is_leaf_arr[r]
+            s0 = np.where(leaf_l, l, l + 1)
+            s1 = np.where(leaf_l, -1, right[l])
+            s2 = np.where(leaf_r, r, r + 1)
+            s3 = np.where(leaf_r, -1, right[r])
+            slots = np.stack([s0, s1, s2, s3], axis=1)  # [F, 4]
+            waves.append(slots)
+            flat = slots.reshape(-1)
+            internal = flat[(flat >= 0) & ~is_leaf_arr[np.maximum(flat, 0)]]
+            frontier = internal
 
-    q_nodes = []  # rows: (mins[4,3], maxs[4,3], child[4], lf[4], lc[4])
+        slots = np.concatenate(waves, axis=0)  # [M, 4] binary ids or -1
+        m = slots.shape[0]
+        # q-node id per binary internal node: BFS visit order
+        q_of_binary = np.full(node_min.shape[0], -1, np.int64)
+        visit = np.concatenate(
+            [w.reshape(-1) for w in waves])  # appearance order of slots
+        # ids are assigned wave by wave in row-major slot order:
+        flat_internal = visit[(visit >= 0) & ~is_leaf_arr[np.maximum(visit, 0)]]
+        q_of_binary[0] = 0
+        q_of_binary[flat_internal] = np.arange(1, 1 + flat_internal.size)
 
-    def emit(i) -> int:
-        """Create the 4-wide node for binary internal node i; returns its
-        index in the q arrays."""
-        # gather up to 4 descendants: grandchildren where possible
-        slots: list[int] = []
-        l, r = bin_children(i)
-        for c in (l, r):
-            if is_leaf(c):
-                slots.append(c)
-            else:
-                cl, cr = bin_children(c)
-                slots.append(cl)
-                slots.append(cr)
-        idx = len(q_nodes)
-        q_nodes.append(None)  # reserve
-        mins = np.zeros((WIDTH, 3), np.float32)
-        maxs = np.zeros((WIDTH, 3), np.float32)
-        child = np.full(WIDTH, -1, np.int32)
-        lf = np.full(WIDTH, -1, np.int32)
-        lc = np.zeros(WIDTH, np.int32)
-        for k, c in enumerate(slots):
-            mins[k] = node_min[c]
-            maxs[k] = node_max[c]
-            if is_leaf(c):
-                lf[k] = first[c]
-                lc[k] = count[c]
-            else:
-                child[k] = emit(c)
-        # empty slots: inverted boxes never hit
-        for k in range(len(slots), WIDTH):
-            mins[k] = 1.0
-            maxs[k] = -1.0
-        q_nodes[idx] = (mins, maxs, child, lf, lc)
-        return idx
-
-    import sys
-
-    old = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old, 100000))
-    try:
-        if is_leaf(0):
-            # single-leaf tree: one q node whose first child is the leaf
-            mins = np.ones((WIDTH, 3), np.float32)
-            maxs = -np.ones((WIDTH, 3), np.float32)
-            child = np.full(WIDTH, -1, np.int32)
-            lf = np.full(WIDTH, -1, np.int32)
-            lc = np.zeros(WIDTH, np.int32)
-            mins[0] = node_min[0]
-            maxs[0] = node_max[0]
-            lf[0] = first[0]
-            lc[0] = count[0]
-            q_nodes.append((mins, maxs, child, lf, lc))
-        else:
-            emit(0)
-    finally:
-        sys.setrecursionlimit(old)
+        valid = slots >= 0
+        sc = np.maximum(slots, 0)
+        slot_leaf = valid & is_leaf_arr[sc]
+        slot_int = valid & ~is_leaf_arr[sc]
+        mins = np.where(valid[..., None], node_min[sc], 1.0).astype(np.float32)
+        maxs = np.where(valid[..., None], node_max[sc], -1.0).astype(np.float32)
+        child = np.where(slot_int, q_of_binary[sc], -1)
+        lf = np.where(slot_leaf, first[sc], -1)
+        lc = np.where(slot_leaf, count[sc], 0)
 
     order64 = order.astype(np.int64)
     pv0 = v0[order64].astype(np.float32)
     pe1 = (v1[order64] - v0[order64]).astype(np.float32)
     pe2 = (v2[order64] - v0[order64]).astype(np.float32)
-
-    mins = np.stack([q[0] for q in q_nodes]).astype(np.float32)  # [M,4,3]
-    maxs = np.stack([q[1] for q in q_nodes]).astype(np.float32)
-    child = np.stack([q[2] for q in q_nodes])
-    lf = np.stack([q[3] for q in q_nodes]).astype(np.int64)
-    lc = np.stack([q[4] for q in q_nodes]).astype(np.int64)
-    return mins, maxs, child, lf, lc, order, pv0, pe1, pe2
+    return (mins.reshape(-1, WIDTH, 3), maxs.reshape(-1, WIDTH, 3), child,
+            lf, lc, order, pv0, pe1, pe2)
 
 
 def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,

@@ -497,9 +497,20 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
             gmin, gidx = bvh_closest_hit(scene.tri_bvh, o_s, d_s)
             gidx = jnp.maximum(gidx, 0)
         elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh4":
-            from craytracer_tpu.accel.bvh4 import bvh4_closest_hit
+            import os
 
-            gmin, gidx = bvh4_closest_hit(scene.tri_bvh, o_s, d_s)
+            if os.environ.get("CRAYTRACER_PALLAS_TRAVERSAL") == "1":
+                # env-gated compiled Pallas traversal (VMEM-resident node
+                # table; see accel/pallas_bvh4.py for the size bound and
+                # why it is not the default on this environment)
+                from craytracer_tpu.accel.pallas_bvh4 import (
+                    pallas_bvh4_closest_hit)
+
+                gmin, gidx = pallas_bvh4_closest_hit(scene.tri_bvh, o_s, d_s)
+            else:
+                from craytracer_tpu.accel.bvh4 import bvh4_closest_hit
+
+                gmin, gidx = bvh4_closest_hit(scene.tri_bvh, o_s, d_s)
             gidx = jnp.maximum(gidx, 0)
         elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh4q":
             from craytracer_tpu.accel.bvh4q import bvh4q_closest_hit

@@ -32,3 +32,33 @@ def test_pallas_matches_xla_interpret():
     np.testing.assert_array_equal(hit, np.asarray(t) < TMAX)
     np.testing.assert_allclose(np.asarray(t)[hit], np.asarray(t_ref)[hit], rtol=1e-4)
     assert hit.sum() > 30
+
+
+def test_pallas_bvh4_traversal_matches_xla():
+    """North-star Pallas traversal kernel (accel/pallas_bvh4.py):
+    interpret-mode equivalence against the XLA while_loop traversal on a
+    real mesh — identical t and triangle ids."""
+    import sys
+
+    sys.path.insert(0, "scenes")
+    import numpy as np
+    import jax.numpy as jnp
+    from make_fixtures import icosphere
+
+    from craytracer_tpu.accel.bvh4 import build_bvh4, bvh4_closest_hit
+    from craytracer_tpu.accel.pallas_bvh4 import pallas_bvh4_closest_hit
+
+    v, f = icosphere(2)
+    bvh = build_bvh4(v[f[:, 0]] * 3, v[f[:, 1]] * 3, v[f[:, 2]] * 3)
+    rng = np.random.default_rng(1)
+    n = 500  # non-multiple of RAY_BLOCK exercises the padding path
+    o = jnp.asarray(np.tile([[0.0, 0.5, 8.0]], (n, 1)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] -= 1.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t0, i0 = bvh4_closest_hit(bvh, o, d)
+    t1, i1 = pallas_bvh4_closest_hit(bvh, o, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    assert (np.asarray(t0) < 1e8).sum() > 50  # real hits exercised
