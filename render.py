@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tile", type=int, default=0, help="pixels per tile (0=all)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--probe", default=None, metavar="X,Y",
+                   help="print pixel (x, y) accumulated radiance after the "
+                        "render (the pause-probe, main.cpp:151-167)")
     p.add_argument("--accel", default=None, choices=["auto", "none", "bvh", "bvh4", "bvh4q", "grid"],
                    help="triangle accel backend (default: from config)")
     args = p.parse_args(argv)
@@ -107,6 +110,18 @@ def main(argv=None):
     n_rays = film.num_pixels * rc.num_samples
     print(f"rendered {rc.num_samples} passes in {dt:.2f}s "
           f"({n_rays / dt / 1e6:.2f}M primary rays/s)")
+
+    if args.probe:
+        # click-to-probe analog (main.cpp:151-167): raw accumulated
+        # radiance and the running mean at one pixel
+        import numpy as np
+
+        x, y = (int(v) for v in args.probe.split(","))
+        idx = y * film.width + x
+        acc = np.asarray(r.accum)[idx]
+        mean = acc / max(r.spp_done, 1)
+        print(f"probe ({x},{y}): accum={acc.tolist()} mean={mean.tolist()} "
+              f"spp={r.spp_done}")
 
     write_ppm(args.output, img)
     print(f"wrote {args.output}")
