@@ -54,9 +54,15 @@ class BVHArrays:
 
 def _build_arrays(v0, v1, v2, leaf_size=LEAF_SIZE):
     t = v0.shape[0]
+    # f32 throughout: the native builder (craynative.cpp) computes bounds
+    # and centroids in f32, and split decisions must agree bit-for-bit —
+    # an f64 centroid can order differently within 1 ulp of a tie.
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
-    centroid = (tri_min + tri_max) * 0.5
+    centroid = (tri_min + tri_max) * np.float32(0.5)
 
     nodes = []  # dicts
     order: list[int] = []
@@ -78,7 +84,10 @@ def _build_arrays(v0, v1, v2, leaf_size=LEAF_SIZE):
             return idx
         ext = centroid[ids].max(axis=0) - centroid[ids].min(axis=0)
         ax = int(np.argmax(ext))
-        med = np.argsort(centroid[ids, ax], kind="stable")
+        # Strict (centroid, id) key — a total order, so the split is
+        # independent of the parent's ordering; matches the native
+        # presorted-partition builder bit-for-bit (native/craynative.cpp).
+        med = np.lexsort((ids, centroid[ids, ax]))
         half = len(ids) // 2
         n["first"] = -1
         n["count"] = 0
@@ -111,7 +120,14 @@ def build_bvh_arrays(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     if t >= (1 << 24):
         raise ValueError("fat-row BVH inlines f32 triangle ids; "
                          "triangle count must stay below 2^24")
-    from craytracer_tpu.native import build_bvh_native
+    from craytracer_tpu.native import build_bvh_fat_native, build_bvh_native
+
+    # Full C++ path: build + fat assembly in one native call (the numpy
+    # assembly below runs at MB/s on the target host — San-Miguel-scale
+    # meshes need this; bit-identical output).
+    fat_nat = build_bvh_fat_native(v0, v1, v2, leaf_size)
+    if fat_nat is not None:
+        return BVHArrays(fat=jnp.asarray(fat_nat), n_tris=t)
 
     nat = build_bvh_native(v0, v1, v2, leaf_size)
     if nat is not None:

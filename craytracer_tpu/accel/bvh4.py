@@ -171,6 +171,15 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     if t >= (1 << 24):
         raise ValueError("fat-row BVH4 inlines f32 triangle ids; "
                          "triangle count must stay below 2^24")
+    from craytracer_tpu.native import build_bvh4_fat_native
+
+    # Full C++ path: binary build + BFS collapse + fat assembly in one
+    # native call (the numpy assembly below runs at MB/s on the target
+    # host — San-Miguel-scale meshes need this; bit-identical output).
+    fat_nat = build_bvh4_fat_native(v0, v1, v2, leaf_size)
+    if fat_nat is not None:
+        return BVH4Arrays(fat=jnp.asarray(fat_nat), n_tris=t)
+
     mins, maxs, child, lf, lc, order, pv0, pe1, pe2 = collapse4(
         v0, v1, v2, leaf_size)
     m = mins.shape[0]

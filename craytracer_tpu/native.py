@@ -30,7 +30,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, "libcraynative.so")
-    if not os.path.exists(so):
+    src = os.path.join(_NATIVE_DIR, "craynative.cpp")
+    stale = (os.path.exists(so) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if not os.path.exists(so) or stale:
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
@@ -64,6 +67,15 @@ def _load() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_int32), c.POINTER(c.c_int32),
     ]
     lib.crn_bvh_free.argtypes = [c.c_void_p]
+    for name in ("crn_bvh_fat", "crn_bvh4_fat"):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = c.c_int64
+            fn.argtypes = [c.c_void_p] + [c.POINTER(c.c_float)] * 3 + [
+                c.c_int32, c.POINTER(c.c_float)]
+    if hasattr(lib, "crn_bvh4_collapse"):
+        lib.crn_bvh4_collapse.restype = c.c_int64
+        lib.crn_bvh4_collapse.argtypes = [c.c_void_p, c.POINTER(c.c_int64)]
     _LIB = lib
     return lib
 
@@ -154,5 +166,59 @@ def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         lib.crn_bvh_copy(h, _fptr(node_min), _fptr(node_max), _iptr(right),
                          _iptr(axis), _iptr(first), _iptr(count), _iptr(order))
         return node_min, node_max, right, axis, first, count, order[:t]
+    finally:
+        lib.crn_bvh_free(h)
+
+
+def _bvh_handle(lib, v0, v1, v2, leaf_size):
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    h = lib.crn_build_bvh(_fptr(v0), _fptr(v1), _fptr(v2), v0.shape[0],
+                          leaf_size)
+    return h, v0, v1, v2
+
+
+def build_bvh_fat_native(v0, v1, v2, leaf_size: int = 4):
+    """Binary-BVH fat rows [M, 8 + leaf_size*10], assembled entirely in C++
+    (the numpy assembly runs at MB/s on the target host — see
+    native/craynative.cpp fat-row comment). Returns None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "crn_bvh_fat"):
+        return None
+    h, v0, v1, v2 = _bvh_handle(lib, v0, v1, v2, leaf_size)
+    if not h:
+        return None
+    try:
+        n_nodes = ctypes.c_int64()
+        n_order = ctypes.c_int64()
+        lib.crn_bvh_counts(h, ctypes.byref(n_nodes), ctypes.byref(n_order))
+        m = n_nodes.value
+        fat = np.empty((m, 8 + leaf_size * 10), np.float32)
+        r = lib.crn_bvh_fat(h, _fptr(v0), _fptr(v1), _fptr(v2), leaf_size,
+                            _fptr(fat))
+        return fat if r == m else None
+    finally:
+        lib.crn_bvh_free(h)
+
+
+def build_bvh4_fat_native(v0, v1, v2, leaf_size: int = 4):
+    """4-wide (QBVH) fat rows [M, 28 + 4*leaf_size*10]: binary build +
+    BFS grandchild collapse + fat assembly, all in C++ and bit-identical to
+    accel/bvh4.py's numpy path. Returns None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "crn_bvh4_fat"):
+        return None
+    h, v0, v1, v2 = _bvh_handle(lib, v0, v1, v2, leaf_size)
+    if not h:
+        return None
+    try:
+        m = ctypes.c_int64()
+        if lib.crn_bvh4_collapse(h, ctypes.byref(m)) != 0 or m.value <= 0:
+            return None
+        fat = np.empty((m.value, 28 + 4 * leaf_size * 10), np.float32)
+        r = lib.crn_bvh4_fat(h, _fptr(v0), _fptr(v1), _fptr(v2), leaf_size,
+                             _fptr(fat))
+        return fat if r == m.value else None
     finally:
         lib.crn_bvh_free(h)

@@ -243,11 +243,19 @@ struct BuildCtx {
     const float* cent;
     int leaf_size;
     BVHOut out;
-    std::vector<int32_t> ids;     // workspace (permuted in place)
-    std::vector<int32_t> scratch;
+    // Presorted-axis partition build (O(n log n)): arr[k] holds the node's
+    // triangle ids sorted by the STRICT key (centroid[k], id) — a total
+    // order, so no tie-dependence on parent ordering. Each split partitions
+    // the other two axis arrays stably by membership, preserving their sort.
+    std::vector<int32_t> arr[3];
+    std::vector<uint8_t> side;    // per-triangle left/right flag
+    std::vector<int32_t> tmp;     // partition scratch
+    // 4-wide collapse products (crn_bvh4_collapse)
+    std::vector<int32_t> q_slots;  // 4 per q node: binary slot ids or -1
+    std::vector<int32_t> q_of;     // binary internal id -> q id
 };
 
-static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi) {
+static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi, int parent_ax) {
     int32_t idx = (int32_t)c.out.right.size();
     c.out.right.push_back(-1);
     c.out.axis.push_back(0);
@@ -258,8 +266,9 @@ static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi) {
 
     float bmin[3] = {1e30f, 1e30f, 1e30f}, bmax[3] = {-1e30f, -1e30f, -1e30f};
     float cmin[3] = {1e30f, 1e30f, 1e30f}, cmax[3] = {-1e30f, -1e30f, -1e30f};
+    const auto& ids0 = c.arr[parent_ax < 0 ? 0 : parent_ax];
     for (int32_t i = lo; i < hi; i++) {
-        int32_t t = c.ids[i];
+        int32_t t = ids0[i];
         for (int k = 0; k < 3; k++) {
             bmin[k] = std::min(bmin[k], c.tmin[3 * t + k]);
             bmax[k] = std::max(bmax[k], c.tmax[3 * t + k]);
@@ -275,7 +284,10 @@ static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi) {
     if (hi - lo <= c.leaf_size) {
         c.out.first[idx] = (int32_t)c.out.order.size();
         c.out.count[idx] = hi - lo;
-        for (int32_t i = lo; i < hi; i++) c.out.order.push_back(c.ids[i]);
+        // Leaf triangle order: the parent's split-axis order — exactly the
+        // subrange order the per-node-sort formulation would leave here
+        // (the Python fallback's ids array after the parent's lexsort).
+        for (int32_t i = lo; i < hi; i++) c.out.order.push_back(ids0[i]);
         return idx;
     }
     int ax = 0;
@@ -285,14 +297,24 @@ static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi) {
         if (e > best_ext) { best_ext = e; ax = k; }
     }
     c.out.axis[idx] = ax;
-    const float* cent = c.cent;
-    std::stable_sort(c.ids.begin() + lo, c.ids.begin() + hi,
-                     [cent, ax](int32_t a, int32_t b) {
-                         return cent[3 * a + ax] < cent[3 * b + ax];
-                     });
     int32_t mid = lo + (hi - lo) / 2;
-    build_node(c, lo, mid);
-    c.out.right[idx] = build_node(c, mid, hi);
+    // Mark which ids fall left: the first half of the split-axis order.
+    for (int32_t i = lo; i < mid; i++) c.side[c.arr[ax][i]] = 0;
+    for (int32_t i = mid; i < hi; i++) c.side[c.arr[ax][i]] = 1;
+    // Stable-partition the other two axis arrays by the flag.
+    for (int k = 0; k < 3; k++) {
+        if (k == ax) continue;
+        auto& a = c.arr[k];
+        int32_t nl = lo, nr = 0;
+        for (int32_t i = lo; i < hi; i++) {
+            int32_t t = a[i];
+            if (c.side[t] == 0) a[nl++] = t;
+            else c.tmp[nr++] = t;
+        }
+        std::copy(c.tmp.begin(), c.tmp.begin() + nr, a.begin() + nl);
+    }
+    build_node(c, lo, mid, ax);
+    c.out.right[idx] = build_node(c, mid, hi, ax);
     return idx;
 }
 
@@ -316,11 +338,32 @@ void* crn_build_bvh(const float* v0, const float* v1, const float* v2,
     c->tmin = tmin->data();
     c->tmax = tmax->data();
     c->cent = cent->data();
-    c->ids.resize((size_t)n);
-    std::iota(c->ids.begin(), c->ids.end(), 0);
-    if (n > 0) build_node(*c, 0, (int32_t)n);
-    delete tmin;  // data already consumed into out arrays? No — tmin/tmax
-    delete tmax;  // only needed during build; out holds node bounds.
+    if (n > 0) {
+        // Root-leaf special case keeps the original id order (matches the
+        // Python fallback, which never sorts a <=leaf_size root).
+        if (n <= leaf_size) {
+            c->arr[0].resize((size_t)n);
+            std::iota(c->arr[0].begin(), c->arr[0].end(), 0);
+            build_node(*c, 0, (int32_t)n, -1);
+        } else {
+            const float* cent_p = c->cent;
+            for (int k = 0; k < 3; k++) {
+                c->arr[k].resize((size_t)n);
+                std::iota(c->arr[k].begin(), c->arr[k].end(), 0);
+                std::sort(c->arr[k].begin(), c->arr[k].end(),
+                          [cent_p, k](int32_t a, int32_t b) {
+                              float ca = cent_p[3 * a + k], cb = cent_p[3 * b + k];
+                              if (ca != cb) return ca < cb;
+                              return a < b;
+                          });
+            }
+            c->side.resize((size_t)n);
+            c->tmp.resize((size_t)n);
+            build_node(*c, 0, (int32_t)n, -1);
+        }
+    }
+    delete tmin;  // tmin/tmax/cent only needed during build; out holds
+    delete tmax;  // node bounds.
     delete cent;
     c->tmin = c->tmax = c->cent = nullptr;
     return c;
@@ -351,5 +394,131 @@ int64_t crn_bvh_copy(void* h, float* node_min, float* node_max, int32_t* right,
 }
 
 void crn_bvh_free(void* h) { delete (BuildCtx*)h; }
+
+// ---------------------------------------------------------------------------
+// Fat-row assembly — the device node layouts of accel/bvh.py (binary,
+// [M, 8 + L*10]) and accel/bvh4.py (4-wide, [M, 28 + 4*L*10]) built directly
+// in C++. The numpy assembly was measured at 3-15 MB/s on the target host
+// (pathological page-fault behavior); these single-pass writers run at
+// memory speed. Layouts and values are bit-identical to the numpy paths:
+// edge vectors v1-v0 of f32 inputs are correctly rounded either way, pad
+// triangle rows are zero with id -1, empty 4-wide slots carry min=+1/max=-1.
+
+static const int TRI_COLS = 10;
+
+static void write_tri_block(float* dst, int32_t s, const BuildCtx& c,
+                            const float* v0, const float* v1, const float* v2,
+                            int leaf_size) {
+    // dst: leaf_size * TRI_COLS floats. s = binary leaf node id (or -1).
+    const auto& o = c.out;
+    int32_t cnt = s >= 0 ? o.count[s] : 0;
+    int32_t fst = s >= 0 ? o.first[s] : -1;
+    for (int j = 0; j < leaf_size; j++) {
+        float* row = dst + j * TRI_COLS;
+        if (j < cnt && fst >= 0) {
+            int32_t t = o.order[fst + j];
+            for (int k = 0; k < 3; k++) {
+                row[k] = v0[3 * t + k];
+                row[3 + k] = v1[3 * t + k] - v0[3 * t + k];
+                row[6 + k] = v2[3 * t + k] - v0[3 * t + k];
+            }
+            row[9] = (float)t;
+        } else {
+            memset(row, 0, TRI_COLS * sizeof(float));
+            row[9] = -1.0f;
+        }
+    }
+}
+
+// Binary fat rows: [0:3) min, [3:6) max, [6] right (-1 = leaf), [7] axis,
+// [8:8+L*10) leaf triangles.
+int64_t crn_bvh_fat(void* h, const float* v0, const float* v1,
+                    const float* v2, int32_t leaf_size, float* fat) {
+    auto* c = (BuildCtx*)h;
+    if (!c) return -1;
+    const auto& o = c->out;
+    int64_t m = (int64_t)o.right.size();
+    const int w = 8 + leaf_size * TRI_COLS;
+    for (int64_t i = 0; i < m; i++) {
+        float* row = fat + i * w;
+        for (int k = 0; k < 3; k++) {
+            row[k] = o.node_min[3 * i + k];
+            row[3 + k] = o.node_max[3 * i + k];
+        }
+        bool leaf = o.count[i] > 0;
+        row[6] = (float)(leaf ? -1 : o.right[i]);
+        row[7] = (float)o.axis[i];
+        write_tri_block(row + 8, leaf ? (int32_t)i : -1, *c, v0, v1, v2,
+                        leaf_size);
+    }
+    return m;
+}
+
+// 4-wide collapse (accel/bvh4.py::collapse4): each q node adopts its
+// grandchildren where its children are internal, the children themselves
+// where they are leaves. Q-node ids are assigned in BFS appearance order
+// (root = 0), matching the vectorized numpy wave collapse bit-for-bit.
+int64_t crn_bvh4_collapse(void* h, int64_t* out_m) {
+    auto* c = (BuildCtx*)h;
+    if (!c) return -1;
+    const auto& o = c->out;
+    int64_t nb = (int64_t)o.right.size();
+    c->q_slots.clear();
+    if (nb == 0) { *out_m = 0; return 0; }
+    if (o.count[0] > 0) {  // single-leaf tree
+        c->q_slots = {0, -1, -1, -1};
+        *out_m = 1;
+        return 0;
+    }
+    std::vector<int32_t> queue;  // binary internal ids in q order
+    queue.reserve(nb / 2 + 1);
+    queue.push_back(0);
+    auto is_leaf = [&](int32_t b) { return o.count[b] > 0; };
+    for (size_t qi = 0; qi < queue.size(); qi++) {
+        int32_t b = queue[qi];
+        int32_t l = b + 1, r = o.right[b];
+        int32_t s[4];
+        if (is_leaf(l)) { s[0] = l; s[1] = -1; }
+        else { s[0] = l + 1; s[1] = o.right[l]; }
+        if (is_leaf(r)) { s[2] = r; s[3] = -1; }
+        else { s[2] = r + 1; s[3] = o.right[r]; }
+        for (int k = 0; k < 4; k++) {
+            c->q_slots.push_back(s[k]);
+            if (s[k] >= 0 && !is_leaf(s[k])) queue.push_back(s[k]);
+        }
+    }
+    // map binary internal id -> q id (its index in the queue)
+    c->q_of.assign(nb, -1);
+    for (size_t qi = 0; qi < queue.size(); qi++) c->q_of[queue[qi]] = (int32_t)qi;
+    *out_m = (int64_t)(c->q_slots.size() / 4);
+    return 0;
+}
+
+// 4-wide fat rows: [0:12) 4 child mins, [12:24) 4 child maxs, [24:28)
+// child q ids (-1 = leaf/empty), [28:28+4*L*10) per-slot leaf triangles.
+int64_t crn_bvh4_fat(void* h, const float* v0, const float* v1,
+                     const float* v2, int32_t leaf_size, float* fat) {
+    auto* c = (BuildCtx*)h;
+    if (!c || c->q_slots.empty()) return -1;
+    const auto& o = c->out;
+    int64_t m = (int64_t)(c->q_slots.size() / 4);
+    const int tri_block = leaf_size * TRI_COLS;
+    const int w = 28 + 4 * tri_block;
+    for (int64_t i = 0; i < m; i++) {
+        float* row = fat + i * w;
+        for (int k = 0; k < 4; k++) {
+            int32_t s = c->q_slots[4 * i + k];
+            bool leaf = s >= 0 && o.count[s] > 0;
+            for (int j = 0; j < 3; j++) {
+                row[3 * k + j] = s >= 0 ? o.node_min[3 * s + j] : 1.0f;
+                row[12 + 3 * k + j] = s >= 0 ? o.node_max[3 * s + j] : -1.0f;
+            }
+            row[24 + k] = (float)((s >= 0 && !leaf) ? c->q_of[s] : -1);
+            write_tri_block(row + 28 + k * tri_block, leaf ? s : -1, *c,
+                            v0, v1, v2, leaf_size);
+        }
+    }
+    return m;
+}
 
 }  // extern "C"
