@@ -61,9 +61,13 @@ class MatParams:
     color_raw: jnp.ndarray  # table color before texture resolution
     # (emissive radiance uses the raw material color, trace.h:421-427)
     normal_tex: jnp.ndarray  # int32 normal-map texture id or -1
+    # Static: every MATTE row has sigma == 0 (scene.matte_lambertian), so
+    # _oren_nayar_f's trig compiles away to color * on_a / pi.
+    lambertian_only: bool = flax.struct.field(pytree_node=False, default=False)
 
 
-def gather_params(materials: T.Materials, textures: T.TexturePack, mat_id, uv) -> MatParams:
+def gather_params(materials: T.Materials, textures: T.TexturePack, mat_id, uv,
+                  lambertian_only: bool = False) -> MatParams:
     """The SoA "material -> BSDF factory": gather + texture eval
     (computeScatteringFunc's texture branch, materials.cpp:117-127).
 
@@ -107,6 +111,7 @@ def gather_params(materials: T.Materials, textures: T.TexturePack, mat_id, uv) -
         intensity=intensity,
         color_raw=color_raw,
         normal_tex=normal_tex,
+        lambertian_only=lambertian_only,
     )
 
 
@@ -114,8 +119,16 @@ def gather_params(materials: T.Materials, textures: T.TexturePack, mat_id, uv) -
 # Individual lobe formulas (local frame).
 
 
-def _oren_nayar_f(wi, wo, color, a, b):
-    """OrenNayar_f (reflection.cpp:511-543); a=1,b=0 -> Lambertian."""
+def _oren_nayar_f(wi, wo, color, a, b, lambertian_only: bool = False):
+    """OrenNayar_f (reflection.cpp:511-543); a=1,b=0 -> Lambertian.
+
+    `lambertian_only` (static, from scene.matte_lambertian) skips the trig
+    when every matte sigma is 0: f = color * a / pi exactly (a == 1), and
+    the a-gradient is preserved; the b-gradient is zero on that path (b's
+    coefficient needs the trig) — acceptable since b == 0 scenes have no
+    b signal to recover."""
+    if lambertian_only:
+        return color * (a * INV_PI)[..., None]
     sin_ti = vm.sin_theta(wi)
     sin_to = vm.sin_theta(wo)
     d_cos = vm.cos_phi(wi) * vm.cos_phi(wo) + vm.sin_phi(wi) * vm.sin_phi(wo)
@@ -266,7 +279,8 @@ def bsdf_f_direct(wi, wo, mp: MatParams, present=None):
     diffuse lobes survive: MATTE's Oren-Nayar and PLASTIC's FB-diffuse."""
     f = jnp.zeros_like(wi)
     if _use(present, T.MAT_MATTE):
-        f_matte = _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b)
+        f_matte = _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b,
+                                 mp.lambertian_only)
         f = jnp.where((mp.mat_type == T.MAT_MATTE)[..., None], f_matte, f)
     if _use(present, T.MAT_PLASTIC):
         f_plastic = _fb_diffuse_f(wi, wo, mp.color, mp.ks)
@@ -282,7 +296,8 @@ def bsdf_f_nodelta(wi, wo, mp: MatParams, present=None):
     f = jnp.zeros_like(wi)
     if _use(present, T.MAT_MATTE):
         f = jnp.where((mp.mat_type == T.MAT_MATTE)[..., None],
-                      _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b), f)
+                      _oren_nayar_f(wi, wo, mp.color, mp.on_a, mp.on_b,
+                                    mp.lambertian_only), f)
     if _use(present, T.MAT_PLASTIC):
         f_plastic = _fb_diffuse_f(wi, wo, mp.color, mp.ks) + _fb_specular_f(
             wi, wo, mp.ks, mp.alphax, mp.alphay, mp.distrib)
@@ -409,7 +424,8 @@ def bsdf_sample(u, wo, mp: MatParams, balanced: bool = False, present=None):
         # the sample, f evaluated with the original wo.
         wi_matte = map_to_hemisphere_cosine(u2)
         pdf_matte = vm.abs_cos_theta(wi_matte) * INV_PI
-        f_matte = _oren_nayar_f(wi_matte, wo, mp.color, mp.on_a, mp.on_b)
+        f_matte = _oren_nayar_f(wi_matte, wo, mp.color, mp.on_a, mp.on_b,
+                                 mp.lambertian_only)
         f, wi, pdf = sel(T.MAT_MATTE, f_matte, wi_matte, pdf_matte, f, wi, pdf)
 
     if _use(present, T.MAT_MIRROR):

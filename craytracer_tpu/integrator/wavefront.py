@@ -85,7 +85,8 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         miss = ~hit.hit_mask
         # One fused material-row lookup per bounce serves the emissive add,
         # the NEE masks, the normal map id, and the BSDF parameters.
-        mp = gather_params(scene.materials, scene.textures, hit.mat_id, hit.uv)
+        mp = gather_params(scene.materials, scene.textures, hit.mat_id, hit.uv,
+                           lambertian_only=scene.matte_lambertian)
         mat_type = mp.mat_type
         emissive_hit = hit.hit_mask & (mat_type == T.MAT_EMISSIVE)
 

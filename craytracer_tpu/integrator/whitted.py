@@ -54,7 +54,8 @@ def trace_whitted(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
 
         cont = alive & hit.hit_mask & ~emissive_hit
         ft, fb, fn = vm.make_shading_frame(hit.normal, hit.dpdu)
-        mp = gather_params(scene.materials, scene.textures, hit.mat_id, hit.uv)
+        mp = gather_params(scene.materials, scene.textures, hit.mat_id, hit.uv,
+                           lambertian_only=scene.matte_lambertian)
         wo_local = vm.to_local(-d, ft, fb, fn)
 
         # direct lighting: deterministic sum over every light

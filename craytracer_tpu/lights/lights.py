@@ -81,23 +81,34 @@ def light_pdf_for_hit(scene: T.Scene, hit_group, hit_prim, hit_point,
               lights.normal, lights.radius, lights.power,
               lights.mesh_light_id))
 
-    # per-type area density at the hit point (estimateDirect's sampling)
-    pdf_rect = 1.0 / jnp.maximum(vm.length(v1) * vm.length(v2), 1e-12)
-    n_s = vm.normalize(hit_point - p0)  # sphere surface normal at the hit
-    z_axis = vm.normalize(prev_point - p0)
-    cos_local = jnp.maximum(vm.dot(n_s, z_axis), 0.0)
-    pdf_sph = cos_local / jnp.maximum(2.0 * PI * PI * radius * radius, 1e-12)
-    pdf_dsk = 1.0 / (PI * jnp.maximum(radius * radius, 1e-12))
-    pdf_area = jnp.where(ltype == T.LIGHT_AREA_RECT, pdf_rect, 0.0)
-    pdf_area = jnp.where(ltype == T.LIGHT_AREA_SPHERE, pdf_sph, pdf_area)
-    pdf_area = jnp.where(ltype == T.LIGHT_AREA_DISK, pdf_dsk, pdf_area)
+    present = scene.light_types_present or None
+
+    def use(*codes):
+        return present is None or any(c in present for c in codes)
+
+    # per-type area density at the hit point (estimateDirect's sampling);
+    # statically absent light types compile away (see sample_light_index)
+    pdf_area = jnp.zeros(hit_group.shape, hit_point.dtype)
+    sn = lnormal
+    if use(T.LIGHT_AREA_RECT):
+        pdf_rect = 1.0 / jnp.maximum(vm.length(v1) * vm.length(v2), 1e-12)
+        pdf_area = jnp.where(ltype == T.LIGHT_AREA_RECT, pdf_rect, pdf_area)
+    if use(T.LIGHT_AREA_SPHERE):
+        n_s = vm.normalize(hit_point - p0)  # sphere surface normal at hit
+        z_axis = vm.normalize(prev_point - p0)
+        cos_local = jnp.maximum(vm.dot(n_s, z_axis), 0.0)
+        pdf_sph = cos_local / jnp.maximum(2.0 * PI * PI * radius * radius, 1e-12)
+        pdf_area = jnp.where(ltype == T.LIGHT_AREA_SPHERE, pdf_sph, pdf_area)
+        sn = jnp.where((ltype == T.LIGHT_AREA_SPHERE)[:, None], n_s, sn)
+    if use(T.LIGHT_AREA_DISK):
+        pdf_dsk = 1.0 / (PI * jnp.maximum(radius * radius, 1e-12))
+        pdf_area = jnp.where(ltype == T.LIGHT_AREA_DISK, pdf_dsk, pdf_area)
     mlid2 = jnp.maximum(mlid_raw, 0)
-    if scene.mesh_lights.surface_area.shape[0] > 0:
+    if scene.mesh_lights.surface_area.shape[0] > 0 and use(T.LIGHT_MESH):
         pdf_msh = 1.0 / jnp.maximum(
             jnp.take(scene.mesh_lights.surface_area, mlid2), 1e-9)
         pdf_area = jnp.where(ltype == T.LIGHT_MESH, pdf_msh, pdf_area)
 
-    sn = jnp.where((ltype == T.LIGHT_AREA_SPHERE)[:, None], n_s, lnormal)
     is_mesh = ltype == T.LIGHT_MESH
     if hit_normal is not None:
         sn = jnp.where(is_mesh[:, None], hit_normal, sn)
@@ -162,8 +173,17 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
     """Sample light `idx` ([N] int32) for every lane — the estimateDirect
     per-type sampling block (trace.h:230-314) plus the delta lights
     (directional/point, Light_sample_Li-style lights.cpp:309-327) which the
-    reference reserves for its raycast/whitted modes."""
+    reference reserves for its raycast/whitted modes.
+
+    Light types statically absent from the scene (scene.light_types_present)
+    compile to nothing — the light-table analog of the BSDF lobe gate
+    (bsdf/bxdf.py _use): a rect-only Cornell pays zero sphere/disk/env/mesh
+    sampling work per bounce."""
     lights = scene.lights
+    present = scene.light_types_present or None
+
+    def use(*codes):
+        return present is None or any(c in present for c in codes)
 
     from craytracer_tpu.ops.gather import take_rows
 
@@ -173,51 +193,68 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
               lights.normal, lights.radius, lights.color, lights.intensity,
               lights.mesh_light_id))
 
-    # ---- RECT (trace.h:244-254): uniform point, pdf = 1/(|w||h|)
-    sp_rect = p0 + u2[:, 0:1] * v1 + u2[:, 1:2] * v2
-    sn_rect = lnormal
-    pdf_rect = 1.0 / jnp.maximum(vm.length(v1) * vm.length(v2), 1e-12)
+    zero3 = jnp.zeros_like(hit_point)
+    zero1 = jnp.zeros(hit_point.shape[:-1], hit_point.dtype)
+    sp, sn, pdf_area = zero3, zero3, zero1
 
-    # ---- SPHERE (trace.h:230-243): cosine-hemisphere about the axis from
-    # center to the shading point; pdf = cos/( 2 pi^2 r^2 ) per the
-    # reference's expression 1/(2 pi r^2) * |h.z| * INV_PI.
-    z_axis = vm.normalize(hit_point - p0)
-    zt, zb, _ = vm.orthonormal_basis(z_axis)
-    h = map_to_hemisphere_cosine(u2)
-    h_world = vm.to_world(h, zt, zb, z_axis)
-    sp_sph = p0 + h_world * radius[:, None]
-    sn_sph = h_world
-    pdf_sph = (
-        1.0 / (2.0 * PI * jnp.maximum(radius * radius, 1e-12))
-        * vm.abs_cos_theta(h)
-        * INV_PI
-    )
+    if use(T.LIGHT_AREA_RECT):
+        # ---- RECT (trace.h:244-254): uniform point, pdf = 1/(|w||h|)
+        sp_rect = p0 + u2[:, 0:1] * v1 + u2[:, 1:2] * v2
+        pdf_rect = 1.0 / jnp.maximum(vm.length(v1) * vm.length(v2), 1e-12)
+        is_rect = ltype == T.LIGHT_AREA_RECT
+        sp = jnp.where(is_rect[:, None], sp_rect, sp)
+        sn = jnp.where(is_rect[:, None], lnormal, sn)
+        pdf_area = jnp.where(is_rect, pdf_rect, pdf_area)
 
-    # ---- DISK (trace.h:255-270): polar disk map in the (JITTERED_UP x n)
-    # basis; pdf = 1/(pi r^2).
-    jup = jnp.asarray(JITTERED_UP, hit_point.dtype)
-    x_axis = vm.normalize(vm.cross(jnp.broadcast_to(jup, lnormal.shape), lnormal))
-    y_axis = vm.cross(x_axis, lnormal)
-    dsk = map_to_disk_polar(u2)
-    sp_dsk = p0 + (dsk[:, 0:1] * x_axis + dsk[:, 1:2] * y_axis) * radius[:, None]
-    sn_dsk = lnormal
-    pdf_dsk = 1.0 / (PI * jnp.maximum(radius * radius, 1e-12))
+    if use(T.LIGHT_AREA_SPHERE):
+        # ---- SPHERE (trace.h:230-243): cosine-hemisphere about the axis
+        # from center to the shading point; pdf = cos/(2 pi^2 r^2) per the
+        # reference's expression 1/(2 pi r^2) * |h.z| * INV_PI.
+        z_axis = vm.normalize(hit_point - p0)
+        zt, zb, _ = vm.orthonormal_basis(z_axis)
+        h = map_to_hemisphere_cosine(u2)
+        h_world = vm.to_world(h, zt, zb, z_axis)
+        sp_sph = p0 + h_world * radius[:, None]
+        pdf_sph = (
+            1.0 / (2.0 * PI * jnp.maximum(radius * radius, 1e-12))
+            * vm.abs_cos_theta(h)
+            * INV_PI
+        )
+        is_sph = ltype == T.LIGHT_AREA_SPHERE
+        sp = jnp.where(is_sph[:, None], sp_sph, sp)
+        sn = jnp.where(is_sph[:, None], h_world, sn)
+        pdf_area = jnp.where(is_sph, pdf_sph, pdf_area)
 
-    # ---- ENV (trace.h:272-296): cosine hemisphere about the shading
-    # normal, rotated by the env transform; pdf in solid angle.
-    h_env = map_to_hemisphere_cosine(u2)
-    wi_env = vm.to_world(h_env, frame_t, frame_b, shading_normal)
-    wi_env = jnp.einsum("ij,nj->ni", scene.env.transform, wi_env)
-    li_env = env_radiance(scene.env, scene.textures, wi_env)
-    pdf_env = jnp.abs(vm.dot(wi_env, shading_normal)) * INV_PI
-    dist_env = jnp.broadcast_to(scene.env.world_radius, pdf_env.shape)
+    if use(T.LIGHT_AREA_DISK):
+        # ---- DISK (trace.h:255-270): polar disk map in the
+        # (JITTERED_UP x n) basis; pdf = 1/(pi r^2).
+        jup = jnp.asarray(JITTERED_UP, hit_point.dtype)
+        x_axis = vm.normalize(vm.cross(jnp.broadcast_to(jup, lnormal.shape), lnormal))
+        y_axis = vm.cross(x_axis, lnormal)
+        dsk = map_to_disk_polar(u2)
+        sp_dsk = p0 + (dsk[:, 0:1] * x_axis + dsk[:, 1:2] * y_axis) * radius[:, None]
+        pdf_dsk = 1.0 / (PI * jnp.maximum(radius * radius, 1e-12))
+        is_dsk = ltype == T.LIGHT_AREA_DISK
+        sp = jnp.where(is_dsk[:, None], sp_dsk, sp)
+        sn = jnp.where(is_dsk[:, None], lnormal, sn)
+        pdf_area = jnp.where(is_dsk, pdf_dsk, pdf_area)
+
+    if use(T.LIGHT_ENV):
+        # ---- ENV (trace.h:272-296): cosine hemisphere about the shading
+        # normal, rotated by the env transform; pdf in solid angle.
+        h_env = map_to_hemisphere_cosine(u2)
+        wi_env = vm.to_world(h_env, frame_t, frame_b, shading_normal)
+        wi_env = jnp.einsum("ij,nj->ni", scene.env.transform, wi_env)
+        li_env = env_radiance(scene.env, scene.textures, wi_env)
+        pdf_env = jnp.abs(vm.dot(wi_env, shading_normal)) * INV_PI
+        dist_env = jnp.broadcast_to(scene.env.world_radius, pdf_env.shape)
 
     # ---- MESHLIGHT (MeshLight_genSample, lights.cpp:139-232): CDF binary
     # search over triangle areas + uniform barycentrics. The reference never
     # NEE-picks these (power 0); the principled power mode does.
     ml = scene.mesh_lights
     mlid = jnp.maximum(mlid_raw, 0)
-    has_mesh = ml.tri_index.shape[0] > 0
+    has_mesh = ml.tri_index.shape[0] > 0 and use(T.LIGHT_MESH)
     if has_mesh:
         start = jnp.take(ml.light_offset, mlid)
         end = jnp.take(ml.light_offset, jnp.minimum(mlid + 1, ml.light_offset.shape[0] - 1))
@@ -246,22 +283,10 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
         r2 = u2[:, 1:2]
         sp_mesh = (1.0 - sqrt_r1) * tv0 + sqrt_r1 * (1.0 - r2) * tv1 + sqrt_r1 * r2 * tv2
         pdf_mesh = 1.0 / jnp.maximum(jnp.take(ml.surface_area, mlid), 1e-9)
-    else:
-        sp_mesh = jnp.zeros_like(hit_point)
-        sn_mesh = jnp.zeros_like(hit_point)
-        pdf_mesh = jnp.zeros(hit_point.shape[:-1], hit_point.dtype)
-
-    # ---- delta lights (DIRECTIONAL / POINTLIGHT, lights.h:18-34): pdf 1,
-    # shadow ray toward the light (to "infinity" for directional).
-    wi_dir = vm.normalize(p0)  # p0 stores the direction toward the light
-    li_dir = color * intensity[:, None]
-    wi_pnt_raw = p0 - hit_point
-    dist_pnt = vm.length(wi_pnt_raw)
-    wi_pnt = vm.normalize(wi_pnt_raw)
-    # point lights attenuate by 1/d^2 when dist_atten (getIncRadiance,
-    # lights.cpp:41-55); radius slot stores the flag
-    atten = jnp.where(radius > 0.0, 1.0 / jnp.maximum(dist_pnt * dist_pnt, 1e-6), 1.0)
-    li_pnt = color * (intensity * atten)[:, None]
+        is_msh = ltype == T.LIGHT_MESH
+        sp = jnp.where(is_msh[:, None], sp_mesh, sp)
+        sn = jnp.where(is_msh[:, None], sn_mesh, sn)
+        pdf_area = jnp.where(is_msh, pdf_mesh, pdf_area)
 
     is_rect = ltype == T.LIGHT_AREA_RECT
     is_sph = ltype == T.LIGHT_AREA_SPHERE
@@ -271,19 +296,6 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
     is_dir = ltype == T.LIGHT_DIRECTIONAL
     is_pnt = ltype == T.LIGHT_POINT
     is_area = is_rect | is_sph | is_dsk | is_msh
-
-    sp = jnp.where(is_rect[:, None], sp_rect, 0.0)
-    sp = jnp.where(is_sph[:, None], sp_sph, sp)
-    sp = jnp.where(is_dsk[:, None], sp_dsk, sp)
-    sp = jnp.where(is_msh[:, None], sp_mesh, sp)
-    sn = jnp.where(is_rect[:, None], sn_rect, 0.0)
-    sn = jnp.where(is_sph[:, None], sn_sph, sn)
-    sn = jnp.where(is_dsk[:, None], sn_dsk, sn)
-    sn = jnp.where(is_msh[:, None], sn_mesh, sn)
-    pdf_area = jnp.where(is_rect, pdf_rect, 0.0)
-    pdf_area = jnp.where(is_sph, pdf_sph, pdf_area)
-    pdf_area = jnp.where(is_dsk, pdf_dsk, pdf_area)
-    pdf_area = jnp.where(is_msh, pdf_mesh, pdf_area)
 
     # Area lights: wi, solid-angle conversion (trace.h:298-309), facing
     # rejections (trace.h:316-323).
@@ -297,25 +309,39 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
     li_area = color * intensity[:, None]
     reject_area = (vm.dot(to_sample, sn) > 0.0) | (vm.dot(to_sample, shading_normal) < 0.0)
 
-    # Env facing rejection reduces to wi below the surface.
-    reject_env = vm.dot(wi_env, shading_normal) < 0.0
+    wi, li, pdf, dist, reject = wi_area, li_area, pdf_area_sa, dist_area, reject_area
 
-    wi = jnp.where(is_env[:, None], wi_env, wi_area)
-    li = jnp.where(is_env[:, None], li_env, li_area)
-    pdf = jnp.where(is_env, pdf_env, pdf_area_sa)
-    dist = jnp.where(is_env, dist_env, dist_area)
-    reject = jnp.where(is_env, reject_env, reject_area)
+    if use(T.LIGHT_ENV):
+        # Env facing rejection reduces to wi below the surface.
+        reject_env = vm.dot(wi_env, shading_normal) < 0.0
+        wi = jnp.where(is_env[:, None], wi_env, wi)
+        li = jnp.where(is_env[:, None], li_env, li)
+        pdf = jnp.where(is_env, pdf_env, pdf)
+        dist = jnp.where(is_env, dist_env, dist)
+        reject = jnp.where(is_env, reject_env, reject)
 
-    wi = jnp.where(is_dir[:, None], wi_dir, wi)
-    li = jnp.where(is_dir[:, None], li_dir, li)
-    wi = jnp.where(is_pnt[:, None], wi_pnt, wi)
-    li = jnp.where(is_pnt[:, None], li_pnt, li)
-    one = jnp.ones_like(pdf)
-    pdf = jnp.where(is_dir | is_pnt, one, pdf)
-    dist = jnp.where(is_dir, jnp.broadcast_to(TMAX, dist.shape), dist)
-    dist = jnp.where(is_pnt, dist_pnt, dist)
-    reject_delta = vm.dot(wi, shading_normal) < 0.0
-    reject = jnp.where(is_dir | is_pnt, reject_delta, reject)
+    if use(T.LIGHT_DIRECTIONAL, T.LIGHT_POINT):
+        # ---- delta lights (DIRECTIONAL / POINTLIGHT, lights.h:18-34):
+        # pdf 1, shadow ray toward the light ("infinity" for directional).
+        wi_dir = vm.normalize(p0)  # p0 stores the direction toward the light
+        li_dir = color * intensity[:, None]
+        wi_pnt_raw = p0 - hit_point
+        dist_pnt = vm.length(wi_pnt_raw)
+        wi_pnt = vm.normalize(wi_pnt_raw)
+        # point lights attenuate by 1/d^2 when dist_atten (getIncRadiance,
+        # lights.cpp:41-55); radius slot stores the flag
+        atten = jnp.where(radius > 0.0, 1.0 / jnp.maximum(dist_pnt * dist_pnt, 1e-6), 1.0)
+        li_pnt = color * (intensity * atten)[:, None]
+        wi = jnp.where(is_dir[:, None], wi_dir, wi)
+        li = jnp.where(is_dir[:, None], li_dir, li)
+        wi = jnp.where(is_pnt[:, None], wi_pnt, wi)
+        li = jnp.where(is_pnt[:, None], li_pnt, li)
+        one = jnp.ones_like(pdf)
+        pdf = jnp.where(is_dir | is_pnt, one, pdf)
+        dist = jnp.where(is_dir, jnp.broadcast_to(TMAX, dist.shape), dist)
+        dist = jnp.where(is_pnt, dist_pnt, dist)
+        reject_delta = vm.dot(wi, shading_normal) < 0.0
+        reject = jnp.where(is_dir | is_pnt, reject_delta, reject)
 
     valid = (is_area | is_env | is_dir | is_pnt) & ~reject & (pdf > 1e-12)
     return LightSample(wi=wi, li=li, distance=dist, pdf=pdf, valid=valid)

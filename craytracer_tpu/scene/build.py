@@ -523,6 +523,11 @@ class SceneBuilder:
             tri_bvh=tri_bvh, sph_bvh=sph_bvh, accel=accel,
             mat_types_present=tuple(sorted(
                 int(t) for t in np.unique(np.asarray(materials.mat_type)))),
+            light_types_present=tuple(sorted(
+                int(t) for t in np.unique(np.asarray(lights.light_type)))),
+            matte_lambertian=bool(
+                np.all(np.asarray(materials.on_b)[
+                    np.asarray(materials.mat_type) == T.MAT_MATTE] == 0.0)),
         )
 
     @staticmethod

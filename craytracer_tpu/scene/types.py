@@ -258,6 +258,14 @@ class Scene:
     # lobe evaluations in the BSDF stage (bsdf/bxdf.py `present`). Empty
     # tuple = unknown -> evaluate everything.
     mat_types_present: tuple = flax.struct.field(pytree_node=False, default=())
+    # Static set of LIGHT_* codes present in the light table — the light-
+    # sampling analog of mat_types_present: absent light types cost zero
+    # sampling work (lights/lights.py). Empty tuple = unknown -> all types.
+    light_types_present: tuple = flax.struct.field(pytree_node=False, default=())
+    # True when every MATTE material has sigma == 0: the Oren-Nayar lobe
+    # degenerates exactly to Lambertian and its trig (4 divides, 2 sqrt per
+    # lane per eval) compiles away (bsdf/bxdf.py _oren_nayar_f).
+    matte_lambertian: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_lights(self) -> int:
