@@ -14,7 +14,17 @@ from craytracer_tpu.constants import INV_PI, PI, TWO_PI
 
 
 def dot(a, b, keepdims: bool = False):
-    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+    # Component-expanded rather than jnp.sum(axis=-1): a minor-dim reduce
+    # compiles to its own TPU reduce-fusion kernel (profiler: ~23 separate
+    # *_reduce_fusion launches per bounce, each paying HBM round trips),
+    # while the expanded form is plain elementwise math that XLA fuses into
+    # neighboring producers/consumers.
+    if a.shape[-1] == 3 or b.shape[-1] == 3:
+        r = (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+             + a[..., 2] * b[..., 2])
+    else:
+        r = jnp.sum(a * b, axis=-1)
+    return r[..., None] if keepdims else r
 
 
 def cross(a, b):
