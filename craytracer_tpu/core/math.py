@@ -31,6 +31,17 @@ def cross(a, b):
     return jnp.cross(a, b)
 
 
+def max3(a, keepdims: bool = False):
+    """max over a size-3 trailing axis, expanded (see dot): no reduce op."""
+    r = jnp.maximum(jnp.maximum(a[..., 0], a[..., 1]), a[..., 2])
+    return r[..., None] if keepdims else r
+
+
+def min3(a, keepdims: bool = False):
+    r = jnp.minimum(jnp.minimum(a[..., 0], a[..., 1]), a[..., 2])
+    return r[..., None] if keepdims else r
+
+
 def length(a, keepdims: bool = False):
     # clamp above zero: sqrt has an infinite gradient at 0, which poisons
     # autodiff through masked-out lanes (0 * inf = NaN)

@@ -50,7 +50,7 @@ CAMERA_BOUNCE = 0x7FFF  # bounce counter reserved for camera jitter dims
 def _offset_ray(point, normal, direction):
     """Nudge origins off the surface along the geometric normal, scaled to
     local magnitude (f32-robust replacement for the t > K_EPSILON cull)."""
-    mag = jnp.max(jnp.abs(point), axis=-1, keepdims=True)
+    mag = vm.max3(jnp.abs(point), keepdims=True)
     eps = (mag + 1.0) * 1e-4
     side = jnp.where(vm.dot(direction, normal, keepdims=True) >= 0.0, 1.0, -1.0)
     return point + normal * eps * side
@@ -182,7 +182,9 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
             # (verified against the headless reference binary on
             # scenes/parity_mix.txt).
             f_nee = bsdf_f_direct(ls.wi, wo_world, mp, present=present) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
-        want_shadow = cont & nee_mat & ls.valid & jnp.any(f_nee > 0.0, axis=-1)
+        want_shadow = (cont & nee_mat & ls.valid
+                       & ((f_nee[:, 0] > 0.0) | (f_nee[:, 1] > 0.0)
+                          | (f_nee[:, 2] > 0.0)))
         shadow_o = _offset_ray(hit.point, hit.normal, ls.wi)
         # The offset origin sits closer to the light along wi; compare the
         # occluder distance against the OFFSET-ADJUSTED light distance, or
@@ -210,20 +212,22 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
             0.0,
         )
         L = L + contrib
-        good = good + (jnp.any(contrib != 0.0, axis=-1)).astype(jnp.int32)
+        good = good + ((contrib[:, 0] != 0.0) | (contrib[:, 1] != 0.0)
+                       | (contrib[:, 2] != 0.0)).astype(jnp.int32)
 
         # ---- BSDF sampling (trace.h:484-496)
         u_bsdf = u_all[:, _DIM_BSDF:_DIM_BSDF + 3]
         f_s, wi_local, pdf_s, is_spec, is_glossy = bsdf_sample(
             u_bsdf, wo_local, mp, balanced=mis, present=present)
-        dead_sample = (pdf_s <= 0.0) | jnp.all(f_s == 0.0, axis=-1)
+        dead_sample = (pdf_s <= 0.0) | ((f_s[:, 0] == 0.0) & (f_s[:, 1] == 0.0)
+                                        & (f_s[:, 2] == 0.0))
         wi_world = vm.to_world(wi_local, ft, fb, fn)
         weight = f_s * (jnp.abs(vm.dot(wi_world, fn)) / jnp.maximum(pdf_s, 1e-12))[:, None]
         new_beta = jnp.where(cont[:, None], beta * weight, beta)
 
         # ---- Russian roulette (trace.h:512-525)
         u_rr = u_all[:, _DIM_RR]
-        max_comp = jnp.max(new_beta, axis=-1)
+        max_comp = vm.max3(new_beta)
         q = jnp.maximum(0.05, 1.0 - max_comp)
         rr_active = cont & (bounce > rr_start)
         rr_kill = rr_active & (u_rr < q)
