@@ -95,6 +95,21 @@ def main():
                                          args.warm_build)
     print(f"# scene: {n_tris} triangles, BVH build {build_s}s", file=sys.stderr)
 
+    # HBM budget guard (SURVEY.md §7 step 6 "triangle count vs HBM"):
+    # sum every device leaf; v5e has 16 GB and the wavefront state adds
+    # ~20 arrays x N lanes on top.
+    scene_bytes = sum(
+        np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(scene))
+    state_bytes = 24 * 4 * args.size * args.size
+    budget = 16e9
+    print(f"# HBM: scene {scene_bytes / 1e9:.2f} GB + state "
+          f"{state_bytes / 1e9:.2f} GB (budget {budget / 1e9:.0f} GB)",
+          file=sys.stderr)
+    if scene_bytes + state_bytes > 0.8 * budget:
+        print("# HBM guard: scene exceeds 80% of device memory - aborting "
+              "before a device OOM wedges the tunnel", file=sys.stderr)
+        sys.exit(3)
+
     cam = make_camera((0, 40, 3.2 * (n_tris / 1280) ** 0.5 + 40), (0, 2, 0))
     film = Film(fov=jnp.float32(np.radians(50.0)), width=args.size, height=args.size)
     ids = jnp.arange(film.num_pixels, dtype=jnp.int32)

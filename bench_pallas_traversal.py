@@ -1,0 +1,152 @@
+"""TPU A/B: Pallas VMEM-resident BVH4 traversal vs the XLA while_loop.
+
+VERDICT round-1 item #4's missing half — the Pallas kernel
+(accel/pallas_bvh4.py) was interpret-verified but never timed on hardware.
+The kernel keeps the whole fat node table in VMEM, so the scene must stay
+under ~21k nodes (~90k triangles); default 64k tris.
+
+Runs closest-hit over a primary-ray batch, two-point slope timing (the
+axon relay adds erratic per-call latency). Compiles the SMALLEST kernel
+first (512 rays) before the full batch, per the tunnel-wedge precaution
+in CLAUDE.md.
+
+Usage: python bench_pallas_traversal.py [--tris 64000] [--rays 262144] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=64000)
+    ap.add_argument("--rays", type=int, default=262144)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, "scenes")
+    from make_fixtures import icosphere
+
+    from craytracer_tpu.accel.bvh4 import build_bvh4, bvh4_closest_hit
+    from craytracer_tpu.accel.pallas_bvh4 import pallas_bvh4_closest_hit
+
+    v, f = icosphere(3)
+    count = max(1, args.tris // f.shape[0])
+    rng = np.random.default_rng(0)
+    grid = int(np.ceil(np.sqrt(count)))
+    v0s, v1s, v2s = [], [], []
+    n = 0
+    for i in range(grid):
+        for j in range(grid):
+            if n >= count:
+                break
+            c = np.array([i * 4.0 - 2 * grid, rng.random() * 3, j * 4.0 - 2 * grid])
+            w = v * (0.8 + rng.random()) + c
+            v0s.append(w[f[:, 0]])
+            v1s.append(w[f[:, 1]])
+            v2s.append(w[f[:, 2]])
+            n += 1
+    # ground quad so every ray terminates on real geometry
+    g = 3.0 * 2 * int(np.ceil(np.sqrt(count)))
+    v0s.append(np.array([[-g, 0, -g], [g, 0, g]]))
+    v1s.append(np.array([[g, 0, -g], [-g, 0, g]]))
+    v2s.append(np.array([[g, 0, g], [-g, 0, -g]]))
+    bvh = build_bvh4(np.concatenate(v0s).astype(np.float32),
+                     np.concatenate(v1s).astype(np.float32),
+                     np.concatenate(v2s).astype(np.float32))
+    n_tris = bvh.n_tris
+    fat_mb = bvh.fat.size * 4 / 1e6
+    print(f"# {n_tris} tris, {bvh.fat.shape[0]} nodes, fat {fat_mb:.1f} MB "
+          f"(VMEM bound ~16 MB)", file=sys.stderr)
+    if fat_mb > 14:
+        print("# fat table exceeds VMEM bound - aborting", file=sys.stderr)
+        sys.exit(3)
+
+    ext = 2.0 * grid  # city half-extent in x/z
+
+    def make_rays(n_rays, seed):
+        k = jax.random.PRNGKey(seed)
+        eye = jnp.array([0.0, ext * 0.9 + 6.0, ext * 1.8 + 8.0])
+        o = jnp.broadcast_to(eye, (n_rays, 3))
+        # jittered look-at cone covering the city footprint so most rays
+        # traverse real geometry (a traversal bench of misses is a bench
+        # of the root box test)
+        tx = jax.random.uniform(k, (n_rays,), minval=-ext, maxval=ext)
+        tz = jax.random.uniform(jax.random.fold_in(k, 1), (n_rays,),
+                                minval=-ext, maxval=ext)
+        tgt = jnp.stack([tx, jnp.zeros_like(tx) + 1.0, tz], axis=-1)
+        d = tgt - o
+        return o, d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    @jax.jit
+    def run_xla(o, d, iters):
+        def body(i, acc):
+            t, tri = bvh4_closest_hit(bvh, o + 1e-5 * i, d)
+            return acc + t.sum() + tri.sum()
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
+
+    interp = bool(args.cpu)  # no Mosaic on the CPU backend
+
+    @jax.jit
+    def run_pallas(o, d, iters):
+        def body(i, acc):
+            t, tri = pallas_bvh4_closest_hit(bvh, o + 1e-5 * i, d,
+                                             interpret=interp)
+            return acc + t.sum() + tri.sum()
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
+
+    # correctness cross-check + smallest-first compile
+    o_s, d_s = make_rays(512, 1)
+    t_x, tri_x = jax.jit(lambda o, d: bvh4_closest_hit(bvh, o, d))(o_s, d_s)
+    t_p, tri_p = jax.jit(lambda o, d: pallas_bvh4_closest_hit(
+        bvh, o, d, interpret=bool(args.cpu)))(o_s, d_s)
+    same_tri = float(jnp.mean((tri_x == tri_p).astype(jnp.float32)))
+    same_t = float(jnp.max(jnp.abs(jnp.where(tri_x == tri_p, t_x - t_p, 0.0))))
+    hit_rate = float(jnp.mean((tri_x >= 0).astype(jnp.float32)))
+    print(f"# 512-ray cross-check: tri agree {same_tri:.4f}, max |dt| "
+          f"{same_t:.2e}, hit rate {hit_rate:.2f}", file=sys.stderr)
+    assert same_tri > 0.999, "pallas kernel disagrees with XLA traversal"
+
+    o, d = make_rays(args.rays, 2)
+
+    def slope(run):
+        base = int(time.time()) % 100000
+        float(run(o + 1e-6 * base, d, args.iters))  # compile + warm
+        best = 0.0
+        for rep in range(2):
+            t0 = time.time()
+            float(run(o + 1e-6 * (base + rep), d, args.iters))
+            dt1 = time.time() - t0
+            t0 = time.time()
+            float(run(o + 1e-6 * (base + rep + 17), d, 3 * args.iters))
+            dt3 = time.time() - t0
+            if dt3 > dt1:
+                best = max(best, 2 * args.iters * args.rays / (dt3 - dt1))
+        return best
+
+    rps_xla = slope(run_xla)
+    rps_pal = slope(run_pallas)
+    print(json.dumps({
+        "metric": "bvh4_traversal_rays_per_sec",
+        "tris": int(n_tris), "rays": args.rays,
+        "xla_while_loop": round(rps_xla, 1),
+        "pallas_vmem_kernel": round(rps_pal, 1),
+        "speedup": round(rps_pal / max(rps_xla, 1.0), 3),
+        "value": round(max(rps_pal, rps_xla), 1), "unit": "rays/s",
+        "vs_baseline": round(max(rps_pal, rps_xla) / 150e6, 4)}))
+
+
+if __name__ == "__main__":
+    main()

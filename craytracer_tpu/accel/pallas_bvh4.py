@@ -141,6 +141,7 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False):
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
     blocks = (n + pad) // RAY_BLOCK
+    bvh_fat_shape = bvh.fat.shape
 
     t, tri = pl.pallas_call(
         _traversal_kernel,
@@ -148,8 +149,11 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0)),
             pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY
-                         if not interpret else pltpu.ANY),  # whole table
+            # Whole fat table as ONE block with a constant index map: the
+            # Pallas pipeline sees the same block every grid step, DMAs it
+            # to VMEM once, and keeps it resident — memory_space=ANY would
+            # leave it in HBM and re-copy per step.
+            pl.BlockSpec(bvh_fat_shape, lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((RAY_BLOCK,), lambda i: (i,)),
