@@ -51,6 +51,8 @@ _KNOWN_KEYS = {
     "MATERIAL", "POINT", "NORMAL", "WIDTH", "HEIGHT", "V0", "V1", "V2",
     "LENGTH", "LOCATION", "SCALE", "ORIENTATION", "NORMAL_TYPE",
     "SWEPT_RADIUS", "TUBE_RADIUS", "FILE", "FILE_NAME", "SMOOTH", "SCALING",
+    # delta-light blocks (grammar extension, see POINT_LIGHT below)
+    "DIST_ATTEN", "DIRECTION",
 }
 
 
@@ -61,7 +63,8 @@ def _is_block_start(ts: TokenStream) -> bool:
     `MATERIAL emissive1` inside an OBJECT names its material — disambiguate
     by whether the following token is a material type."""
     tok = ts.peek()
-    if tok in ("OBJECT", "ENV_LIGHT", "END_MATERIALS"):
+    if tok in ("OBJECT", "ENV_LIGHT", "END_MATERIALS", "POINT_LIGHT",
+               "DIRECTIONAL_LIGHT"):
         return True
     if tok == "MATERIAL":
         nxt = ts.tokens[ts.pos + 1] if ts.pos + 1 < len(ts.tokens) else None
@@ -312,6 +315,25 @@ def load_scene_file(path: str, builder: SceneBuilder | None = None,
             kv = _collect_block(ts)
             if obj_type in _OBJECT_TYPES:
                 _parse_object(builder, obj_type, kv, search_dirs)
+        elif tok == "POINT_LIGHT":
+            # Deviation: grammar extension. The reference defines PointLight
+            # (lights.h:25-34, assignPointLight lights.cpp:28-41) but its
+            # scene grammar never instantiates one; this block exposes the
+            # existing delta-light support (and the caustic proj map that
+            # consumes it) from scene files.
+            kv = _collect_block(ts)
+            builder.add_point_light(
+                _vec3_from(kv.get("POINT")),
+                _color_from(kv.get("COLOR"), (1, 1, 1)),
+                _f(kv.get("INTENSITY"), 1.0),
+                dist_atten=(kv.get("DIST_ATTEN") or ["yes"])[0] != "no")
+        elif tok == "DIRECTIONAL_LIGHT":
+            # Deviation: grammar extension (DirLight, lights.h:18-23).
+            kv = _collect_block(ts)
+            builder.add_directional_light(
+                _vec3_from(kv.get("DIRECTION"), (0, 1, 0)),
+                _color_from(kv.get("COLOR"), (1, 1, 1)),
+                _f(kv.get("INTENSITY"), 1.0))
         elif tok == "ENV_LIGHT":
             kv = _collect_block(ts)
             kind = (kv.get("TYPE") or ["CONSTANT"])[0]

@@ -65,6 +65,24 @@ def main(argv=None):
     accel_map = {"GRID": "grid", "BVH": "bvh", "BVH4": "bvh4", "NONE": "none"}
     accel = args.accel or accel_map.get(cfg.accel_struct, "auto")
     scene, camera, film = load_scene_file(scene_file, accel=accel)
+
+    if cfg.caustic_map:
+        # calcCausticProjMap analog (main.cpp:213-216, projmap.h:187-220):
+        # per point light, the lat-long visibility mask of caustic-object
+        # footprints and its coverage fraction (-> proj_coverage).
+        import numpy as np
+
+        from craytracer_tpu.scene import types as T
+        from craytracer_tpu.utils.projmap import (build_proj_map,
+                                                  caustic_bounding_spheres)
+
+        spheres = caustic_bounding_spheres(scene)
+        ltype = np.asarray(scene.lights.light_type)
+        lpos = np.asarray(scene.lights.p0)
+        for li in np.nonzero(ltype == T.LIGHT_POINT)[0]:
+            _, cov = build_proj_map(lpos[li], spheres)
+            print(f"proj map: point light {int(li)} at {lpos[li].tolist()} "
+                  f"coverage {cov:.4f} ({spheres.shape[0]} caustic objects)")
     if args.size:
         import jax.numpy as jnp
 
