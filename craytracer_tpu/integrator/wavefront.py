@@ -57,7 +57,8 @@ def _offset_ray(point, normal, direction):
 
 
 def _make_bounce_step(scene: T.Scene, seed, spp_index,
-                      max_depth: int, rr_start: int = 3, mis: bool = False):
+                      max_depth: int, rr_start: int = 3, mis: bool = False,
+                      geom_axis: str | None = None, tri_base=None):
     """Build the per-bounce wavefront step. Returns a function
     (bounce, state) -> (new_state, aux) where aux carries the per-bounce
     log record (SampleLog, trace.h:176-219). Shared by trace_paths (fori,
@@ -82,6 +83,14 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         # function reparametrization), so interior gradients flow w.r.t.
         # camera rays and scene geometry.
         hit = intersect_scene(scene, o, d)
+        if geom_axis is not None:
+            # Geometry sharding (SURVEY.md §5.7, the SP/CP analog): this
+            # device only holds a triangle shard; argmin-reduce the per-
+            # shard closest hits across the mesh axis so shading (which is
+            # replicated along it) sees the global winner.
+            from craytracer_tpu.parallel.geom import reduce_hit
+
+            hit = reduce_hit(hit, geom_axis, tri_base)
         miss = ~hit.hit_mask
         # One fused material-row lookup per bounce serves the emissive add,
         # the NEE masks, the normal map id, and the BSDF parameters.
@@ -193,6 +202,8 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         # ceiling above the cornell lamp).
         dist_adj = ls.distance - vm.dot(shadow_o - hit.point, ls.wi)
         t_shadow = shadow_distance(scene, shadow_o, ls.wi, dist_adj)
+        if geom_axis is not None:
+            t_shadow = jax.lax.pmin(t_shadow, geom_axis)
         lit = t_shadow >= dist_adj - jnp.maximum(K_EPSILON, 1e-3 * dist_adj)
         nee_scale = f_nee * ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None]
         if mis:
@@ -296,7 +307,8 @@ def _init_state(origin, direction, max_depth, pixel_ids):
 
 def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
                 max_depth: int, rr_start: int = 3, with_metrics: bool = False,
-                mis: bool = False, remat: bool = False, compact_at: int = 0):
+                mis: bool = False, remat: bool = False, compact_at: int = 0,
+                geom_axis: str | None = None, tri_base=None):
     """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
     metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
     `with_metrics` (the on-device counter buffers standing in for the
@@ -316,7 +328,8 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
     rare, so deep tails cost half width. Unbiased by construction (every
     alive lane is still traced; results scatter back by lane id)."""
     step = _make_bounce_step(scene, seed, spp_index, max_depth,
-                             rr_start, mis=mis)
+                             rr_start, mis=mis, geom_axis=geom_axis,
+                             tri_base=tri_base)
 
     if remat:
         ckpt = jax.checkpoint(lambda b, st: step(b, st)[0])
@@ -405,7 +418,8 @@ def trace_paths_logged(scene: T.Scene, origin, direction, seed, pixel_ids,
 
 def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
                   max_depth: int, estimator: str = "reference",
-                  trace_type: str = "PATHTRACE", sampler=None):
+                  trace_type: str = "PATHTRACE", sampler=None,
+                  geom_axis: str | None = None, tri_base=None):
     """One progressive pass: raygen + trace.
 
     estimator="reference": L / max(good_paths, 1) — the reference's
@@ -440,7 +454,8 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
     # permute overhead.
     compact_at = 4 if max_depth >= 8 else 0
     L, good = trace_paths(scene, o, d, seed, pixel_ids, spp_index, max_depth,
-                          mis=(estimator == "mis"), compact_at=compact_at)
+                          mis=(estimator == "mis"), compact_at=compact_at,
+                          geom_axis=geom_axis, tri_base=tri_base)
     if estimator in ("physical", "mis"):
         return L
     norm = jnp.where(good > 0, 1.0 / jnp.maximum(good, 1).astype(L.dtype), 0.0)

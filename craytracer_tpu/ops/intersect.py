@@ -479,6 +479,14 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
     n = o.shape[0]
     o_s = jax.lax.stop_gradient(o)
     d_s = jax.lax.stop_gradient(d)
+    # Accel structures are part of the DETACHED search: without this,
+    # differentiating the whole scene pytree (inverse rendering over all
+    # leaves) drags the traversal while_loops into reverse mode, which JAX
+    # rejects. Geometry gradients still flow — through the fill, which
+    # re-derives t/normal/uv from scene.triangles.
+    scene = scene.replace(
+        tri_bvh=jax.tree.map(jax.lax.stop_gradient, scene.tri_bvh),
+        sph_bvh=jax.tree.map(jax.lax.stop_gradient, scene.sph_bvh))
     best_t = jnp.full((n,), TMAX)
     best_group = jnp.full((n,), T.GROUP_NONE, jnp.int32)
     best_idx = jnp.zeros((n,), jnp.int32)
@@ -566,6 +574,13 @@ def shadow_distance(scene: T.Scene, o, d, max_dist=None) -> jnp.ndarray:
     intersect.h:443-545, folded into one reduction). With a BVH, the
     triangle pass is a true any-hit with early termination."""
     n = o.shape[0]
+    # Shadow visibility is non-differentiable by design (the reference
+    # treats it as a boolean, trace.h:478); detach EVERYTHING so whole-
+    # scene reverse mode never differentiates the traversal while_loops
+    # and the geom-axis pmin (which has no differentiation rule).
+    scene = jax.tree.map(jax.lax.stop_gradient, scene)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
     best_t = jnp.full((n,), TMAX)
     for gid, name, ts_fn, _ in _GROUPS:
         if _group_size(scene, name) == 0:
