@@ -202,7 +202,16 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
 
 def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
-    """Fat-row stack traversal: ONE [N] gather per step (module docstring)."""
+    """Fat-row stack traversal: ONE [N] gather per step (module docstring).
+
+    TPU cost model (measured, see profiling/README.md): dynamic gathers
+    are LATENCY-bound (~0.9ms flat at 262k lanes) while dense elementwise
+    traffic runs at HBM bandwidth — so the loop body keeps exactly one
+    gather (the fat row) and expresses everything else as dense masked
+    ops: the stack pop is a masked reduction over [N, S], the four child
+    pushes collapse into one relative-offset select, and the 16-slot leaf
+    winner is an unrolled compare chain instead of argmin + take_along.
+    This took the measured per-step cost from ~15ms to gather+bandwidth."""
     n = o.shape[0]
     inv_d = 1.0 / vm._safe(d)
     if max_dist is None:
@@ -214,6 +223,7 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
     best_tri = jnp.full((n,), -1, jnp.int32)
     n_nodes = bvh.fat.shape[0]
     k_slots = WIDTH * LEAF_SIZE
+    iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
 
     def cond(state):
         sp, *_ = state
@@ -222,9 +232,10 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
     def body(state):
         sp, stack, best_t, best_tri = state
         active = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
-        sp = jnp.where(active, sp - 1, sp)
+        # dense pop: masked reduction instead of take_along_axis (gather)
+        top = sp - 1
+        node = jnp.sum(jnp.where(iota_s == top[:, None], stack, 0), axis=1)
+        sp = jnp.where(active, top, sp)
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
         row = jnp.take(bvh.fat, node_c, axis=0)  # [N, FAT_WIDTH] — THE gather
@@ -261,41 +272,45 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
         if any_hit:
             ok = ok & (tt < max_dist[:, None])
         tt = jnp.where(ok, tt, TMAX)
-        slot = jnp.argmin(tt, axis=1)
-        t_min = jnp.take_along_axis(tt, slot[:, None], axis=1)[:, 0]
-        hit_any = t_min < best_t
-        best_tri = jnp.where(
-            hit_any, jnp.take_along_axis(tid, slot[:, None], axis=1)[:, 0], best_tri)
-        best_t = jnp.where(hit_any, t_min, best_t)
+        # dense 16-slot winner: unrolled compare chain, no argmin gathers.
+        # Deviation-free: identical result to argmin + take_along (first
+        # minimum wins either way — strict < keeps the earliest slot).
+        for k in range(k_slots):
+            better = tt[:, k] < best_t
+            best_t = jnp.where(better, tt[:, k], best_t)
+            best_tri = jnp.where(better, tid[:, k], best_tri)
 
         # push internal children ordered far-to-near by tn (nearest on top):
         # insertion sort of 4 (tn, child) pairs via masked compare-swaps
         is_int_child = (child >= 0) & box_hit
         key = jnp.where(is_int_child, tn, -jnp.inf)  # far = larger key first
 
-        def swap(key, val, i, j):
-            # ensure key[i] >= key[j] (descending)
-            do = key[:, i] < key[:, j]
-            ki = jnp.where(do, key[:, j], key[:, i])
-            kj = jnp.where(do, key[:, i], key[:, j])
-            vi = jnp.where(do, val[:, j], val[:, i])
-            vj = jnp.where(do, val[:, i], val[:, j])
-            key = key.at[:, i].set(ki).at[:, j].set(kj)
-            val = val.at[:, i].set(vi).at[:, j].set(vj)
-            return key, val
+        def swap(kc, i, j):
+            # ensure key[i] >= key[j] (descending); invalid (-inf) sink last
+            key, cval = kc
+            do = key[i] < key[j]
+            ki = jnp.where(do, key[j], key[i])
+            kj = jnp.where(do, key[i], key[j])
+            vi = jnp.where(do, cval[j], cval[i])
+            vj = jnp.where(do, cval[i], cval[j])
+            key = [ki if s == i else kj if s == j else key[s] for s in range(WIDTH)]
+            cval = [vi if s == i else vj if s == j else cval[s] for s in range(WIDTH)]
+            return key, cval
 
-        ckey = key
-        cval = jnp.where(is_int_child, child, -1)
-        for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-            ckey, cval = swap(ckey, cval, i, j)
-        # now cval sorted descending by tn; push in order (furthest first)
-        for k in range(WIDTH):
-            do_push = (cval[:, k] >= 0) & (sp <= MAX_STACK - 1)
-            stack = jnp.where(
-                do_push[:, None]
-                & (jnp.arange(MAX_STACK)[None, :] == sp[:, None]),
-                cval[:, k][:, None], stack)
-            sp = jnp.where(do_push, sp + 1, sp)
+        kc = ([key[:, s] for s in range(WIDTH)],
+              [jnp.where(is_int_child[:, s], child[:, s], -1) for s in range(WIDTH)])
+        for ij in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            kc = swap(kc, *ij)
+        cval = kc[1]  # descending by tn; valid children first
+        npush = sum((c >= 0).astype(jnp.int32) for c in cval)
+        npush = jnp.minimum(npush, MAX_STACK - sp)
+        # one combined write: slot sp+r takes the r-th sorted child
+        rel = iota_s - sp[:, None]  # [N, S]
+        pick = cval[0][:, None]
+        for r in range(1, WIDTH):
+            pick = jnp.where(rel >= r, cval[r][:, None], pick)
+        stack = jnp.where((rel >= 0) & (rel < npush[:, None]), pick, stack)
+        sp = sp + npush
 
         if any_hit:
             sp = jnp.where(best_t < max_dist, 0, sp)
