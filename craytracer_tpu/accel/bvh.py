@@ -187,12 +187,15 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
         sp, *_ = state
         return jnp.any(sp > 0)
 
+    iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
+
     def body(state):
         sp, stack, best_t, best_tri = state
         active = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
-        sp = jnp.where(active, sp - 1, sp)
+        # dense pop (see bvh4._traverse4: gathers are latency-bound on TPU)
+        top = sp - 1
+        node = jnp.sum(jnp.where(iota_s == top[:, None], stack, 0), axis=1)
+        sp = jnp.where(active, top, sp)
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
         row = jnp.take(bvh.fat, node_c, axis=0)  # THE gather
@@ -228,32 +231,30 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
         if any_hit:
             ok = ok & (tt < max_dist[:, None])
         tt = jnp.where(ok, tt, TMAX)
-        slot = jnp.argmin(tt, axis=1)
-        t_min = jnp.take_along_axis(tt, slot[:, None], axis=1)[:, 0]
-        hit_any = t_min < best_t
-        best_tri = jnp.where(
-            hit_any, jnp.take_along_axis(tid, slot[:, None], axis=1)[:, 0], best_tri)
-        best_t = jnp.where(hit_any, t_min, best_t)
+        # dense leaf winner (identical to argmin + take_along: strict <
+        # keeps the earliest minimal slot)
+        for k in range(LEAF_SIZE):
+            better = tt[:, k] < best_t
+            best_t = jnp.where(better, tt[:, k], best_t)
+            best_tri = jnp.where(better, tid[:, k], best_tri)
 
         # Internal: push far then near (near popped first), ordered by ray
         # sign along the split axis (accelerator/bvh4.h:306-352).
         do_push = box_hit & (right >= 0)
         left = node + 1
-        go_left_first = ~jnp.take_along_axis(neg_dir, axis[:, None], axis=1)[:, 0]
+        # dense axis select (axis in {0,1,2}) instead of take_along_axis
+        neg_ax = jnp.where(axis == 0, neg_dir[:, 0],
+                           jnp.where(axis == 1, neg_dir[:, 1], neg_dir[:, 2]))
+        go_left_first = ~neg_ax
         near = jnp.where(go_left_first, left, right)
         far = jnp.where(go_left_first, right, left)
         sp_ok = sp <= MAX_STACK - 2
         do_push = do_push & sp_ok
-        stack = jnp.where(
-            do_push[:, None]
-            & (jnp.arange(MAX_STACK)[None, :] == sp[:, None]),
-            far[:, None], stack,
-        )
-        stack = jnp.where(
-            do_push[:, None]
-            & (jnp.arange(MAX_STACK)[None, :] == sp[:, None] + 1),
-            near[:, None], stack,
-        )
+        # one combined write for both pushes
+        rel = iota_s - sp[:, None]
+        pick = jnp.where(rel >= 1, near[:, None], far[:, None])
+        stack = jnp.where(do_push[:, None] & (rel >= 0) & (rel < 2), pick,
+                          stack)
         sp = jnp.where(do_push, sp + 2, sp)
 
         # Any-hit early out: a sufficient occluder ends the lane.

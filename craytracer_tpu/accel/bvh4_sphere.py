@@ -91,12 +91,15 @@ def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
         sp, *_ = state
         return jnp.any(sp > 0)
 
+    iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
+
     def body(state):
         sp, stack, best_t, best_prim = state
         active = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
-        sp = jnp.where(active, sp - 1, sp)
+        # dense pop (see bvh4._traverse4: gathers are latency-bound on TPU)
+        top = sp - 1
+        node = jnp.sum(jnp.where(iota_s == top[:, None], stack, 0), axis=1)
+        sp = jnp.where(active, top, sp)
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
         row = jnp.take(bvh.fat, node_c, axis=0)  # THE gather
@@ -143,34 +146,39 @@ def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
             return jnp.where(ok, tt, TMAX)
 
         tt = jnp.minimum(accept((-b - sq) * 0.5), accept((-b + sq) * 0.5))
-        slot = jnp.argmin(tt, axis=1)
-        t_min = jnp.take_along_axis(tt, slot[:, None], axis=1)[:, 0]
-        better = t_min < best_t
-        best_prim = jnp.where(
-            better, jnp.take_along_axis(pid, slot[:, None], axis=1)[:, 0], best_prim)
-        best_t = jnp.where(better, t_min, best_t)
+        # dense leaf winner (identical to argmin + take_along: strict <
+        # keeps the earliest minimal slot)
+        for k in range(k_slots):
+            better = tt[:, k] < best_t
+            best_t = jnp.where(better, tt[:, k], best_t)
+            best_prim = jnp.where(better, pid[:, k], best_prim)
 
         is_int_child = (child >= 0) & box_hit
-        key = jnp.where(is_int_child, tn, -jnp.inf)
-        cval = jnp.where(is_int_child, child, -1)
 
-        def swap(key, val, i, j):
-            do = key[:, i] < key[:, j]
-            ki = jnp.where(do, key[:, j], key[:, i])
-            kj = jnp.where(do, key[:, i], key[:, j])
-            vi = jnp.where(do, val[:, j], val[:, i])
-            vj = jnp.where(do, val[:, i], val[:, j])
-            return (key.at[:, i].set(ki).at[:, j].set(kj),
-                    val.at[:, i].set(vi).at[:, j].set(vj))
+        def swap(kc, i, j):
+            key, cval = kc
+            do = key[i] < key[j]
+            ki = jnp.where(do, key[j], key[i])
+            kj = jnp.where(do, key[i], key[j])
+            vi = jnp.where(do, cval[j], cval[i])
+            vj = jnp.where(do, cval[i], cval[j])
+            key = [ki if s == i else kj if s == j else key[s] for s in range(WIDTH)]
+            cval = [vi if s == i else vj if s == j else cval[s] for s in range(WIDTH)]
+            return key, cval
 
-        for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-            key, cval = swap(key, cval, i, j)
-        for k in range(WIDTH):
-            do_push = (cval[:, k] >= 0) & (sp <= MAX_STACK - 1)
-            stack = jnp.where(
-                do_push[:, None] & (jnp.arange(MAX_STACK)[None, :] == sp[:, None]),
-                cval[:, k][:, None], stack)
-            sp = jnp.where(do_push, sp + 1, sp)
+        kc = ([jnp.where(is_int_child[:, s], tn[:, s], -jnp.inf) for s in range(WIDTH)],
+              [jnp.where(is_int_child[:, s], child[:, s], -1) for s in range(WIDTH)])
+        for ij in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            kc = swap(kc, *ij)
+        cval = kc[1]
+        npush = sum((c >= 0).astype(jnp.int32) for c in cval)
+        npush = jnp.minimum(npush, MAX_STACK - sp)
+        rel = iota_s - sp[:, None]
+        pick = cval[0][:, None]
+        for r in range(1, WIDTH):
+            pick = jnp.where(rel >= r, cval[r][:, None], pick)
+        stack = jnp.where((rel >= 0) & (rel < npush[:, None]), pick, stack)
+        sp = sp + npush
 
         if any_hit:
             sp = jnp.where(best_t < max_dist, 0, sp)
