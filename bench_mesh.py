@@ -76,6 +76,11 @@ def main():
                     help="bvh | bvh4 | bvh4q | grid | none")
     ap.add_argument("--warm-build", action="store_true",
                     help="build twice, report (cold, warm) build seconds")
+    ap.add_argument("--spp-batch", type=int, default=1,
+                    help="trace B spp per dispatch (lanes = B * pixels): "
+                         "traversal per-step cost is gather-LATENCY bound "
+                         "and nearly flat in lane count, so batching spp "
+                         "amortizes it (profiling/README.md)")
     ap.add_argument("--image", default="", help="save a PNG of the render")
     args = ap.parse_args()
 
@@ -114,15 +119,23 @@ def main():
     film = Film(fov=jnp.float32(np.radians(50.0)), width=args.size, height=args.size)
     ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
 
+    B = max(1, args.spp_batch)
+    npix = film.num_pixels
+    ids_b = jnp.tile(ids, B)
+
     @jax.jit
     def passes(scene, s0, iters):
         def body(s, carry):
             acc, rays = carry
-            jitter = uniforms(0, ids, s0 + s, CAMERA_BOUNCE, 2, 0)
-            o, d = generate_rays(cam, film, ids, jitter)
-            L, good, m = trace_paths(scene, o, d, 0, ids, s0 + s, args.depth,
-                                     with_metrics=True)
-            return acc + L, rays + m["rays"] + m["shadow_rays"]
+            # B spp in one dispatch: per-lane spp index s0 + s*B + replica
+            spp_lane = s0 + s * B + jnp.repeat(
+                jnp.arange(B, dtype=jnp.int32), npix)
+            jitter = uniforms(0, ids_b, spp_lane, CAMERA_BOUNCE, 2, 0)
+            o, d = generate_rays(cam, film, ids_b, jitter)
+            L, good, m = trace_paths(scene, o, d, 0, ids_b, spp_lane,
+                                     args.depth, with_metrics=True)
+            acc = acc + L.reshape(B, npix, 3).sum(axis=0)
+            return acc, rays + m["rays"] + m["shadow_rays"]
 
         return jax.lax.fori_loop(
             0, iters, body,

@@ -33,7 +33,7 @@ import numpy as np
 from craytracer_tpu.constants import K_EPSILON, TMAX
 from craytracer_tpu.core import math as vm
 
-TESTS_PER_ITER = 4
+TESTS_PER_ITER = 8  # one batched gather per iter: wider is nearly free (latency-bound)
 
 
 @flax.struct.dataclass
@@ -150,6 +150,37 @@ def build_grid(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     )
 
 
+def _tri_test_k(grid: GridArrays, o, d, slots, valid, best_t, best_tri,
+                any_hit, max_dist):
+    """Batched [N, K] cell-triangle test: one gather + dense MT + unrolled
+    winner (same TPU cost model as the BVH traversals)."""
+    k = slots.shape[1]
+    slot_c = jnp.clip(slots, 0, grid.tri_rows.shape[0] - 1)
+    row = jnp.take(grid.tri_rows, slot_c, axis=0)  # ONE [N, K, 10] gather
+    tv0 = row[..., 0:3]
+    te1 = row[..., 3:6]
+    te2 = row[..., 6:9]
+    dN = d[:, None, :]
+    pvec = jnp.cross(dN, te2)
+    det = jnp.sum(te1 * pvec, axis=-1)
+    inv_det = 1.0 / vm._safe(det)
+    tvec = o[:, None, :] - tv0
+    beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, te1)
+    gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
+    tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
+    ok = (valid & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
+          & (tt > K_EPSILON) & (tt < best_t[:, None]))
+    if any_hit:
+        ok = ok & (tt < max_dist[:, None])
+    tt = jnp.where(ok, tt, TMAX)
+    for j in range(k):
+        better = tt[:, j] < best_t
+        best_t = jnp.where(better, tt[:, j], best_t)
+        best_tri = jnp.where(better, slot_c[:, j], best_tri)
+    return best_t, best_tri
+
+
 def _tri_test(grid: GridArrays, o, d, slot, valid, best_t, best_tri, any_hit,
               max_dist):
     slot_c = jnp.clip(slot, 0, grid.tri_rows.shape[0] - 1)
@@ -224,12 +255,16 @@ def _traverse(grid: GridArrays, o, d, any_hit: bool, max_dist=None):
         alive, cell, t_max, cur, end, best_t, best_tri = state
         drain = alive & (cur < end)
 
-        # Test up to K triangles from the current cell.
-        for j in range(TESTS_PER_ITER):
-            valid = drain & (cur + j < end)
-            slot = jnp.take(grid.tri_slot, jnp.clip(cur + j, 0, grid.tri_slot.shape[0] - 1))
-            best_t, best_tri = _tri_test(grid, o, d, slot, valid, best_t,
-                                         best_tri, any_hit, max_dist)
+        # Test up to K triangles from the current cell in ONE batched
+        # gather ([N, K] slot matrix): gathers are latency-bound on TPU
+        # (~0.9ms flat, profiling/README.md), so K separate takes cost K
+        # times more than one take of K rows.
+        idx = cur[:, None] + jnp.arange(TESTS_PER_ITER, dtype=jnp.int32)[None, :]
+        valid = drain[:, None] & (idx < end[:, None])  # [N, K]
+        slots = jnp.take(grid.tri_slot,
+                         jnp.clip(idx, 0, grid.tri_slot.shape[0] - 1))
+        best_t, best_tri = _tri_test_k(grid, o, d, slots, valid, best_t,
+                                       best_tri, any_hit, max_dist)
         cur = jnp.where(drain, jnp.minimum(cur + TESTS_PER_ITER, end), cur)
 
         # Advance the DDA for lanes whose cell is drained.

@@ -51,6 +51,11 @@ def uniforms(seed, pixel_id, spp_index, bounce, n_dims, dim0: int = 0):
     call sites consume disjoint dimensions."""
     pixel_id = jnp.asarray(pixel_id, jnp.uint32)
     dims = jnp.arange(dim0, dim0 + n_dims, dtype=jnp.uint32)
+    # spp_index may be per-lane (spp-batched dispatch): align its axis with
+    # pixel_id so the hash broadcasts [N, n_dims], not [N, N]
+    spp_index = jnp.asarray(spp_index, jnp.uint32)
+    if spp_index.ndim == pixel_id.ndim and spp_index.ndim > 0:
+        spp_index = spp_index[..., None]
     bits = _combine(seed, pixel_id[..., None], spp_index, bounce, dims)
     # Take the top 24 bits -> uniform in [0, 1) exactly representable in f32.
     return (bits >> np.uint32(8)).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
