@@ -36,7 +36,11 @@ from craytracer_tpu.constants import K_EPSILON, TMAX
 from craytracer_tpu.core import math as vm
 
 LEAF_SIZE = 4
-MAX_STACK = 64
+# 128 is free on TPU: the [N, S] i32 stack pads its minor dim to the
+# 128-lane tile anyway, so S=64 and S=128 cost identical HBM traffic and
+# VPU cycles — and 128 rigorously covers SAH trees (depth-capped at 32
+# SAH levels + log-median remainder, native/craynative.cpp::sah_split).
+MAX_STACK = 128
 
 
 # Fat-row layout: [0:3) min, [3:6) max, [6] right child (-1 = leaf),
@@ -199,44 +203,57 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
         row = jnp.take(bvh.fat, node_c, axis=0)  # THE gather
-        nmin = row[:, 0:3]
-        nmax = row[:, 3:6]
-        right = row[:, 6].astype(jnp.int32)
-        axis = row[:, 7].astype(jnp.int32)
 
-        t0 = (nmin - o) * inv_d
-        t1 = (nmax - o) * inv_d
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # Unrolled to pure [N] vectors (see bvh4._traverse4: small minor
+        # dims are lane-padded to 128 on TPU; their padding traffic
+        # dominated the step cost).
+        col = lambda j: row[:, j]  # noqa: E731
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        ivx, ivy, ivz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+        right = col(6).astype(jnp.int32)
+        axis = col(7).astype(jnp.int32)
+
+        t0x = (col(0) - ox) * ivx
+        t1x = (col(3) - ox) * ivx
+        t0y = (col(1) - oy) * ivy
+        t1y = (col(4) - oy) * ivy
+        t0z = (col(2) - oz) * ivz
+        t1z = (col(5) - oz) * ivz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
         tlimit = jnp.minimum(best_t, max_dist)
         box_hit = active & (tn <= tf) & (tf > 0.0) & (tn < tlimit)
 
         # Leaf triangles, tested unconditionally (pads/misses cannot win).
-        tris = row[:, _BIN_TRI0:].reshape(n, LEAF_SIZE, _TRI_COLS)
-        tv0 = tris[..., 0:3]
-        te1 = tris[..., 3:6]
-        te2 = tris[..., 6:9]
-        tid = tris[..., 9].astype(jnp.int32)
-        dN = d[:, None, :]
-        pvec = jnp.cross(dN, te2)
-        det = jnp.sum(te1 * pvec, axis=-1)
-        inv_det = 1.0 / vm._safe(det)
-        tvec = o[:, None, :] - tv0
-        beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, te1)
-        gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
-        tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
-        ok = (active[:, None] & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
-              & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t[:, None]))
-        if any_hit:
-            ok = ok & (tt < max_dist[:, None])
-        tt = jnp.where(ok, tt, TMAX)
-        # dense leaf winner (identical to argmin + take_along: strict <
-        # keeps the earliest minimal slot)
         for k in range(LEAF_SIZE):
-            better = tt[:, k] < best_t
-            best_t = jnp.where(better, tt[:, k], best_t)
-            best_tri = jnp.where(better, tid[:, k], best_tri)
+            b = _BIN_TRI0 + k * _TRI_COLS
+            v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
+            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+            tid = col(b + 9).astype(jnp.int32)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / vm._safe(det)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            beta = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (active & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+                  & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t))
+            if any_hit:
+                ok = ok & (tt < max_dist)
+            best_tri = jnp.where(ok, tid, best_tri)
+            best_t = jnp.where(ok, tt, best_t)
 
         # Internal: push far then near (near popped first), ordered by ray
         # sign along the split axis (accelerator/bvh4.h:306-352).

@@ -55,8 +55,27 @@ FAT_WIDTH = _FAT_TRI0 + WIDTH * LEAF_SIZE * _TRI_COLS
 
 @flax.struct.dataclass
 class BVH4Arrays:
-    fat: jnp.ndarray  # [M, FAT_WIDTH] fat node rows (one gather per step)
+    fat: jnp.ndarray  # [M, >=fat_width(leaf_size)] fat node rows
     n_tris: int = flax.struct.field(pytree_node=False, default=0)
+    # Static so jit specializes the row slicing. TPU gather cost falls off
+    # a cliff above 128 f32 columns (measured: [262k]<-[M,128] 0.74ms vs
+    # [M,188] 3.38ms, profiling/ablate_fat_gather.py) — leaf_size=2 keeps
+    # the row at 108 cols (padded to the 128-lane register row), trading
+    # ~1 extra tree level for a 3x cheaper per-step gather.
+    leaf_size: int = flax.struct.field(pytree_node=False, default=LEAF_SIZE)
+
+
+def fat_width(leaf_size: int) -> int:
+    return _FAT_TRI0 + WIDTH * leaf_size * _TRI_COLS
+
+
+def _pad128(fat: np.ndarray) -> np.ndarray:
+    """Pad rows below 128 cols up to 128 (aligned gathers measure faster:
+    1x128 0.74ms vs 1x108 1.08ms at 262k lanes)."""
+    w = fat.shape[1]
+    if w < 128:
+        fat = np.pad(fat, ((0, 0), (0, 128 - w)))
+    return fat
 
 
 def collapse4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
@@ -160,14 +179,16 @@ def collapse4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
 
 def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-               leaf_size: int = LEAF_SIZE) -> BVH4Arrays:
+               leaf_size: int = LEAF_SIZE,
+               split: str = "median") -> BVH4Arrays:
     """4-wide BVH with fat node rows (see module docstring)."""
     t = np.asarray(v0).shape[0]
     if t == 0:
-        fat = np.zeros((1, FAT_WIDTH), np.float32)
+        fat = np.zeros((1, fat_width(leaf_size)), np.float32)
         fat[:, 24:28] = -1.0  # no children
         fat[:, _FAT_TRI0 + _TRI_COLS - 1::_TRI_COLS] = -1.0  # no tris
-        return BVH4Arrays(fat=jnp.asarray(fat), n_tris=0)
+        return BVH4Arrays(fat=jnp.asarray(_pad128(fat)), n_tris=0,
+                          leaf_size=leaf_size)
     if t >= (1 << 24):
         raise ValueError("fat-row BVH4 inlines f32 triangle ids; "
                          "triangle count must stay below 2^24")
@@ -176,10 +197,16 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     # Full C++ path: binary build + BFS collapse + fat assembly in one
     # native call (the numpy assembly below runs at MB/s on the target
     # host — San-Miguel-scale meshes need this; bit-identical output).
-    fat_nat = build_bvh4_fat_native(v0, v1, v2, leaf_size)
+    fat_nat = build_bvh4_fat_native(v0, v1, v2, leaf_size, split)
     if fat_nat is not None:
-        return BVH4Arrays(fat=jnp.asarray(fat_nat), n_tris=t)
+        return BVH4Arrays(fat=jnp.asarray(_pad128(fat_nat)), n_tris=t,
+                          leaf_size=leaf_size)
 
+    if split != "median":
+        import warnings
+
+        warnings.warn("SAH split needs the native builder; falling back "
+                      "to median (numpy path)")
     mins, maxs, child, lf, lc, order, pv0, pe1, pe2 = collapse4(
         v0, v1, v2, leaf_size)
     m = mins.shape[0]
@@ -188,17 +215,18 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     # vectorized fat-row assembly
     tri_rows = np.concatenate(
         [pv0, pe1, pe2, order.astype(np.float32)[:, None]], axis=1)  # [T,10]
-    slots = lf[:, :, None] + np.arange(LEAF_SIZE)[None, None, :]  # [M,4,L]
-    valid = (lf[:, :, None] >= 0) & (np.arange(LEAF_SIZE)[None, None, :] < lc[:, :, None])
+    slots = lf[:, :, None] + np.arange(leaf_size)[None, None, :]  # [M,4,L]
+    valid = (lf[:, :, None] >= 0) & (np.arange(leaf_size)[None, None, :] < lc[:, :, None])
     pad = np.zeros(_TRI_COLS, np.float32)
     pad[-1] = -1.0  # degenerate tri: zero edges never hit, id -1 guards
     blocks = np.where(valid[..., None],
                       tri_rows[np.clip(slots, 0, t - 1)], pad)  # [M,4,L,10]
     fat = np.concatenate([
         mins.reshape(m, 12), maxs.reshape(m, 12), child,
-        blocks.reshape(m, WIDTH * LEAF_SIZE * _TRI_COLS),
+        blocks.reshape(m, WIDTH * leaf_size * _TRI_COLS),
     ], axis=1).astype(np.float32)
-    return BVH4Arrays(fat=jnp.asarray(fat), n_tris=t)
+    return BVH4Arrays(fat=jnp.asarray(_pad128(fat)), n_tris=t,
+                      leaf_size=leaf_size)
 
 
 def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
@@ -222,7 +250,7 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
     best_t = jnp.full((n,), TMAX)
     best_tri = jnp.full((n,), -1, jnp.int32)
     n_nodes = bvh.fat.shape[0]
-    k_slots = WIDTH * LEAF_SIZE
+    k_slots = WIDTH * bvh.leaf_size
     iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
 
     def cond(state):
@@ -239,51 +267,69 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
         row = jnp.take(bvh.fat, node_c, axis=0)  # [N, FAT_WIDTH] — THE gather
-        cmin = row[:, 0:12].reshape(n, WIDTH, 3)
-        cmax = row[:, 12:24].reshape(n, WIDTH, 3)
-        child = row[:, 24:28].astype(jnp.int32)  # [N, 4]
+
+        # Everything below is unrolled to pure [N] vectors: on TPU, small
+        # minor dims are lane-padded to 128 ([N,4,3] wastes 42x, [N,K,10]
+        # 12x), and the padding traffic dominated the step (measured:
+        # box test 1.85ms, leaf MT 1.34ms of a ~4.5ms step at 262k lanes
+        # in the [N,4,3] form — profiling/ablate_traversal_step.py).
+        col = lambda j: row[:, j]  # noqa: E731
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        ivx, ivy, ivz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
 
         # 4-box slab test (rayIntersectAABB4, accelerator/bvh4.h:23-97)
-        t0 = (cmin - o[:, None, :]) * inv_d[:, None, :]
-        t1 = (cmax - o[:, None, :]) * inv_d[:, None, :]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [N, 4]
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         tlimit = jnp.minimum(best_t, max_dist)
-        box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < tlimit[:, None])
+        tn_c, box_hit_c, child_c = [], [], []
+        for c in range(WIDTH):
+            t0x = (col(c * 3 + 0) - ox) * ivx
+            t1x = (col(12 + c * 3 + 0) - ox) * ivx
+            t0y = (col(c * 3 + 1) - oy) * ivy
+            t1y = (col(12 + c * 3 + 1) - oy) * ivy
+            t0z = (col(c * 3 + 2) - oz) * ivz
+            t1z = (col(12 + c * 3 + 2) - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            tn_c.append(tn)
+            box_hit_c.append(active & (tn <= tf) & (tf > 0.0) & (tn < tlimit))
+            child_c.append(col(24 + c).astype(jnp.int32))
 
-        # All 16 inlined leaf triangles, tested unconditionally (dense VPU
-        # math beats masking; misses/pads cannot produce a valid closer t).
-        tris = row[:, _FAT_TRI0:].reshape(n, k_slots, _TRI_COLS)
-        tv0 = tris[..., 0:3]
-        te1 = tris[..., 3:6]
-        te2 = tris[..., 6:9]
-        tid = tris[..., 9].astype(jnp.int32)  # [N, 16]
-        dN = d[:, None, :]
-        pvec = jnp.cross(dN, te2)
-        det = jnp.sum(te1 * pvec, axis=-1)
-        inv_det = 1.0 / vm._safe(det)
-        tvec = o[:, None, :] - tv0
-        beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, te1)
-        gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
-        tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
-        ok = (active[:, None] & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
-              & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t[:, None]))
-        if any_hit:
-            ok = ok & (tt < max_dist[:, None])
-        tt = jnp.where(ok, tt, TMAX)
-        # dense 16-slot winner: unrolled compare chain, no argmin gathers.
-        # Deviation-free: identical result to argmin + take_along (first
-        # minimum wins either way — strict < keeps the earliest slot).
+        # All inlined leaf triangles, tested unconditionally (misses/pads
+        # cannot produce a valid closer t), winner folded per slot.
         for k in range(k_slots):
-            better = tt[:, k] < best_t
-            best_t = jnp.where(better, tt[:, k], best_t)
-            best_tri = jnp.where(better, tid[:, k], best_tri)
+            b = _FAT_TRI0 + k * _TRI_COLS
+            v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
+            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+            tid = col(b + 9).astype(jnp.int32)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / vm._safe(det)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            beta = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (active & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+                  & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t))
+            if any_hit:
+                ok = ok & (tt < max_dist)
+            best_tri = jnp.where(ok, tid, best_tri)
+            best_t = jnp.where(ok, tt, best_t)
 
         # push internal children ordered far-to-near by tn (nearest on top):
         # insertion sort of 4 (tn, child) pairs via masked compare-swaps
-        is_int_child = (child >= 0) & box_hit
-        key = jnp.where(is_int_child, tn, -jnp.inf)  # far = larger key first
+        is_int_child = [(child_c[c] >= 0) & box_hit_c[c] for c in range(WIDTH)]
+        key = [jnp.where(is_int_child[c], tn_c[c], -jnp.inf)
+               for c in range(WIDTH)]  # far = larger key first
 
         def swap(kc, i, j):
             # ensure key[i] >= key[j] (descending); invalid (-inf) sink last
@@ -297,8 +343,8 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
             cval = [vi if s == i else vj if s == j else cval[s] for s in range(WIDTH)]
             return key, cval
 
-        kc = ([key[:, s] for s in range(WIDTH)],
-              [jnp.where(is_int_child[:, s], child[:, s], -1) for s in range(WIDTH)])
+        kc = (key,
+              [jnp.where(is_int_child[s], child_c[s], -1) for s in range(WIDTH)])
         for ij in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
             kc = swap(kc, *ij)
         cval = kc[1]  # descending by tn; valid children first

@@ -35,8 +35,11 @@ SPH_FAT_WIDTH = _SPH0 + WIDTH * LEAF_SIZE * _SPH_COLS
 
 @flax.struct.dataclass
 class SphereBVH4:
-    fat: jnp.ndarray  # [M, SPH_FAT_WIDTH]
+    fat: jnp.ndarray  # [M, >=28 + 4*leaf_size*8] (padded to 128 cols)
     n_prims: int = flax.struct.field(pytree_node=False, default=0)
+    # leaf_size=2 keeps rows at 92 cols, under the 128-col TPU gather
+    # cliff (profiling/ablate_fat_gather.py)
+    leaf_size: int = flax.struct.field(pytree_node=False, default=LEAF_SIZE)
 
 
 def build_bvh4_spheres(center: np.ndarray, radius: np.ndarray,
@@ -62,16 +65,19 @@ def build_bvh4_spheres(center: np.ndarray, radius: np.ndarray,
         np.arange(p, dtype=np.float64)[:, None],
     ], axis=1)[order.astype(np.int64)]  # leaf order
 
-    slots = lf[:, :, None] + np.arange(LEAF_SIZE)[None, None, :]
-    ok = (lf[:, :, None] >= 0) & (np.arange(LEAF_SIZE)[None, None, :] < lc[:, :, None])
+    slots = lf[:, :, None] + np.arange(leaf_size)[None, None, :]
+    ok = (lf[:, :, None] >= 0) & (np.arange(leaf_size)[None, None, :] < lc[:, :, None])
     pad = np.zeros(_SPH_COLS, np.float64)
     pad[-1] = -1.0  # id -1 guards; radius 0 never hits
     blocks = np.where(ok[..., None], rows[np.clip(slots, 0, p - 1)], pad)
     fat = np.concatenate([
         mins.reshape(m, 12), maxs.reshape(m, 12), child.astype(np.float64),
-        blocks.reshape(m, WIDTH * LEAF_SIZE * _SPH_COLS),
+        blocks.reshape(m, WIDTH * leaf_size * _SPH_COLS),
     ], axis=1).astype(np.float32)
-    return SphereBVH4(fat=jnp.asarray(fat), n_prims=p)
+    from craytracer_tpu.accel.bvh4 import _pad128
+
+    return SphereBVH4(fat=jnp.asarray(_pad128(fat)), n_prims=p,
+                      leaf_size=leaf_size)
 
 
 def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
@@ -85,7 +91,7 @@ def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
     best_t = jnp.full((n,), TMAX)
     best_prim = jnp.full((n,), -1, jnp.int32)
     n_nodes = bvh.fat.shape[0]
-    k_slots = WIDTH * LEAF_SIZE
+    k_slots = WIDTH * bvh.leaf_size
 
     def cond(state):
         sp, *_ = state
@@ -103,57 +109,73 @@ def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
         row = jnp.take(bvh.fat, node_c, axis=0)  # THE gather
-        cmin = row[:, 0:12].reshape(n, WIDTH, 3)
-        cmax = row[:, 12:24].reshape(n, WIDTH, 3)
-        child = row[:, 24:28].astype(jnp.int32)
 
-        t0 = (cmin - o[:, None, :]) * inv_d[:, None, :]
-        t1 = (cmax - o[:, None, :]) * inv_d[:, None, :]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # Unrolled to pure [N] vectors (see bvh4._traverse4: small minor
+        # dims are lane-padded to 128 on TPU; padding traffic dominated).
+        colf = lambda j: row[:, j]  # noqa: E731
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        ivx, ivy, ivz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+
         tlimit = jnp.minimum(best_t, max_dist)
-        box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < tlimit[:, None])
+        tn_c, box_hit_c, child_c = [], [], []
+        for c4 in range(WIDTH):
+            t0x = (colf(c4 * 3 + 0) - ox) * ivx
+            t1x = (colf(12 + c4 * 3 + 0) - ox) * ivx
+            t0y = (colf(c4 * 3 + 1) - oy) * ivy
+            t1y = (colf(12 + c4 * 3 + 1) - oy) * ivy
+            t0z = (colf(c4 * 3 + 2) - oz) * ivz
+            t1z = (colf(12 + c4 * 3 + 2) - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            tn_c.append(tn)
+            box_hit_c.append(active & (tn <= tf) & (tf > 0.0) & (tn < tlimit))
+            child_c.append(colf(24 + c4).astype(jnp.int32))
 
-        # All 16 inlined leaf spheres, tested unconditionally (pads have
-        # radius 0 and id -1 and can never produce a valid hit).
-        prim = row[:, _SPH0:].reshape(n, k_slots, _SPH_COLS)
-        pc = prim[..., 0:3]
-        pr = prim[..., 3]
-        pphi = prim[..., 4]
-        pth0 = prim[..., 5]
-        pth1 = prim[..., 6]
-        pid = prim[..., 7].astype(jnp.int32)
-        oc = o[:, None, :] - pc
-        dN = d[:, None, :]
-        b = 2.0 * jnp.sum(oc * dN, axis=-1)
-        c = jnp.sum(oc * oc, axis=-1) - pr * pr
-        disc = b * b - 4.0 * c  # a == 1 for unit directions
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        hit_any = disc > 0.0
-
-        def accept(tt):
-            hp = oc + tt[..., None] * dN
-            phi = jnp.arctan2(hp[..., 0], hp[..., 2])
-            cos_raw = hp[..., 1] / jnp.maximum(pr, 1e-12)
-            theta = jnp.arccos(jnp.clip(cos_raw, -1.0, 1.0))
-            ok = (hit_any & (pid >= 0) & (tt > K_EPSILON)
-                  & (jnp.abs(phi) <= pphi)
-                  & (theta >= pth0) & (theta <= pth1)
-                  & (jnp.abs(cos_raw) <= 1.0)  # reference acos-NaN reject
-                  & (tt < best_t[:, None]))
-            if any_hit:
-                ok = ok & (tt < max_dist[:, None])
-            return jnp.where(ok, tt, TMAX)
-
-        tt = jnp.minimum(accept((-b - sq) * 0.5), accept((-b + sq) * 0.5))
-        # dense leaf winner (identical to argmin + take_along: strict <
-        # keeps the earliest minimal slot)
+        # Inlined leaf spheres, tested unconditionally (pads have radius 0
+        # and id -1 and can never produce a valid hit).
         for k in range(k_slots):
-            better = tt[:, k] < best_t
-            best_t = jnp.where(better, tt[:, k], best_t)
-            best_prim = jnp.where(better, pid[:, k], best_prim)
+            s0 = _SPH0 + k * _SPH_COLS
+            pcx, pcy, pcz = colf(s0 + 0), colf(s0 + 1), colf(s0 + 2)
+            pr = colf(s0 + 3)
+            pphi = colf(s0 + 4)
+            pth0 = colf(s0 + 5)
+            pth1 = colf(s0 + 6)
+            pid = colf(s0 + 7).astype(jnp.int32)
+            ocx, ocy, ocz = ox - pcx, oy - pcy, oz - pcz
+            b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+            c = ocx * ocx + ocy * ocy + ocz * ocz - pr * pr
+            disc = b * b - 4.0 * c  # a == 1 for unit directions
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            hit_any = disc > 0.0
 
-        is_int_child = (child >= 0) & box_hit
+            def accept(tt):
+                hpx = ocx + tt * dx
+                hpy = ocy + tt * dy
+                hpz = ocz + tt * dz
+                phi = jnp.arctan2(hpx, hpz)
+                cos_raw = hpy / jnp.maximum(pr, 1e-12)
+                theta = jnp.arccos(jnp.clip(cos_raw, -1.0, 1.0))
+                ok = (hit_any & (pid >= 0) & (tt > K_EPSILON)
+                      & (jnp.abs(phi) <= pphi)
+                      & (theta >= pth0) & (theta <= pth1)
+                      & (jnp.abs(cos_raw) <= 1.0)  # reference acos-NaN reject
+                      & (tt < best_t))
+                if any_hit:
+                    ok = ok & (tt < max_dist)
+                return jnp.where(ok, tt, TMAX)
+
+            tt = jnp.minimum(accept((-b - sq) * 0.5), accept((-b + sq) * 0.5))
+            better = tt < best_t
+            best_t = jnp.where(better, tt, best_t)
+            best_prim = jnp.where(better, pid, best_prim)
+
+        is_int_child = [(child_c[c4] >= 0) & box_hit_c[c4]
+                        for c4 in range(WIDTH)]
 
         def swap(kc, i, j):
             key, cval = kc
@@ -166,8 +188,8 @@ def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
             cval = [vi if s == i else vj if s == j else cval[s] for s in range(WIDTH)]
             return key, cval
 
-        kc = ([jnp.where(is_int_child[:, s], tn[:, s], -jnp.inf) for s in range(WIDTH)],
-              [jnp.where(is_int_child[:, s], child[:, s], -1) for s in range(WIDTH)])
+        kc = ([jnp.where(is_int_child[s], tn_c[s], -jnp.inf) for s in range(WIDTH)],
+              [jnp.where(is_int_child[s], child_c[s], -1) for s in range(WIDTH)])
         for ij in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
             kc = swap(kc, *ij)
         cval = kc[1]

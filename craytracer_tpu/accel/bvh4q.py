@@ -36,18 +36,25 @@ QFAT_WIDTH = _Q_TRI0 + WIDTH * LEAF_SIZE * _TRI_COLS
 
 @flax.struct.dataclass
 class BVH4QArrays:
-    fat: jnp.ndarray  # [M, QFAT_WIDTH]
+    fat: jnp.ndarray  # [M, >=16 + 4*leaf_size*10] (padded to 128 cols)
     n_tris: int = flax.struct.field(pytree_node=False, default=0)
+    # leaf_size=2 keeps the row at 96 cols: single-index gathers above 128
+    # f32 cols are ~4.5x slower (profiling/ablate_fat_gather.py)
+    leaf_size: int = flax.struct.field(pytree_node=False, default=LEAF_SIZE)
 
 
 def build_bvh4q(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 leaf_size: int = LEAF_SIZE) -> BVH4QArrays:
+    from craytracer_tpu.accel.bvh4 import _pad128
+
     t = np.asarray(v0).shape[0]
     if t == 0:
-        fat = np.zeros((1, QFAT_WIDTH), np.float32)
+        fat = np.zeros((1, _Q_TRI0 + WIDTH * leaf_size * _TRI_COLS),
+                       np.float32)
         fat[:, 6:10] = -1.0
         fat[:, _Q_TRI0 + _TRI_COLS - 1::_TRI_COLS] = -1.0
-        return BVH4QArrays(fat=jnp.asarray(fat), n_tris=0)
+        return BVH4QArrays(fat=jnp.asarray(_pad128(fat)), n_tris=0,
+                           leaf_size=leaf_size)
     if t >= (1 << 24):
         raise ValueError("fat-row BVH4Q inlines f32 triangle ids; "
                          "triangle count must stay below 2^24")
@@ -88,17 +95,18 @@ def build_bvh4q(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
     tri_rows = np.concatenate(
         [pv0, pe1, pe2, order.astype(np.float32)[:, None]], axis=1)
-    slots = lf[:, :, None] + np.arange(LEAF_SIZE)[None, None, :]
-    ok = (lf[:, :, None] >= 0) & (np.arange(LEAF_SIZE)[None, None, :] < lc[:, :, None])
+    slots = lf[:, :, None] + np.arange(leaf_size)[None, None, :]
+    ok = (lf[:, :, None] >= 0) & (np.arange(leaf_size)[None, None, :] < lc[:, :, None])
     pad = np.zeros(_TRI_COLS, np.float32)
     pad[-1] = -1.0
     blocks = np.where(ok[..., None], tri_rows[np.clip(slots, 0, t - 1)], pad)
     fat = np.concatenate([
         node_min.astype(np.float32), scale, child.astype(np.float32),
         packed.view(np.float32),
-        blocks.reshape(m, WIDTH * LEAF_SIZE * _TRI_COLS),
+        blocks.reshape(m, WIDTH * leaf_size * _TRI_COLS),
     ], axis=1).astype(np.float32)
-    return BVH4QArrays(fat=jnp.asarray(fat), n_tris=t)
+    return BVH4QArrays(fat=jnp.asarray(_pad128(fat)), n_tris=t,
+                       leaf_size=leaf_size)
 
 
 def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
@@ -112,7 +120,7 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
     best_t = jnp.full((n,), TMAX)
     best_tri = jnp.full((n,), -1, jnp.int32)
     n_nodes = bvh.fat.shape[0]
-    k_slots = WIDTH * LEAF_SIZE
+    k_slots = WIDTH * bvh.leaf_size
 
     def cond(state):
         sp, *_ = state
@@ -130,56 +138,75 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
         row = jnp.take(bvh.fat, node_c, axis=0)  # THE gather
-        nmin = row[:, 0:3]
-        nscale = row[:, 3:6]
-        child = row[:, 6:10].astype(jnp.int32)
-        packed = jax.lax.bitcast_convert_type(row[:, 10:16], jnp.uint32)  # [N,6]
-        pc = packed[:, :WIDTH]  # [N,4]
-        u8 = lambda w, s: ((w >> np.uint32(s)) & np.uint32(0xFF)).astype(jnp.float32)
-        qmin = jnp.stack([u8(pc, 0), u8(pc, 8), u8(pc, 16)], axis=-1)  # [N,4,3]
-        shifts = np.uint32(8) * jnp.arange(WIDTH, dtype=jnp.uint32)
-        qmax = jnp.stack([
-            u8(pc, 24),
-            ((packed[:, 4:5] >> shifts[None, :]) & np.uint32(0xFF)).astype(jnp.float32),
-            ((packed[:, 5:6] >> shifts[None, :]) & np.uint32(0xFF)).astype(jnp.float32),
-        ], axis=-1)
-        cmin = nmin[:, None, :] + qmin * nscale[:, None, :]
-        cmax = nmin[:, None, :] + qmax * nscale[:, None, :]
 
-        t0 = (cmin - o[:, None, :]) * inv_d[:, None, :]
-        t1 = (cmax - o[:, None, :]) * inv_d[:, None, :]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # Unrolled to pure [N] vectors (see bvh4._traverse4: small minor
+        # dims are lane-padded to 128 on TPU and their padding traffic
+        # dominated the step).
+        col = lambda j: row[:, j]  # noqa: E731
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        ivx, ivy, ivz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+        nminx, nminy, nminz = col(0), col(1), col(2)
+        nsx, nsy, nsz = col(3), col(4), col(5)
+        packed = jax.lax.bitcast_convert_type(row[:, 10:16], jnp.uint32)
+        pky, pkz = packed[:, 4], packed[:, 5]
+
+        def u8(w, s):
+            return ((w >> np.uint32(s)) & np.uint32(0xFF)).astype(jnp.float32)
+
         tlimit = jnp.minimum(best_t, max_dist)
-        box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < tlimit[:, None])
+        tn_c, box_hit_c, child_c = [], [], []
+        for c in range(WIDTH):
+            pc = packed[:, c]
+            cminx = nminx + u8(pc, 0) * nsx
+            cminy = nminy + u8(pc, 8) * nsy
+            cminz = nminz + u8(pc, 16) * nsz
+            cmaxx = nminx + u8(pc, 24) * nsx
+            cmaxy = nminy + u8(pky, 8 * c) * nsy
+            cmaxz = nminz + u8(pkz, 8 * c) * nsz
+            t0x = (cminx - ox) * ivx
+            t1x = (cmaxx - ox) * ivx
+            t0y = (cminy - oy) * ivy
+            t1y = (cmaxy - oy) * ivy
+            t0z = (cminz - oz) * ivz
+            t1z = (cmaxz - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            tn_c.append(tn)
+            box_hit_c.append(active & (tn <= tf) & (tf > 0.0) & (tn < tlimit))
+            child_c.append(col(6 + c).astype(jnp.int32))
 
-        tris = row[:, _Q_TRI0:].reshape(n, k_slots, _TRI_COLS)
-        tv0 = tris[..., 0:3]
-        te1 = tris[..., 3:6]
-        te2 = tris[..., 6:9]
-        tid = tris[..., 9].astype(jnp.int32)
-        dN = d[:, None, :]
-        pvec = jnp.cross(dN, te2)
-        det = jnp.sum(te1 * pvec, axis=-1)
-        inv_det = 1.0 / vm._safe(det)
-        tvec = o[:, None, :] - tv0
-        beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, te1)
-        gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
-        tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
-        ok = (active[:, None] & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
-              & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t[:, None]))
-        if any_hit:
-            ok = ok & (tt < max_dist[:, None])
-        tt = jnp.where(ok, tt, TMAX)
-        # dense 16-slot winner (identical to argmin + take_along: strict <
-        # keeps the earliest minimal slot)
         for k in range(k_slots):
-            better = tt[:, k] < best_t
-            best_t = jnp.where(better, tt[:, k], best_t)
-            best_tri = jnp.where(better, tid[:, k], best_tri)
+            b = _Q_TRI0 + k * _TRI_COLS
+            v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
+            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+            tid = col(b + 9).astype(jnp.int32)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / vm._safe(det)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            beta = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (active & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+                  & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t))
+            if any_hit:
+                ok = ok & (tt < max_dist)
+            best_tri = jnp.where(ok, tid, best_tri)
+            best_t = jnp.where(ok, tt, best_t)
 
-        is_int_child = (child >= 0) & box_hit
+        is_int_child = [(child_c[c] >= 0) & box_hit_c[c]
+                        for c in range(WIDTH)]
 
         def swap(kc, i, j):
             key, cval = kc
@@ -192,8 +219,8 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
             cval = [vi if s == i else vj if s == j else cval[s] for s in range(WIDTH)]
             return key, cval
 
-        kc = ([jnp.where(is_int_child[:, s], tn[:, s], -jnp.inf) for s in range(WIDTH)],
-              [jnp.where(is_int_child[:, s], child[:, s], -1) for s in range(WIDTH)])
+        kc = ([jnp.where(is_int_child[s], tn_c[s], -jnp.inf) for s in range(WIDTH)],
+              [jnp.where(is_int_child[s], child_c[s], -1) for s in range(WIDTH)])
         for ij in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
             kc = swap(kc, *ij)
         cval = kc[1]  # descending by tn; valid children first

@@ -157,27 +157,32 @@ def _tri_test_k(grid: GridArrays, o, d, slots, valid, best_t, best_tri,
     k = slots.shape[1]
     slot_c = jnp.clip(slots, 0, grid.tri_rows.shape[0] - 1)
     row = jnp.take(grid.tri_rows, slot_c, axis=0)  # ONE [N, K, 10] gather
-    tv0 = row[..., 0:3]
-    te1 = row[..., 3:6]
-    te2 = row[..., 6:9]
-    dN = d[:, None, :]
-    pvec = jnp.cross(dN, te2)
-    det = jnp.sum(te1 * pvec, axis=-1)
-    inv_det = 1.0 / vm._safe(det)
-    tvec = o[:, None, :] - tv0
-    beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, te1)
-    gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
-    tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
-    ok = (valid & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
-          & (tt > K_EPSILON) & (tt < best_t[:, None]))
-    if any_hit:
-        ok = ok & (tt < max_dist[:, None])
-    tt = jnp.where(ok, tt, TMAX)
+    # Unrolled to pure [N] vectors (see bvh4._traverse4: small minor dims
+    # are lane-padded to 128 on TPU; padding traffic dominates otherwise).
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
     for j in range(k):
-        better = tt[:, j] < best_t
-        best_t = jnp.where(better, tt[:, j], best_t)
-        best_tri = jnp.where(better, slot_c[:, j], best_tri)
+        v0x, v0y, v0z = row[:, j, 0], row[:, j, 1], row[:, j, 2]
+        e1x, e1y, e1z = row[:, j, 3], row[:, j, 4], row[:, j, 5]
+        e2x, e2y, e2z = row[:, j, 6], row[:, j, 7], row[:, j, 8]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = 1.0 / vm._safe(det)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        beta = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (valid[:, j] & (beta >= 0.0) & (gamma >= 0.0)
+              & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t))
+        if any_hit:
+            ok = ok & (tt < max_dist)
+        best_tri = jnp.where(ok, slot_c[:, j], best_tri)
+        best_t = jnp.where(ok, tt, best_t)
     return best_t, best_tri
 
 

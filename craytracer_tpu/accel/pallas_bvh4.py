@@ -72,7 +72,8 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref):
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < best_t[:, None])
 
-        tris = row[:, _FAT_TRI0:].reshape(n, _K_SLOTS, _TRI_COLS)
+        tris = row[:, _FAT_TRI0:_FAT_TRI0 + _K_SLOTS * _TRI_COLS].reshape(
+            n, _K_SLOTS, _TRI_COLS)
         tv0 = tris[..., 0:3]
         te1 = tris[..., 3:6]
         te2 = tris[..., 6:9]
@@ -135,6 +136,9 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False):
     """Drop-in for bvh4_closest_hit. Pads the ray batch to RAY_BLOCK."""
+    if bvh.leaf_size * WIDTH != _K_SLOTS:
+        raise ValueError("pallas_bvh4 kernel is specialized for leaf_size="
+                         f"{_K_SLOTS // WIDTH}; got {bvh.leaf_size}")
     n = o.shape[0]
     pad = (-n) % RAY_BLOCK
     if pad:

@@ -57,7 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.crn_obj_free.argtypes = [c.c_void_p]
     lib.crn_build_bvh.restype = c.c_void_p
-    lib.crn_build_bvh.argtypes = [c.POINTER(c.c_float)] * 3 + [c.c_int64, c.c_int32]
+    lib.crn_build_bvh.argtypes = [c.POINTER(c.c_float)] * 3 + [c.c_int64, c.c_int32, c.c_int32]
     lib.crn_bvh_counts.restype = c.c_int64
     lib.crn_bvh_counts.argtypes = [c.c_void_p, c.POINTER(c.c_int64), c.POINTER(c.c_int64)]
     lib.crn_bvh_copy.restype = c.c_int64
@@ -148,7 +148,8 @@ def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     v1 = np.ascontiguousarray(v1, np.float32)
     v2 = np.ascontiguousarray(v2, np.float32)
     n = v0.shape[0]
-    h = lib.crn_build_bvh(_fptr(v0), _fptr(v1), _fptr(v2), n, leaf_size)
+    h = lib.crn_build_bvh(_fptr(v0), _fptr(v1), _fptr(v2), n, leaf_size,
+                          SPLIT_MODES["median"])
     if not h:
         return None
     try:
@@ -170,23 +171,27 @@ def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         lib.crn_bvh_free(h)
 
 
-def _bvh_handle(lib, v0, v1, v2, leaf_size):
+SPLIT_MODES = {"median": 0, "sah": 1}
+
+
+def _bvh_handle(lib, v0, v1, v2, leaf_size, split="median"):
     v0 = np.ascontiguousarray(v0, np.float32)
     v1 = np.ascontiguousarray(v1, np.float32)
     v2 = np.ascontiguousarray(v2, np.float32)
     h = lib.crn_build_bvh(_fptr(v0), _fptr(v1), _fptr(v2), v0.shape[0],
-                          leaf_size)
+                          leaf_size, SPLIT_MODES[split])
     return h, v0, v1, v2
 
 
-def build_bvh_fat_native(v0, v1, v2, leaf_size: int = 4):
+def build_bvh_fat_native(v0, v1, v2, leaf_size: int = 4,
+                         split: str = "median"):
     """Binary-BVH fat rows [M, 8 + leaf_size*10], assembled entirely in C++
     (the numpy assembly runs at MB/s on the target host — see
     native/craynative.cpp fat-row comment). Returns None if unavailable."""
     lib = _load()
     if lib is None or not hasattr(lib, "crn_bvh_fat"):
         return None
-    h, v0, v1, v2 = _bvh_handle(lib, v0, v1, v2, leaf_size)
+    h, v0, v1, v2 = _bvh_handle(lib, v0, v1, v2, leaf_size, split)
     if not h:
         return None
     try:
@@ -202,14 +207,15 @@ def build_bvh_fat_native(v0, v1, v2, leaf_size: int = 4):
         lib.crn_bvh_free(h)
 
 
-def build_bvh4_fat_native(v0, v1, v2, leaf_size: int = 4):
+def build_bvh4_fat_native(v0, v1, v2, leaf_size: int = 4,
+                          split: str = "median"):
     """4-wide (QBVH) fat rows [M, 28 + 4*leaf_size*10]: binary build +
     BFS grandchild collapse + fat assembly, all in C++ and bit-identical to
     accel/bvh4.py's numpy path. Returns None if unavailable."""
     lib = _load()
     if lib is None or not hasattr(lib, "crn_bvh4_fat"):
         return None
-    h, v0, v1, v2 = _bvh_handle(lib, v0, v1, v2, leaf_size)
+    h, v0, v1, v2 = _bvh_handle(lib, v0, v1, v2, leaf_size, split)
     if not h:
         return None
     try:

@@ -487,13 +487,31 @@ class SceneBuilder:
 
             tri_bvh = build_bvh(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
         elif accel == "bvh4":
+            import os
+
             from craytracer_tpu.accel.bvh4 import build_bvh4
 
-            tri_bvh = build_bvh4(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
+            # leaf_size=2 keeps the fat row under the 128-col TPU gather
+            # cliff (see BVH4Arrays.leaf_size); env-tunable for A/B.
+            leaf = int(os.environ.get("CRAY_BVH4_LEAF", "2"))
+            # SAH default (hit-identical to median, better trees on
+            # irregular scenes); median when the native builder is absent
+            # (the numpy fallback only implements the reference's median).
+            from craytracer_tpu.native import _load as _native_load
+
+            default_split = "sah" if _native_load() is not None else "median"
+            tri_bvh = build_bvh4(np.asarray(tv[0]), np.asarray(tv[1]),
+                                 np.asarray(tv[2]), leaf_size=leaf,
+                                 split=os.environ.get("CRAY_BVH_SPLIT",
+                                                      default_split))
         elif accel == "bvh4q":
+            import os
+
             from craytracer_tpu.accel.bvh4q import build_bvh4q
 
-            tri_bvh = build_bvh4q(np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]))
+            leaf = int(os.environ.get("CRAY_BVH4_LEAF", "2"))
+            tri_bvh = build_bvh4q(np.asarray(tv[0]), np.asarray(tv[1]),
+                                  np.asarray(tv[2]), leaf_size=leaf)
         elif accel == "grid":
             from craytracer_tpu.accel.grid import build_grid
 
@@ -505,10 +523,13 @@ class SceneBuilder:
             # reference's accelerators hold every object type)
             from craytracer_tpu.accel.bvh4_sphere import build_bvh4_spheres
 
+            import os
+
             sph_bvh = build_bvh4_spheres(
                 np.asarray(spheres.center), np.asarray(spheres.radius),
                 np.asarray(spheres.phi), np.asarray(spheres.min_theta),
-                np.asarray(spheres.max_theta))
+                np.asarray(spheres.max_theta),
+                leaf_size=int(os.environ.get("CRAY_BVH4_LEAF", "2")))
 
         from craytracer_tpu.ops.gather import validate_int_tables
 

@@ -242,6 +242,8 @@ struct BuildCtx {
     const float* tmax;
     const float* cent;
     int leaf_size;
+    int split_mode = 0;          // 0 = median (reference parity), 1 = SAH
+    std::vector<float> scratch;  // suffix SAH costs, reused across nodes
     BVHOut out;
     // Presorted-axis partition build (O(n log n)): arr[k] holds the node's
     // triangle ids sorted by the STRICT key (centroid[k], id) — a total
@@ -255,7 +257,66 @@ struct BuildCtx {
     std::vector<int32_t> q_of;     // binary internal id -> q id
 };
 
-static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi, int parent_ax) {
+// Exact sweep SAH over all three presorted axis orders: for axis k the
+// candidate splits are every position i in (lo, hi) of arr[k] (sorted by
+// centroid along k), cost(i) = halfArea(prefix) * nL + halfArea(suffix)
+// * nR. Returns false when SAH should not be used for this node (the
+// median fallback keeps worst-case depth logarithmic: the traversal
+// stacks are sized for depth <= ~50, see accel/bvh.py MAX_STACK).
+// Deviation from the reference: CRaytracer builds median-split trees
+// (accelerator/bvh.h:85-154); SAH is a quality improvement over it.
+static bool sah_split(BuildCtx& c, int32_t lo, int32_t hi, int depth,
+                      int* out_ax, int32_t* out_mid) {
+    if (c.split_mode != 1 || depth >= 32) return false;
+    const int32_t n = hi - lo;
+    // Restrict splits to keep min(nL, nR) >= n/8: bounds tree depth at
+    // log_{8/7}(n) before the depth-32 median switch kicks in.
+    const int32_t margin = std::max((int32_t)c.leaf_size, n / 8);
+    const int32_t i0 = lo + margin, i1 = hi - margin;
+    if (i0 >= i1) return false;
+    if ((int32_t)c.scratch.size() < hi) c.scratch.resize(hi);
+    float best_cost = 1e30f;
+    for (int k = 0; k < 3; k++) {
+        const auto& ids = c.arr[k];
+        float mn0 = 1e30f, mn1 = 1e30f, mn2 = 1e30f;
+        float mx0 = -1e30f, mx1 = -1e30f, mx2 = -1e30f;
+        for (int32_t i = hi - 1; i >= i0; i--) {  // suffix = [i, hi)
+            int32_t t = ids[i];
+            mn0 = std::min(mn0, c.tmin[3 * t + 0]);
+            mn1 = std::min(mn1, c.tmin[3 * t + 1]);
+            mn2 = std::min(mn2, c.tmin[3 * t + 2]);
+            mx0 = std::max(mx0, c.tmax[3 * t + 0]);
+            mx1 = std::max(mx1, c.tmax[3 * t + 1]);
+            mx2 = std::max(mx2, c.tmax[3 * t + 2]);
+            float dx = mx0 - mn0, dy = mx1 - mn1, dz = mx2 - mn2;
+            c.scratch[i] = (dx * dy + dy * dz + dz * dx) * (float)(hi - i);
+        }
+        mn0 = mn1 = mn2 = 1e30f;
+        mx0 = mx1 = mx2 = -1e30f;
+        for (int32_t i = lo; i < i1; i++) {  // prefix = [lo, i]
+            int32_t t = ids[i];
+            mn0 = std::min(mn0, c.tmin[3 * t + 0]);
+            mn1 = std::min(mn1, c.tmin[3 * t + 1]);
+            mn2 = std::min(mn2, c.tmin[3 * t + 2]);
+            mx0 = std::max(mx0, c.tmax[3 * t + 0]);
+            mx1 = std::max(mx1, c.tmax[3 * t + 1]);
+            mx2 = std::max(mx2, c.tmax[3 * t + 2]);
+            if (i + 1 < i0) continue;
+            float dx = mx0 - mn0, dy = mx1 - mn1, dz = mx2 - mn2;
+            float cost = (dx * dy + dy * dz + dz * dx) * (float)(i + 1 - lo)
+                         + c.scratch[i + 1];
+            if (cost < best_cost) {
+                best_cost = cost;
+                *out_ax = k;
+                *out_mid = i + 1;
+            }
+        }
+    }
+    return best_cost < 1e30f;
+}
+
+static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi, int parent_ax,
+                          int depth = 0) {
     int32_t idx = (int32_t)c.out.right.size();
     c.out.right.push_back(-1);
     c.out.axis.push_back(0);
@@ -291,13 +352,16 @@ static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi, int parent_ax) {
         return idx;
     }
     int ax = 0;
-    float best_ext = -1.0f;
-    for (int k = 0; k < 3; k++) {
-        float e = cmax[k] - cmin[k];
-        if (e > best_ext) { best_ext = e; ax = k; }
+    int32_t mid = -1;
+    if (!sah_split(c, lo, hi, depth, &ax, &mid)) {
+        float best_ext = -1.0f;
+        for (int k = 0; k < 3; k++) {
+            float e = cmax[k] - cmin[k];
+            if (e > best_ext) { best_ext = e; ax = k; }
+        }
+        mid = lo + (hi - lo) / 2;
     }
     c.out.axis[idx] = ax;
-    int32_t mid = lo + (hi - lo) / 2;
     // Mark which ids fall left: the first half of the split-axis order.
     for (int32_t i = lo; i < mid; i++) c.side[c.arr[ax][i]] = 0;
     for (int32_t i = mid; i < hi; i++) c.side[c.arr[ax][i]] = 1;
@@ -313,15 +377,16 @@ static int32_t build_node(BuildCtx& c, int32_t lo, int32_t hi, int parent_ax) {
         }
         std::copy(c.tmp.begin(), c.tmp.begin() + nr, a.begin() + nl);
     }
-    build_node(c, lo, mid, ax);
-    c.out.right[idx] = build_node(c, mid, hi, ax);
+    build_node(c, lo, mid, ax, depth + 1);
+    c.out.right[idx] = build_node(c, mid, hi, ax, depth + 1);
     return idx;
 }
 
 void* crn_build_bvh(const float* v0, const float* v1, const float* v2,
-                    int64_t n, int32_t leaf_size) {
+                    int64_t n, int32_t leaf_size, int32_t split_mode) {
     auto* c = new BuildCtx();
     c->leaf_size = leaf_size;
+    c->split_mode = split_mode;
     std::vector<float>* tmin = new std::vector<float>(3 * (size_t)n);
     std::vector<float>* tmax = new std::vector<float>(3 * (size_t)n);
     std::vector<float>* cent = new std::vector<float>(3 * (size_t)n);

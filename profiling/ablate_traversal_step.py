@@ -50,19 +50,19 @@ def main():
     from craytracer_tpu.core import math as vm
 
     scene, n_tris, build_s = build_scene(args.tris, "bvh4")
-    bvh = scene.bvh4
+    bvh = scene.tri_bvh
     fat = bvh.fat
     m = fat.shape[0]
     print(f"# {n_tris} tris, {m} fat nodes, build {build_s:.1f}s",
           file=sys.stderr)
 
+    k_slots = WIDTH * bvh.leaf_size
     n = args.lanes
     rng = np.random.default_rng(1)
     o = jnp.asarray(rng.normal(0, 30, (n, 3)).astype(np.float32) + np.array([0, 20, 0], np.float32))
     d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     inv_d = 1.0 / vm._safe(d)
-    k_slots = WIDTH * LEAF_SIZE
     lane = jnp.arange(n, dtype=jnp.uint32)
 
     def fake_nodes(step, k):
@@ -73,7 +73,7 @@ def main():
         h = h * jnp.uint32(0x7FEB352D)
         out = []
         for i in range(k):
-            hi = h + jnp.uint32(i * 0x68E31DA4)
+            hi = h + jnp.uint32((i * 0x68E31DA4) & 0xFFFFFFFF)
             hi = hi ^ (hi >> 15)
             out.append((hi % jnp.uint32(m)).astype(jnp.int32))
         return out
@@ -88,7 +88,8 @@ def main():
         acc = jnp.sum(jnp.where(tn <= tf, tn, 0.0), axis=1)
         if not do_leaf:
             return best_t + acc * 1e-30
-        tris = row[:, _FAT_TRI0:].reshape(n, k_slots, _TRI_COLS)
+        tris = row[:, _FAT_TRI0:_FAT_TRI0 + k_slots * _TRI_COLS].reshape(
+            n, k_slots, _TRI_COLS)
         tv0, te1, te2 = tris[..., 0:3], tris[..., 3:6], tris[..., 6:9]
         tid = tris[..., 9].astype(jnp.int32)
         dN = d[:, None, :]
@@ -101,7 +102,7 @@ def main():
         gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
         tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
         ok = ((tid >= 0) & (beta >= 0) & (gamma >= 0)
-              & (beta + gamma <= 1) & (tt > 1e-4) & (tt < best_t))
+              & (beta + gamma <= 1) & (tt > 1e-4) & (tt < best_t[:, None]))
         tt = jnp.where(ok, tt, 1e30)
         for k in range(k_slots):
             best_t = jnp.minimum(best_t, tt[:, k])
@@ -137,9 +138,13 @@ def main():
     def slope_time(fn, trips):
         f = jax.jit(fn, static_argnums=0)
         base = jnp.int32(int(time.time()) % 100000)
-        float(f(trips, base).sum())  # compile+warm
-        t0 = time.time(); float(f(trips, base + 1).sum()); t1 = time.time()
-        float(f(3 * trips, base + 2).sum()); t2 = time.time()
+        # warm BOTH trip counts: static_argnums means f(3*trips) is a
+        # separate compilation — warming only one puts ~4s of compile time
+        # inside the timed region (CLAUDE.md bench trap #2 variant)
+        float(f(trips, base).sum())
+        float(f(3 * trips, base + 1).sum())
+        t0 = time.time(); float(f(trips, base + 2).sum()); t1 = time.time()
+        float(f(3 * trips, base + 3).sum()); t2 = time.time()
         per_step = ((t2 - t1) - (t1 - t0)) / (2 * trips)
         return per_step
 
