@@ -109,3 +109,60 @@ def test_recover_texture():
     # texels the camera actually sees converge; tolerate a few edge texels
     assert np.median(err) < 0.06, np.median(err)
     assert (err < 0.12).mean() > 0.75, err.mean()
+
+
+def test_inverse_driver_checkpoint_resume(tmp_path):
+    """InverseRenderer: 3 steps + save + load + 3 steps must equal 6
+    straight steps bit-for-bit (params AND optimizer moments)."""
+    from craytracer_tpu.inverse import InverseConfig, InverseRenderer
+
+    scene_target = _scene(0.7)
+    cam = make_camera((0, 10, 25), (0, 0, 0))
+    film = Film(fov=jnp.float32(np.radians(40.0)), width=8, height=8)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+    target = render_sample(scene_target, cam, film, ids, 7, 0, 2,
+                           estimator="physical")
+
+    scene0 = _scene(0.25)
+    params0 = scene0.materials.color[1]
+
+    def apply_fn(scene, p):
+        return scene.replace(materials=scene.materials.replace(
+            color=scene.materials.color.at[1].set(p)))
+
+    cfg = InverseConfig(learning_rate=0.05, max_depth=2)
+
+    def fresh():
+        return InverseRenderer(scene0, cam, film, target, params0,
+                               apply_fn, cfg, seed=7)
+
+    a = fresh()
+    for _ in range(6):
+        a.step()
+
+    b = fresh()
+    for _ in range(3):
+        b.step()
+    ck = str(tmp_path / "inv.pkl")
+    b.save_state(ck)
+
+    c = fresh()
+    c.load_state(ck)
+    assert c.step_idx == 3
+    for _ in range(3):
+        c.step()
+
+    np.testing.assert_array_equal(np.asarray(a.params), np.asarray(c.params))
+    for la, lc in zip(jax.tree_util.tree_leaves(a.opt_state),
+                      jax.tree_util.tree_leaves(c.opt_state)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))
+    # grad norms observable and finite
+    assert all(np.isfinite(g) for _, g in a.history)
+
+    # seed mismatch must refuse to resume (mixing RNG streams)
+    import pytest as _pytest
+
+    d = InverseRenderer(scene0, cam, film, target, params0, apply_fn, cfg,
+                        seed=8)
+    with _pytest.raises(ValueError):
+        d.load_state(ck)
