@@ -82,6 +82,10 @@ def main():
                          "and nearly flat in lane count, so batching spp "
                          "amortizes it (profiling/README.md)")
     ap.add_argument("--image", default="", help="save a PNG of the render")
+    ap.add_argument("--scene-cache", default="",
+                    help="pickle path: save the built scene on first run, "
+                         "load it on later runs (skips the multi-minute "
+                         "host build + page-fault tax at San-Miguel scale)")
     args = ap.parse_args()
 
     import jax
@@ -96,8 +100,24 @@ def main():
     from craytracer_tpu.integrator.wavefront import CAMERA_BOUNCE, trace_paths
     from craytracer_tpu.sampling import uniforms
 
-    scene, n_tris, build_s = build_scene(args.tris, args.accel,
-                                         args.warm_build)
+    import os
+    import pickle
+
+    if args.scene_cache and os.path.exists(args.scene_cache):
+        t0 = time.time()
+        with open(args.scene_cache, "rb") as f:
+            scene = pickle.load(f)
+        scene = jax.tree_util.tree_map(jnp.asarray, scene)
+        n_tris, build_s = scene.triangles.mat_id.shape[0], 0.0
+        print(f"# scene: {n_tris} triangles, loaded from cache in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    else:
+        scene, n_tris, build_s = build_scene(args.tris, args.accel,
+                                             args.warm_build)
+        if args.scene_cache:
+            host = jax.tree_util.tree_map(np.asarray, scene)
+            with open(args.scene_cache, "wb") as f:
+                pickle.dump(host, f, protocol=4)
     print(f"# scene: {n_tris} triangles, BVH build {build_s}s", file=sys.stderr)
 
     # HBM budget guard (SURVEY.md §7 step 6 "triangle count vs HBM"):
