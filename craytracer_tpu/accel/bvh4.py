@@ -229,7 +229,8 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                       leaf_size=leaf_size)
 
 
-def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
+def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None,
+               with_stats: bool = False):
     """Fat-row stack traversal: ONE [N] gather per step (module docstring).
 
     TPU cost model (measured, see profiling/README.md): dynamic gathers
@@ -253,13 +254,17 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
     k_slots = WIDTH * bvh.leaf_size
     iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
 
+    pops = jnp.zeros((n,), jnp.int32)  # per-lane node visits (with_stats)
+
     def cond(state):
         sp, *_ = state
         return jnp.any(sp > 0)
 
     def body(state):
-        sp, stack, best_t, best_tri = state
+        sp, stack, best_t, best_tri, pops = state
         active = sp > 0
+        if with_stats:
+            pops = pops + active.astype(jnp.int32)
         # dense pop: masked reduction instead of take_along_axis (gather)
         top = sp - 1
         node = jnp.sum(jnp.where(iota_s == top[:, None], stack, 0), axis=1)
@@ -360,15 +365,25 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None):
 
         if any_hit:
             sp = jnp.where(best_t < max_dist, 0, sp)
-        return sp, stack, best_t, best_tri
+        return sp, stack, best_t, best_tri, pops
 
-    sp, stack, best_t, best_tri = jax.lax.while_loop(
-        cond, body, (sp, stack, best_t, best_tri))
+    sp, stack, best_t, best_tri, pops = jax.lax.while_loop(
+        cond, body, (sp, stack, best_t, best_tri, pops))
+    if with_stats:
+        return best_t, best_tri, pops
     return best_t, best_tri
 
 
 def bvh4_closest_hit(bvh: BVH4Arrays, o, d):
     return _traverse4(bvh, o, d, any_hit=False)
+
+
+def bvh4_closest_hit_stats(bvh: BVH4Arrays, o, d):
+    """(t, tri, pops[N]): per-lane node-visit counts — the batched analog
+    of the reference's per-object intersection-test counters
+    (intersect.h:363-364, shapes/shapes.cpp:3-6). Diagnostics path; the
+    production traversal carries no counter."""
+    return _traverse4(bvh, o, d, any_hit=False, with_stats=True)
 
 
 def bvh4_any_hit(bvh: BVH4Arrays, o, d, max_dist):

@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tile", type=int, default=0, help="pixels per tile (0=all)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-object-type intersect-test counts and "
+                        "BVH traversal pop stats after the render (the "
+                        "reference's exit printout, main.cpp:320,331-332)")
     p.add_argument("--probe", default=None, metavar="X,Y",
                    help="print pixel (x, y) accumulated radiance after the "
                         "render (the pause-probe, main.cpp:151-167)")
@@ -128,6 +132,17 @@ def main(argv=None):
     n_rays = film.num_pixels * rc.num_samples
     print(f"rendered {rc.num_samples} passes in {dt:.2f}s "
           f"({n_rays / dt / 1e6:.2f}M primary rays/s)")
+
+    if args.stats:
+        from craytracer_tpu.camera import generate_rays
+        from craytracer_tpu.sampling import uniforms
+        from craytracer_tpu.utils.stats import format_stats, intersect_stats
+        import jax.numpy as jnp
+
+        ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+        jit0 = uniforms(rc.seed, ids, jnp.zeros_like(ids), 0, 2, 0)
+        o0, d0 = generate_rays(camera, film, ids, jit0)
+        print(format_stats(intersect_stats(scene, o0, d0)))
 
     if args.probe:
         # click-to-probe analog (main.cpp:151-167): raw accumulated
