@@ -29,6 +29,12 @@ class RenderConfig:
     max_depth: int = 5
     seed: int = 0
     tile_pixels: int = 0  # 0 = whole image per pass
+    # Trace B spp in ONE dispatch (lanes = B * pixels). TPU traversal
+    # per-step cost is nearly flat in lane count while the while-loop trip
+    # count is paid per dispatch, so batching spp amortizes it
+    # (profiling/README.md). B=1 is bit-identical to the sequential loop;
+    # B>1 changes only fp accumulation order and NaN-recovery substitutes.
+    spp_batch: int = 1
     log_every: int = 0  # print progress every k passes (0 = silent)
     estimator: str = "reference"
     trace_type: str = "PATHTRACE"
@@ -53,6 +59,26 @@ def _pass_step(scene: Scene, camera: Camera, film: Film, pixel_ids, seed, spp_in
                          estimator, trace_type, sampler=sampler)
 
 
+@partial(jax.jit, static_argnames=("max_depth", "estimator", "trace_type",
+                                   "spp_batch"))
+def _pass_step_batched(scene: Scene, camera: Camera, film: Film, pixel_ids,
+                       seed, spp0, max_depth: int,
+                       estimator: str = "reference",
+                       trace_type: str = "PATHTRACE", sampler=None,
+                       spp_batch: int = 1):
+    """B spp in one dispatch: replica r of pixel p traces spp index
+    spp0 + r — the SAME counter-RNG stream each sample would get from the
+    sequential loop, so batched and sequential renders agree sample for
+    sample. Returns [B, n_pixels, 3]."""
+    m = pixel_ids.shape[0]
+    ids_b = jnp.tile(pixel_ids, spp_batch)
+    spp_lane = spp0 + jnp.repeat(
+        jnp.arange(spp_batch, dtype=jnp.int32), m)
+    vals = render_sample(scene, camera, film, ids_b, seed, spp_lane,
+                         max_depth, estimator, trace_type, sampler=sampler)
+    return vals.reshape(spp_batch, m, 3)
+
+
 class Renderer:
     def __init__(self, scene: Scene, camera: Camera, film: Film, config: RenderConfig):
         self.scene = scene
@@ -74,35 +100,42 @@ class Renderer:
         n = self.film.num_pixels
         tile = cfg.tile_pixels or n
         start = time.time()
-        for s in range(self.spp_done, self.spp_done + cfg.num_samples):
+        s = self.spp_done
+        end = self.spp_done + cfg.num_samples
+        B = max(1, cfg.spp_batch)
+        while s < end:
+            b = min(B, end - s)
             pass_vals = []
             for t0 in range(0, n, tile):
                 ids = jnp.arange(t0, min(t0 + tile, n), dtype=jnp.int32)
                 pass_vals.append(
-                    _pass_step(self.scene, self.camera, self.film, ids,
-                               cfg.seed, s, cfg.max_depth, cfg.estimator,
-                               cfg.trace_type, sampler=cfg.sampler)
+                    _pass_step_batched(self.scene, self.camera, self.film,
+                                       ids, cfg.seed, s, cfg.max_depth,
+                                       cfg.estimator, cfg.trace_type,
+                                       sampler=cfg.sampler, spp_batch=b)
                 )
-            pass_val = jnp.concatenate(pass_vals, axis=0)
+            pass_val = jnp.concatenate(pass_vals, axis=1)  # [b, n, 3]
             if cfg.nan_recovery:
                 # replace NaN samples with the running mean (or 0 on pass 1)
-                nan_px = jnp.isnan(pass_val).any(axis=-1)
+                nan_px = jnp.isnan(pass_val).any(axis=-1)  # [b, n]
                 mean_so_far = self.accum / max(self._accum_passes, 1)
-                pass_val = jnp.where(nan_px[:, None],
-                                     jnp.nan_to_num(mean_so_far), pass_val)
+                pass_val = jnp.where(nan_px[..., None],
+                                     jnp.nan_to_num(mean_so_far)[None],
+                                     pass_val)
                 self.nan_count += int(nan_px.sum())
-            self.accum = self.accum + pass_val
-            self._accum_passes = s + 1
-            done = s + 1 - self.spp_done
+            self.accum = self.accum + pass_val.sum(axis=0)
+            s += b
+            self._accum_passes = s
+            done = s - self.spp_done
             if cfg.log_every and done % cfg.log_every == 0:
                 self.accum.block_until_ready()
                 dt = time.time() - start
                 nan_note = f" nan={self.nan_count}" if self.nan_count else ""
-                print(f"pass {s + 1}: {done / dt:.2f} passes/s{nan_note}")
+                print(f"pass {s}: {done / dt:.2f} passes/s{nan_note}")
             if cfg.preview_every and cfg.preview_path and (done % cfg.preview_every == 0):
                 self._write_preview()
             if progress_cb is not None:
-                progress_cb(s + 1, self.image())
+                progress_cb(s, self.image())
         self.spp_done += cfg.num_samples
         return self.image()
 

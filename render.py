@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--estimator", default="reference", choices=["reference", "physical", "mis"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tile", type=int, default=0, help="pixels per tile (0=all)")
+    p.add_argument("--spp-batch", type=int, default=1,
+                   help="trace B spp per dispatch (TPU: amortizes the "
+                        "traversal trip count; same per-sample RNG streams)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--stats", action="store_true",
                    help="print per-object-type intersect-test counts and "
@@ -98,6 +101,7 @@ def main(argv=None):
         max_depth=args.depth if args.depth is not None else max(cfg.max_depth, 1),
         seed=args.seed,
         tile_pixels=args.tile,
+        spp_batch=max(1, args.spp_batch),
         log_every=1,
         estimator=args.estimator,
         trace_type=cfg.trace_type if cfg.trace_type in ("PATHTRACE", "WHITTED", "RAYCAST") else "PATHTRACE",

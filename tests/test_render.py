@@ -189,3 +189,29 @@ def test_stream_compaction_equivalence():
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
     np.testing.assert_array_equal(np.asarray(m0["bounce_live"]),
                                   np.asarray(m1["bounce_live"]))
+
+
+def test_spp_batch_equivalence():
+    """spp_batch=B traces the same per-sample RNG streams as the
+    sequential loop: the batched image must equal the sequential one up to
+    fp accumulation order."""
+    import dataclasses
+
+    scene = _cornell_scene()
+    cam = make_camera((278, 273, 800), (278, 273, 0))
+    film = Film(fov=jnp.float32(np.radians(38.0)), width=12, height=12)
+    base = RenderConfig(num_samples=4, max_depth=3, seed=5)
+    r1 = Renderer(scene, cam, film, base)
+    img1 = r1.render()
+    rb = Renderer(scene, cam, film, dataclasses.replace(base, spp_batch=4))
+    imgb = rb.render()
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(imgb),
+                               rtol=2e-5, atol=2e-6)
+    # and an uneven batch (num_samples not a multiple of spp_batch)
+    ru = Renderer(scene, cam, film,
+                  dataclasses.replace(base, num_samples=5, spp_batch=3))
+    r5 = Renderer(scene, cam, film,
+                  dataclasses.replace(base, num_samples=5))
+    np.testing.assert_allclose(np.asarray(ru.render()),
+                               np.asarray(r5.render()),
+                               rtol=2e-5, atol=2e-6)
