@@ -35,10 +35,18 @@ from craytracer_tpu.accel.bvh import LEAF_SIZE, MAX_STACK
 from craytracer_tpu.accel.bvh4 import _FAT_TRI0, _TRI_COLS, WIDTH, BVH4Arrays
 
 RAY_BLOCK = 128
-_K_SLOTS = WIDTH * LEAF_SIZE
+_K_SLOTS = WIDTH * LEAF_SIZE  # default; the kernel factory is leaf-general
 
 
-def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref):
+def _make_traversal_kernel(k_slots):
+    def kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref):
+        return _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref,
+                                 stack_ref, k_slots)
+    return kernel
+
+
+def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
+                      k_slots=_K_SLOTS):
     o = o_ref[:]  # [B, 3]
     d = d_ref[:]
     n = o.shape[0]
@@ -72,8 +80,8 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref):
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < best_t[:, None])
 
-        tris = row[:, _FAT_TRI0:_FAT_TRI0 + _K_SLOTS * _TRI_COLS].reshape(
-            n, _K_SLOTS, _TRI_COLS)
+        tris = row[:, _FAT_TRI0:_FAT_TRI0 + k_slots * _TRI_COLS].reshape(
+            n, k_slots, _TRI_COLS)
         tv0 = tris[..., 0:3]
         te1 = tris[..., 3:6]
         te2 = tris[..., 6:9]
@@ -136,9 +144,6 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False):
     """Drop-in for bvh4_closest_hit. Pads the ray batch to RAY_BLOCK."""
-    if bvh.leaf_size * WIDTH != _K_SLOTS:
-        raise ValueError("pallas_bvh4 kernel is specialized for leaf_size="
-                         f"{_K_SLOTS // WIDTH}; got {bvh.leaf_size}")
     n = o.shape[0]
     pad = (-n) % RAY_BLOCK
     if pad:
@@ -148,7 +153,7 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False):
     bvh_fat_shape = bvh.fat.shape
 
     t, tri = pl.pallas_call(
-        _traversal_kernel,
+        _make_traversal_kernel(WIDTH * bvh.leaf_size),
         grid=(blocks,),
         in_specs=[
             pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0)),
