@@ -113,3 +113,80 @@ def read_exr(path: str) -> np.ndarray:
         return planes.get(name, np.zeros((height, width), np.float32))
 
     return np.stack([get("R"), get("G"), get("B")], axis=-1)
+
+
+def _zip_block(raw: bytes) -> bytes:
+    """Inverse of _unzip_block: interleave-split + delta-encode + zlib."""
+    t = np.frombuffer(raw, np.uint8)
+    n = len(t)
+    half = (n + 1) // 2
+    re = np.empty(n, np.uint8)
+    re[:half] = t[0::2]
+    re[half:] = t[1::2]
+    d = re.astype(np.int64)
+    d[1:] = (d[1:] - d[:-1] + 128) & 0xFF
+    return zlib.compress(d.astype(np.uint8).tobytes())
+
+
+def write_exr(path: str, img: np.ndarray):
+    """Scanline EXR writer: FLOAT R/G/B channels, ZIP (16-line blocks) —
+    the HDR output counterpart of the reader above (the reference only
+    READS EXR env maps, texture.cpp/envmap; writing is a quality-of-life
+    addition so renders keep radiance precision instead of 8-bit PPM).
+    Round-trips bit-exactly through read_exr."""
+    img = np.asarray(img, np.float32)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("write_exr expects [H, W, 3]")
+    height, width = img.shape[:2]
+
+    def attr(name: bytes, atype: bytes, val: bytes) -> bytes:
+        return name + b"\x00" + atype + b"\x00" + struct.pack("<i", len(val)) + val
+
+    def chan(name: bytes) -> bytes:
+        # pixel type FLOAT=2, pLinear 0, reserved, x/y sampling 1
+        return name + b"\x00" + struct.pack("<iBBBBii", 2, 0, 0, 0, 0, 1, 1)
+
+    channels_val = chan(b"B") + chan(b"G") + chan(b"R") + b"\x00"
+    dw = struct.pack("<iiii", 0, 0, width - 1, height - 1)
+    header = b"".join([
+        attr(b"channels", b"chlist", channels_val),
+        attr(b"compression", b"compression", bytes([3])),  # ZIP
+        attr(b"dataWindow", b"box2i", dw),
+        attr(b"displayWindow", b"box2i", dw),
+        attr(b"lineOrder", b"lineOrder", bytes([0])),  # increasing y
+        attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0)),
+        attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0.0, 0.0)),
+        attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0)),
+        b"\x00",
+    ])
+
+    lines_per_block = 16
+    num_blocks = (height + lines_per_block - 1) // lines_per_block
+    blocks = []
+    for b in range(num_blocks):
+        y0 = b * lines_per_block
+        nlines = min(lines_per_block, height - y0)
+        raw = bytearray()
+        for li in range(y0, y0 + nlines):
+            # channels sorted by name: B, G, R
+            for c in (2, 1, 0):
+                raw += img[li, :, c].tobytes()
+        comp = _zip_block(bytes(raw))
+        if len(comp) >= len(raw):  # spec: store raw when zip does not help
+            comp = bytes(raw)
+        blocks.append((y0, comp))
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", _MAGIC, 2))
+        f.write(header)
+        offset_table_pos = f.tell()
+        data_pos = offset_table_pos + 8 * num_blocks
+        offsets = []
+        cur = data_pos
+        for y0, comp in blocks:
+            offsets.append(cur)
+            cur += 8 + len(comp)
+        f.write(b"".join(struct.pack("<Q", o) for o in offsets))
+        for y0, comp in blocks:
+            f.write(struct.pack("<ii", y0, len(comp)))
+            f.write(comp)

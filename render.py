@@ -160,7 +160,16 @@ def main(argv=None):
         print(f"probe ({x},{y}): accum={acc.tolist()} mean={mean.tolist()} "
               f"spp={r.spp_done}")
 
-    write_ppm(args.output, img)
+    if args.output.lower().endswith(".exr"):
+        # linear HDR radiance mean (no tone map), FLOAT RGB scanline EXR
+        import numpy as np
+
+        from craytracer_tpu.io.exr import write_exr
+
+        mean = np.asarray(r.accum).reshape(film.height, film.width, 3)
+        write_exr(args.output, mean / max(r.spp_done, 1))
+    else:
+        write_ppm(args.output, img)
     print(f"wrote {args.output}")
     state_path = os.path.splitext(args.output)[0] + "_state"
     import numpy as np
