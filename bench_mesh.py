@@ -135,6 +135,35 @@ def main():
               "before a device OOM wedges the tunnel", file=sys.stderr)
         sys.exit(3)
 
+    # Dispatch-time probe (the axon relay kills dispatches over ~60-120s
+    # and the worker can wedge for hours — CLAUDE.md): time ONE bare
+    # traversal on a small ray batch and extrapolate a full pass before
+    # committing to the multi-pass dispatch.
+    if not args.cpu and n_tris > 0:
+        from craytracer_tpu.accel import bvh4 as _b4
+
+        if args.accel == "bvh4":
+            import jax as _jax
+
+            rngp = np.random.default_rng(0)
+            op = jnp.asarray(rngp.normal(0, 30, (4096, 3)).astype(np.float32))
+            dp = rngp.normal(size=(4096, 3)).astype(np.float32)
+            dp = jnp.asarray(dp / np.linalg.norm(dp, axis=-1, keepdims=True))
+            f = _jax.jit(lambda o, d: _b4.bvh4_closest_hit(scene.tri_bvh, o, d))
+            float(f(op, dp)[0].min())  # compile + warm
+            t0 = time.time()
+            float(f(op, dp * (1 + 1e-6))[0].min())
+            walk_s = time.time() - t0
+            # a pass is ~2*depth walks; timed dispatches run 3*iters passes
+            est = walk_s * 2 * args.depth * 3 * args.iters
+            print(f"# probe: one traversal {walk_s:.2f}s -> est worst "
+                  f"dispatch {est:.0f}s", file=sys.stderr)
+            if est > 50:
+                print("# dispatch guard: projected dispatch exceeds the "
+                      "relay kill threshold; rerun with smaller --iters/"
+                      "--depth/--size", file=sys.stderr)
+                sys.exit(4)
+
     cam = make_camera((0, 40, 3.2 * (n_tris / 1280) ** 0.5 + 40), (0, 2, 0))
     film = Film(fov=jnp.float32(np.radians(50.0)), width=args.size, height=args.size)
     ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
