@@ -45,6 +45,10 @@ class RenderConfig:
     # write a PNG of the running image every `preview_every` passes.
     preview_path: str = ""
     preview_every: int = 0
+    # Terminal live view: print the running image as ANSI half-blocks
+    # every `ansi_every` passes (the only "window" a headless host has).
+    ansi_every: int = 0
+    ansi_cols: int = 48
     # Optional table-driven sampler (sampling.tables.SampleTable): the
     # reference's regular/multijittered/Hammersley sample sets
     # (sampling.cpp:169-352) for the film-jitter dimension.
@@ -134,6 +138,8 @@ class Renderer:
                 print(f"pass {s}: {done / dt:.2f} passes/s{nan_note}")
             if cfg.preview_every and cfg.preview_path and (done % cfg.preview_every == 0):
                 self._write_preview()
+            if cfg.ansi_every and done % cfg.ansi_every == 0:
+                print(self.ansi_preview(cfg.ansi_cols))
             if progress_cb is not None:
                 progress_cb(s, self.image())
         self.spp_done += cfg.num_samples
@@ -162,3 +168,28 @@ class Renderer:
     def raw_mean(self) -> np.ndarray:
         spp = max(self._accum_passes, self.spp_done, 1)
         return np.asarray(self.accum / spp).reshape(self.film.height, self.film.width, 3)
+
+    def ansi_preview(self, cols: int = 48) -> str:
+        """The running image as 24-bit ANSI half-blocks (2 pixels/char
+        row): a terminal stand-in for the reference's GLFW live window
+        (gl/glcode.h:108-151) that works on a headless host."""
+        img = np.asarray(tone_map(self.accum / max(self._accum_passes, 1)))
+        img = np.clip(img, 0.0, 1.0).reshape(
+            self.film.height, self.film.width, 3)
+        h, w = img.shape[:2]
+        cols = max(2, min(cols, w))
+        rows = max(2, (h * cols) // max(w, 1))
+        rows += rows % 2  # half-blocks consume two pixel rows per char
+        ys = (np.arange(rows) * (h / rows)).astype(int).clip(0, h - 1)
+        xs = (np.arange(cols) * (w / cols)).astype(int).clip(0, w - 1)
+        small = (img[ys][:, xs] * 255).astype(np.uint8)
+        out = []
+        for r in range(0, rows - 1, 2):
+            line = []
+            for c in range(cols):
+                tr, tg, tb = small[r, c]
+                br, bg, bb = small[r + 1, c]
+                line.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                            f"\x1b[48;2;{br};{bg};{bb}m▀")
+            out.append("".join(line) + "\x1b[0m")
+        return "\n".join(out)

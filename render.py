@@ -35,6 +35,9 @@ def main(argv=None):
                    help="trace B spp per dispatch (TPU: amortizes the "
                         "traversal trip count; same per-sample RNG streams)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--live", type=int, default=0, metavar="K",
+                   help="print the running image to the terminal as ANSI "
+                        "half-blocks every K passes (headless live view)")
     p.add_argument("--stats", action="store_true",
                    help="print per-object-type intersect-test counts and "
                         "BVH traversal pop stats after the render (the "
@@ -102,6 +105,7 @@ def main(argv=None):
         seed=args.seed,
         tile_pixels=args.tile,
         spp_batch=max(1, args.spp_batch),
+        ansi_every=max(0, args.live),
         log_every=1,
         estimator=args.estimator,
         trace_type=cfg.trace_type if cfg.trace_type in ("PATHTRACE", "WHITTED", "RAYCAST") else "PATHTRACE",

@@ -215,3 +215,15 @@ def test_spp_batch_equivalence():
     np.testing.assert_allclose(np.asarray(ru.render()),
                                np.asarray(r5.render()),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_ansi_preview():
+    scene = _cornell_scene()
+    cam = make_camera((278, 273, 800), (278, 273, 0))
+    film = Film(fov=jnp.float32(np.radians(38.0)), width=16, height=16)
+    r = Renderer(scene, cam, film, RenderConfig(num_samples=1, max_depth=2))
+    r.render()
+    s = r.ansi_preview(cols=8)
+    lines = s.split("\n")
+    assert all(line.endswith("\x1b[0m") for line in lines)
+    assert s.count("▀") == 8 * len(lines)
