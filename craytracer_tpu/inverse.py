@@ -40,6 +40,12 @@ class InverseConfig:
     max_depth: int = 2
     estimator: str = "physical"
     spp_cycle: int = 4      # spp_index cycles 0..spp_cycle-1
+    # Samples averaged per gradient step. MSE against a noisy render is
+    # biased LOW: the estimator's variance grows with the parameters
+    # (brighter albedo -> noisier render), so the optimizer trades bias
+    # for variance and converges below the target. Averaging S samples
+    # per step cuts the variance term (and thus the bias) by S.
+    spp_per_step: int = 4
     optimizer: str = "adam"  # adam | sgd
 
 
@@ -81,9 +87,13 @@ class InverseRenderer:
 
         def loss_fn(params, spp_index):
             s = apply_fn(scene, params)
-            img = render_sample(s, cam, film, ids, seed, spp_index,
-                                cfg.max_depth, estimator=cfg.estimator)
-            return jnp.mean((img - target) ** 2)
+            img = 0.0
+            for k in range(cfg.spp_per_step):
+                img = img + render_sample(
+                    s, cam, film, ids, seed,
+                    spp_index * cfg.spp_per_step + k,
+                    cfg.max_depth, estimator=cfg.estimator)
+            return jnp.mean((img / cfg.spp_per_step - target) ** 2)
 
         self._value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 

@@ -259,13 +259,118 @@ def make_mix() -> str:
     return HEADER + MIX_SCENE
 
 
+PRIMS_SCENE = """CAMERA_POS 0 1.2 4.2
+LOOK_POINT 0 0.8 0
+
+MATERIAL MATTE
+NAME grey
+COLOR 0.73 0.73 0.73
+SIGMA 0.0
+END
+
+MATERIAL MATTE
+NAME red
+COLOR 0.65 0.1 0.08
+SIGMA 0.0
+END
+
+MATERIAL MATTE
+NAME blue
+COLOR 0.15 0.25 0.7
+SIGMA 0.0
+END
+
+MATERIAL MATTE
+NAME green
+COLOR 0.15 0.55 0.2
+SIGMA 0.0
+END
+
+MATERIAL EMISSIVE
+NAME lamp
+COLOR 1 0.95 0.85
+INTENSITY 12
+END
+
+END_MATERIALS
+
+ENV_LIGHT
+TYPE CONSTANT
+COLOR WHITE
+INTENSITY 0
+
+OBJECT RECTANGLE
+POINT -3 0 -3
+WIDTH 6 0 0
+HEIGHT 0 0 6
+MATERIAL grey
+
+OBJECT RECTANGLE
+POINT -3 0 -2
+WIDTH 6 0 0
+HEIGHT 0 3.5 0
+MATERIAL grey
+
+OBJECT TORUS
+SWEPT_RADIUS 0.5
+TUBE_RADIUS 0.15
+PHI 3.14159
+LOCATION -1.3 0.65 0.3
+SCALE 1 1 1
+ORIENTATION 0 0 0
+MATERIAL red
+
+OBJECT BOX
+LENGTH 0.8
+HEIGHT 0.8
+WIDTH 0.8
+LOCATION -0.4 0.3 -0.9
+SCALE 1 1 1
+ORIENTATION 0 0 0
+MATERIAL green
+
+OBJECT DISK
+CENTER 1.4 1.2 0.2
+NORMAL -0.4 0.3 1
+RADIUS 0.5
+MATERIAL blue
+
+OBJECT RECTANGLE
+POINT -1.0 3.2 -1.0
+WIDTH 2.0 0 0
+HEIGHT 0 0 2.0
+MATERIAL lamp
+"""
+
+
+def make_prims() -> str:
+    """Analytic-primitive parity scene: torus + instanced box + disk (the
+    L1 shape families parity_cornell/parity_mix do not touch), all matte,
+    one big lamp LAST (see make_mix for why).
+
+    No OPENCYLINDER: the reference's cylinder direct lighting is ~2.3x
+    above exact quadrature (verified 2026-08-18; our render matches the
+    quadrature within MC noise) — its shadow ray starts exactly ON the
+    quadric, the near root clears K_EPSILON by f32 luck most of the time
+    (falsely self-occluding, shapes/generic.cpp:82-124), and the
+    good-paths ratio estimator (trace.h:528) then divides by the reduced
+    contributing count, inflating the mean by the failure rate. That is
+    per-sample f32 luck no reimplementation can reproduce; the
+    quadrature-anchored tests/test_quadrature.py cylinder case covers the
+    shape instead."""
+    return HEADER + PRIMS_SCENE
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, "parity_cornell.txt"), "w") as f:
         f.write(make_cornell())
     with open(os.path.join(OUT, "parity_mix.txt"), "w") as f:
         f.write(make_mix())
-    print("wrote", OUT + "/parity_cornell.txt", OUT + "/parity_mix.txt")
+    with open(os.path.join(OUT, "parity_prims.txt"), "w") as f:
+        f.write(make_prims())
+    print("wrote", OUT + "/parity_cornell.txt", OUT + "/parity_mix.txt",
+          OUT + "/parity_prims.txt")
 
 
 if __name__ == "__main__":

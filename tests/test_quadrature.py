@@ -78,3 +78,70 @@ def test_load_test_scene2():
     assert scene.materials.mat_type.shape[0] == 5
     np.testing.assert_allclose(np.asarray(cam.position),
                                [0.00306164, 0.165588, 0.835307], rtol=1e-5)
+
+
+def test_cylinder_direct_lighting_matches_quadrature():
+    """Instanced open-cylinder point under a rect lamp: our depth-1 NEE
+    estimate must converge to exact quadrature.
+
+    This anchors the shape family the golden-parity suite deliberately
+    EXCLUDES: the reference binary renders cylinder direct lighting ~2.3x
+    above the exact value (measured 2026-08-18 on this exact scene:
+    quadrature 0.0868, ours 0.0883, reference 0.1992 on the red channel).
+    Its shadow ray starts exactly ON the quadric so the near root clears
+    K_EPSILON by f32 luck (false self-occlusion, generic.cpp:82-124) and
+    the good-paths ratio estimator (trace.h:528) divides by the reduced
+    contributing count — per-sample luck no reimplementation can match,
+    so the exact integral is the arbiter and we match IT."""
+    from craytracer_tpu.camera import Film, generate_rays, make_camera
+    from craytracer_tpu.ops.intersect import intersect_scene
+
+    b = SceneBuilder()
+    b.add_matte("grey", (0.73, 0.73, 0.73))
+    b.add_matte("red", (0.65, 0.1, 0.08))
+    b.add_emissive("lamp", (1, 0.95, 0.85), 12.0)
+    b.add_rect((-3, 0, -3), (6, 0, 0), (0, 0, 6), "grey")
+    b.add_rect((-3, 0, -2), (6, 0, 0), (0, 3.5, 0), "grey")
+    from craytracer_tpu.scene import types as T
+
+    b.add_open_cylinder(6.2831853, "red", location=(0.9, 0.75, 0.9),
+                        scale=(0.35, 0.45, 0.35),
+                        normal_type=T.NORMAL_CONVEX)
+    lamp_p = np.array([-0.2, 3.2, 1.2])
+    b.add_rect(tuple(lamp_p), (2, 0, 0), (0, 0, 2), "lamp")
+    scene = b.build()
+
+    cam = make_camera((0, 1.2, 4.2), (0, 0.8, 0))
+    film = Film(fov=jnp.float32(np.radians(38.0)), width=64, height=64)
+    px, py = 48, 36  # mid-height on the lamp-facing cylinder wall
+    pid = jnp.asarray([py * 64 + px], jnp.int32)
+    o, d = generate_rays(cam, film, pid, jnp.full((1, 2), 0.5))
+    hit = intersect_scene(scene, o, d)
+    p = np.asarray(o + hit.t[:, None] * d)[0]
+    nrm = np.asarray(hit.normal)[0]
+
+    # exact quadrature over the lamp (no occluder between wall and lamp)
+    Le = np.array([1, 0.95, 0.85]) * 12.0
+    albedo = np.array([0.65, 0.1, 0.08])
+    K = 64
+    u = (np.arange(K * K) % K + 0.5) / K
+    v = (np.arange(K * K) // K + 0.5) / K
+    lp = np.stack([lamp_p[0] + 2 * u, np.full(K * K, lamp_p[1]),
+                   lamp_p[2] + 2 * v], axis=1)
+    wi = lp - p
+    dist = np.linalg.norm(wi, axis=1)
+    wiN = wi / dist[:, None]
+    cos_s = np.maximum(wiN @ nrm, 0.0)
+    cos_l = np.maximum(wiN[:, 1], 0.0)  # lamp normal (0,-1,0)
+    exact = (albedo / np.pi)[None] * Le[None] * (
+        cos_s * cos_l / dist ** 2)[:, None]
+    exact = exact.mean(axis=0) * 4.0  # lamp area
+
+    # MC: many replicas of the same camera ray, depth 1, physical
+    n = 1 << 14
+    oN = jnp.tile(o, (n, 1))
+    dN = jnp.tile(d, (n, 1))
+    ids = jnp.arange(n, dtype=jnp.int32)
+    L, good = trace_paths(scene, oN, dN, 0, ids, 0, 1)
+    mc = np.asarray(L).mean(axis=0)
+    np.testing.assert_allclose(mc, exact, rtol=0.05)
