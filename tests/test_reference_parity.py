@@ -79,7 +79,7 @@ def _render_ours(scene_path: str, size: int = 128, spp: int = 64):
     return np.asarray(r.raw_mean()).reshape(size, size, 3)
 
 
-@pytest.mark.parametrize("name", ["cornell", "mix"])
+@pytest.mark.parametrize("name", ["cornell", "mix", "prims"])
 def test_reference_image_parity(name):
     golden_path = os.path.join(HERE, "goldens", f"golden_{name}.is")
     accum, spp, w, h = read_reference_is(golden_path)
