@@ -16,6 +16,13 @@ accel NONE, PATHTRACE:
   reference's own BVH4 drops the back wall entirely on this scene.
 * scenes/parity_mix.txt — matte/Oren-Nayar/plastic/mirror/gold spheres
   under one big lamp.
+* scenes/parity_prims.txt — instanced torus + box + disk. No open
+  cylinder (the reference renders cylinder direct light ~2.3x above
+  exact quadrature — see tests/test_quadrature.py cylinder anchor) and
+  no OBJECT MESH scene: the reference binary HANGS (no pass completes in
+  5+ minutes at 32x32x4spp, flat or smooth, GRID or NONE) on any mesh
+  scene in this headless build, so a mesh golden is unobtainable; the
+  OBJ pipeline is covered by loader unit tests instead.
 
 Both scenes declare the lamp as the LAST object: the reference's shadow
 loop early-outs on the FIRST object with t < light_dist (intersect.h:
