@@ -42,6 +42,9 @@ def main(argv=None):
                    help="print per-object-type intersect-test counts and "
                         "BVH traversal pop stats after the render (the "
                         "reference's exit printout, main.cpp:320,331-332)")
+    p.add_argument("--aov", default=None,
+                   help="comma list of first-hit AOVs (normal,depth,albedo,"
+                        "uv) written as <output-stem>_<aov>.exr")
     p.add_argument("--probe", default=None, metavar="X,Y",
                    help="print pixel (x, y) accumulated radiance after the "
                         "render (the pause-probe, main.cpp:151-167)")
@@ -163,6 +166,23 @@ def main(argv=None):
         mean = acc / max(r.spp_done, 1)
         print(f"probe ({x},{y}): accum={acc.tolist()} mean={mean.tolist()} "
               f"spp={r.spp_done}")
+
+    if args.aov:
+        import numpy as np
+
+        from craytracer_tpu.integrator.aov import AOV_NAMES, render_aovs
+        from craytracer_tpu.io.exr import write_exr
+
+        aovs = render_aovs(scene, camera, film)
+        stem = os.path.splitext(args.output)[0]
+        for name in args.aov.split(","):
+            if name not in AOV_NAMES:
+                print(f"unknown AOV {name!r} (have {AOV_NAMES})", file=sys.stderr)
+                continue
+            path = f"{stem}_{name}.exr"
+            write_exr(path, np.asarray(aovs[name]).reshape(
+                film.height, film.width, 3))
+            print(f"wrote {path}")
 
     if args.output.lower().endswith(".exr"):
         # linear HDR radiance mean (no tone map), FLOAT RGB scanline EXR
