@@ -36,10 +36,13 @@ from craytracer_tpu.constants import K_EPSILON, TMAX
 from craytracer_tpu.core import math as vm
 
 LEAF_SIZE = 4
-# 128 is free on TPU: the [N, S] i32 stack pads its minor dim to the
-# 128-lane tile anyway, so S=64 and S=128 cost identical HBM traffic and
-# VPU cycles — and 128 rigorously covers SAH trees (depth-capped at 32
-# SAH levels + log-median remainder, native/craynative.cpp::sah_split).
+# Upper cap on the per-tree static stack bound. Stacks are stored
+# TRANSPOSED as [S, N] (major-dim stack index) so pop/push traffic is the
+# true S*N — an [N, S] layout would lane-pad S to 128 and cost the same
+# for any S. S itself comes from the tree depth at build time
+# (BVHArrays.stack_size / BVH4Arrays.stack_size); 128 rigorously covers
+# SAH trees (depth-capped at 32 SAH levels + log-median remainder,
+# native/craynative.cpp::sah_split).
 MAX_STACK = 128
 
 
@@ -54,6 +57,26 @@ BIN_FAT_WIDTH = _BIN_TRI0 + LEAF_SIZE * _TRI_COLS
 class BVHArrays:
     fat: jnp.ndarray  # [M, BIN_FAT_WIDTH]
     n_tris: int = flax.struct.field(pytree_node=False, default=0)
+    # Static per-tree stack bound (depth+4, computed at build). The stack
+    # is stored [stack_size, N] — major-dim stack index — so pop/push
+    # traffic is stack_size*N exactly instead of the minor-dim 128-lane
+    # padding of an [N, S] layout (see bvh4.BVH4Arrays.stack_size).
+    stack_size: int = flax.struct.field(pytree_node=False, default=MAX_STACK)
+
+
+def _stack_bound_bin(fat_np) -> int:
+    """Host BFS depth of the binary tree -> static stack bound. Each step
+    pops one node and pushes at most 2 (net +1), so sp <= depth + 1."""
+    right = np.asarray(fat_np[:, 6], np.int64)
+    frontier = np.array([0], np.int64)
+    depth = 0
+    while frontier.size and depth < 200:
+        depth += 1
+        r = right[frontier]
+        internal = frontier[r >= 0]
+        frontier = np.concatenate([internal + 1, right[internal]])
+    bound = depth + 4
+    return int(min(MAX_STACK, max(16, ((bound + 7) // 8) * 8)))
 
 
 def _build_arrays(v0, v1, v2, leaf_size=LEAF_SIZE):
@@ -120,7 +143,7 @@ def build_bvh_arrays(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         fat = np.zeros((1, BIN_FAT_WIDTH), np.float32)
         fat[:, 6] = -1.0
         fat[:, _BIN_TRI0 + _TRI_COLS - 1::_TRI_COLS] = -1.0
-        return BVHArrays(fat=jnp.asarray(fat), n_tris=0)
+        return BVHArrays(fat=jnp.asarray(fat), n_tris=0, stack_size=16)
     if t >= (1 << 24):
         raise ValueError("fat-row BVH inlines f32 triangle ids; "
                          "triangle count must stay below 2^24")
@@ -131,7 +154,8 @@ def build_bvh_arrays(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     # meshes need this; bit-identical output).
     fat_nat = build_bvh_fat_native(v0, v1, v2, leaf_size)
     if fat_nat is not None:
-        return BVHArrays(fat=jnp.asarray(fat_nat), n_tris=t)
+        return BVHArrays(fat=jnp.asarray(fat_nat), n_tris=t,
+                         stack_size=_stack_bound_bin(fat_nat))
 
     nat = build_bvh_native(v0, v1, v2, leaf_size)
     if nat is not None:
@@ -166,7 +190,8 @@ def build_bvh_arrays(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         right.astype(np.float32)[:, None], axis.astype(np.float32)[:, None],
         blocks.reshape(m, LEAF_SIZE * _TRI_COLS),
     ], axis=1).astype(np.float32)
-    return BVHArrays(fat=jnp.asarray(fat), n_tris=t)
+    return BVHArrays(fat=jnp.asarray(fat), n_tris=t,
+                     stack_size=_stack_bound_bin(fat))
 
 
 # keep the public name pointing at the working implementation
@@ -181,7 +206,9 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
     if max_dist is None:
         max_dist = jnp.full((n,), TMAX)
 
-    stack = jnp.zeros((n, MAX_STACK), jnp.int32)
+    # [S, n] stack, S a per-tree static bound (see BVHArrays.stack_size).
+    S = int(getattr(bvh, "stack_size", MAX_STACK))
+    stack = jnp.zeros((S, n), jnp.int32)
     sp = jnp.ones((n,), jnp.int32)  # root pushed
     best_t = jnp.full((n,), TMAX)
     best_tri = jnp.full((n,), -1, jnp.int32)
@@ -191,14 +218,14 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
         sp, *_ = state
         return jnp.any(sp > 0)
 
-    iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
+    iota_s = jnp.arange(S, dtype=jnp.int32)[:, None]
 
     def body(state):
         sp, stack, best_t, best_tri = state
         active = sp > 0
         # dense pop (see bvh4._traverse4: gathers are latency-bound on TPU)
         top = sp - 1
-        node = jnp.sum(jnp.where(iota_s == top[:, None], stack, 0), axis=1)
+        node = jnp.sum(jnp.where(iota_s == top[None, :], stack, 0), axis=0)
         sp = jnp.where(active, top, sp)
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
@@ -265,12 +292,12 @@ def _traverse(bvh: BVHArrays, o, d, any_hit: bool, max_dist=None):
         go_left_first = ~neg_ax
         near = jnp.where(go_left_first, left, right)
         far = jnp.where(go_left_first, right, left)
-        sp_ok = sp <= MAX_STACK - 2
+        sp_ok = sp <= S - 2
         do_push = do_push & sp_ok
         # one combined write for both pushes
-        rel = iota_s - sp[:, None]
-        pick = jnp.where(rel >= 1, near[:, None], far[:, None])
-        stack = jnp.where(do_push[:, None] & (rel >= 0) & (rel < 2), pick,
+        rel = iota_s - sp[None, :]
+        pick = jnp.where(rel >= 1, near[None, :], far[None, :])
+        stack = jnp.where(do_push[None, :] & (rel >= 0) & (rel < 2), pick,
                           stack)
         sp = jnp.where(do_push, sp + 2, sp)
 

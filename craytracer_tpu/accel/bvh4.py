@@ -63,10 +63,39 @@ class BVH4Arrays:
     # the row at 108 cols (padded to the 128-lane register row), trading
     # ~1 extra tree level for a 3x cheaper per-step gather.
     leaf_size: int = flax.struct.field(pytree_node=False, default=LEAF_SIZE)
+    # Static per-tree stack bound (3*depth + margin, computed at build):
+    # the traversal stack is [stack_size, N] — stack index in the MAJOR
+    # dim, so pop/push traffic is stack_size*N exactly instead of the
+    # minor-dim 128-lane padding a [N, S] layout pays. Class-attr default
+    # keeps pickles from before this field loading (dataclass defaults
+    # resolve via the class).
+    stack_size: int = flax.struct.field(pytree_node=False, default=MAX_STACK)
 
 
 def fat_width(leaf_size: int) -> int:
     return _FAT_TRI0 + WIDTH * leaf_size * _TRI_COLS
+
+
+def _stack_bound(fat_np) -> int:
+    """Host-side BFS depth of the 4-wide tree -> static stack bound.
+
+    Each while-loop step pops one node and pushes at most WIDTH children
+    (net +3), so sp never exceeds 3*depth + 1; a +4 margin and multiple-
+    of-8 rounding keep the bound conservative and layout-friendly."""
+    return stack_bound_children(np.asarray(fat_np[:, 24:28], np.int64))
+
+
+def stack_bound_children(child) -> int:
+    """BFS depth bound from a [M, W] child-index array (-1 = none)."""
+    child = np.asarray(child, np.int64)
+    frontier = np.array([0], np.int64)
+    depth = 0
+    while frontier.size and depth < 200:
+        depth += 1
+        nxt = child[frontier].reshape(-1)
+        frontier = nxt[nxt >= 0]
+    bound = 3 * depth + 4
+    return int(min(MAX_STACK, max(16, ((bound + 7) // 8) * 8)))
 
 
 def _pad128(fat: np.ndarray) -> np.ndarray:
@@ -188,7 +217,7 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         fat[:, 24:28] = -1.0  # no children
         fat[:, _FAT_TRI0 + _TRI_COLS - 1::_TRI_COLS] = -1.0  # no tris
         return BVH4Arrays(fat=jnp.asarray(_pad128(fat)), n_tris=0,
-                          leaf_size=leaf_size)
+                          leaf_size=leaf_size, stack_size=16)
     if t >= (1 << 24):
         raise ValueError("fat-row BVH4 inlines f32 triangle ids; "
                          "triangle count must stay below 2^24")
@@ -200,7 +229,8 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     fat_nat = build_bvh4_fat_native(v0, v1, v2, leaf_size, split)
     if fat_nat is not None:
         return BVH4Arrays(fat=jnp.asarray(_pad128(fat_nat)), n_tris=t,
-                          leaf_size=leaf_size)
+                          leaf_size=leaf_size,
+                          stack_size=_stack_bound(fat_nat))
 
     if split != "median":
         import warnings
@@ -226,7 +256,7 @@ def build_bvh4(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         blocks.reshape(m, WIDTH * leaf_size * _TRI_COLS),
     ], axis=1).astype(np.float32)
     return BVH4Arrays(fat=jnp.asarray(_pad128(fat)), n_tris=t,
-                      leaf_size=leaf_size)
+                      leaf_size=leaf_size, stack_size=_stack_bound(fat))
 
 
 def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None,
@@ -246,13 +276,19 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None,
     if max_dist is None:
         max_dist = jnp.full((n,), TMAX)
 
-    stack = jnp.zeros((n, MAX_STACK), jnp.int32)
+    # Stack layout [S, n]: stack index in the MAJOR dim. A [n, S] stack
+    # lane-pads S to 128 on TPU, so every pop (masked reduce) and push
+    # (masked select) moves 128*n words regardless of S; transposed, the
+    # traffic is the true S*n with S a per-tree static bound (3*depth+4,
+    # typically 48-64 instead of 128).
+    S = int(bvh.stack_size)
+    stack = jnp.zeros((S, n), jnp.int32)
     sp = jnp.ones((n,), jnp.int32)  # root node 0 pushed
     best_t = jnp.full((n,), TMAX)
     best_tri = jnp.full((n,), -1, jnp.int32)
     n_nodes = bvh.fat.shape[0]
     k_slots = WIDTH * bvh.leaf_size
-    iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
+    iota_s = jnp.arange(S, dtype=jnp.int32)[:, None]
 
     pops = jnp.zeros((n,), jnp.int32)  # per-lane node visits (with_stats)
 
@@ -267,7 +303,7 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None,
             pops = pops + active.astype(jnp.int32)
         # dense pop: masked reduction instead of take_along_axis (gather)
         top = sp - 1
-        node = jnp.sum(jnp.where(iota_s == top[:, None], stack, 0), axis=1)
+        node = jnp.sum(jnp.where(iota_s == top[None, :], stack, 0), axis=0)
         sp = jnp.where(active, top, sp)
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
@@ -354,13 +390,13 @@ def _traverse4(bvh: BVH4Arrays, o, d, any_hit: bool, max_dist=None,
             kc = swap(kc, *ij)
         cval = kc[1]  # descending by tn; valid children first
         npush = sum((c >= 0).astype(jnp.int32) for c in cval)
-        npush = jnp.minimum(npush, MAX_STACK - sp)
+        npush = jnp.minimum(npush, S - sp)
         # one combined write: slot sp+r takes the r-th sorted child
-        rel = iota_s - sp[:, None]  # [N, S]
-        pick = cval[0][:, None]
+        rel = iota_s - sp[None, :]  # [S, N]
+        pick = cval[0][None, :]
         for r in range(1, WIDTH):
-            pick = jnp.where(rel >= r, cval[r][:, None], pick)
-        stack = jnp.where((rel >= 0) & (rel < npush[:, None]), pick, stack)
+            pick = jnp.where(rel >= r, cval[r][None, :], pick)
+        stack = jnp.where((rel >= 0) & (rel < npush[None, :]), pick, stack)
         sp = sp + npush
 
         if any_hit:

@@ -40,6 +40,8 @@ class SphereBVH4:
     # leaf_size=2 keeps rows at 92 cols, under the 128-col TPU gather
     # cliff (profiling/ablate_fat_gather.py)
     leaf_size: int = flax.struct.field(pytree_node=False, default=LEAF_SIZE)
+    # Static per-tree stack bound; stack stored [S, N] (see bvh4.BVH4Arrays).
+    stack_size: int = flax.struct.field(pytree_node=False, default=MAX_STACK)
 
 
 def build_bvh4_spheres(center: np.ndarray, radius: np.ndarray,
@@ -74,10 +76,11 @@ def build_bvh4_spheres(center: np.ndarray, radius: np.ndarray,
         mins.reshape(m, 12), maxs.reshape(m, 12), child.astype(np.float64),
         blocks.reshape(m, WIDTH * leaf_size * _SPH_COLS),
     ], axis=1).astype(np.float32)
-    from craytracer_tpu.accel.bvh4 import _pad128
+    from craytracer_tpu.accel.bvh4 import _pad128, stack_bound_children
 
     return SphereBVH4(fat=jnp.asarray(_pad128(fat)), n_prims=p,
-                      leaf_size=leaf_size)
+                      leaf_size=leaf_size,
+                      stack_size=stack_bound_children(child))
 
 
 def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
@@ -86,7 +89,9 @@ def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
     if max_dist is None:
         max_dist = jnp.full((n,), TMAX)
 
-    stack = jnp.zeros((n, MAX_STACK), jnp.int32)
+    # [S, n] stack, S a per-tree static bound (see bvh4.BVH4Arrays).
+    S = int(getattr(bvh, "stack_size", MAX_STACK))
+    stack = jnp.zeros((S, n), jnp.int32)
     sp = jnp.ones((n,), jnp.int32)
     best_t = jnp.full((n,), TMAX)
     best_prim = jnp.full((n,), -1, jnp.int32)
@@ -97,14 +102,14 @@ def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
         sp, *_ = state
         return jnp.any(sp > 0)
 
-    iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
+    iota_s = jnp.arange(S, dtype=jnp.int32)[:, None]
 
     def body(state):
         sp, stack, best_t, best_prim = state
         active = sp > 0
         # dense pop (see bvh4._traverse4: gathers are latency-bound on TPU)
         top = sp - 1
-        node = jnp.sum(jnp.where(iota_s == top[:, None], stack, 0), axis=1)
+        node = jnp.sum(jnp.where(iota_s == top[None, :], stack, 0), axis=0)
         sp = jnp.where(active, top, sp)
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
@@ -194,12 +199,12 @@ def _traverse_s(bvh: SphereBVH4, o, d, any_hit: bool, max_dist=None):
             kc = swap(kc, *ij)
         cval = kc[1]
         npush = sum((c >= 0).astype(jnp.int32) for c in cval)
-        npush = jnp.minimum(npush, MAX_STACK - sp)
-        rel = iota_s - sp[:, None]
-        pick = cval[0][:, None]
+        npush = jnp.minimum(npush, S - sp)
+        rel = iota_s - sp[None, :]
+        pick = cval[0][None, :]
         for r in range(1, WIDTH):
-            pick = jnp.where(rel >= r, cval[r][:, None], pick)
-        stack = jnp.where((rel >= 0) & (rel < npush[:, None]), pick, stack)
+            pick = jnp.where(rel >= r, cval[r][None, :], pick)
+        stack = jnp.where((rel >= 0) & (rel < npush[None, :]), pick, stack)
         sp = sp + npush
 
         if any_hit:

@@ -41,6 +41,8 @@ class BVH4QArrays:
     # leaf_size=2 keeps the row at 96 cols: single-index gathers above 128
     # f32 cols are ~4.5x slower (profiling/ablate_fat_gather.py)
     leaf_size: int = flax.struct.field(pytree_node=False, default=LEAF_SIZE)
+    # Static per-tree stack bound; stack stored [S, N] (see bvh4.BVH4Arrays).
+    stack_size: int = flax.struct.field(pytree_node=False, default=MAX_STACK)
 
 
 def build_bvh4q(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
@@ -54,7 +56,7 @@ def build_bvh4q(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         fat[:, 6:10] = -1.0
         fat[:, _Q_TRI0 + _TRI_COLS - 1::_TRI_COLS] = -1.0
         return BVH4QArrays(fat=jnp.asarray(_pad128(fat)), n_tris=0,
-                           leaf_size=leaf_size)
+                           leaf_size=leaf_size, stack_size=16)
     if t >= (1 << 24):
         raise ValueError("fat-row BVH4Q inlines f32 triangle ids; "
                          "triangle count must stay below 2^24")
@@ -105,8 +107,11 @@ def build_bvh4q(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         packed.view(np.float32),
         blocks.reshape(m, WIDTH * leaf_size * _TRI_COLS),
     ], axis=1).astype(np.float32)
+    from craytracer_tpu.accel.bvh4 import stack_bound_children
+
     return BVH4QArrays(fat=jnp.asarray(_pad128(fat)), n_tris=t,
-                       leaf_size=leaf_size)
+                       leaf_size=leaf_size,
+                       stack_size=stack_bound_children(child))
 
 
 def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
@@ -115,7 +120,9 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
     if max_dist is None:
         max_dist = jnp.full((n,), TMAX)
 
-    stack = jnp.zeros((n, MAX_STACK), jnp.int32)
+    # [S, n] stack, S a per-tree static bound (see bvh4.BVH4Arrays).
+    S = int(getattr(bvh, "stack_size", MAX_STACK))
+    stack = jnp.zeros((S, n), jnp.int32)
     sp = jnp.ones((n,), jnp.int32)
     best_t = jnp.full((n,), TMAX)
     best_tri = jnp.full((n,), -1, jnp.int32)
@@ -126,14 +133,14 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
         sp, *_ = state
         return jnp.any(sp > 0)
 
-    iota_s = jnp.arange(MAX_STACK, dtype=jnp.int32)[None, :]
+    iota_s = jnp.arange(S, dtype=jnp.int32)[:, None]
 
     def body(state):
         sp, stack, best_t, best_tri = state
         active = sp > 0
         # dense pop (see bvh4._traverse4: gathers are latency-bound on TPU)
         top = sp - 1
-        node = jnp.sum(jnp.where(iota_s == top[:, None], stack, 0), axis=1)
+        node = jnp.sum(jnp.where(iota_s == top[None, :], stack, 0), axis=0)
         sp = jnp.where(active, top, sp)
         node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
 
@@ -225,12 +232,12 @@ def _traverse4q(bvh: BVH4QArrays, o, d, any_hit: bool, max_dist=None):
             kc = swap(kc, *ij)
         cval = kc[1]  # descending by tn; valid children first
         npush = sum((c >= 0).astype(jnp.int32) for c in cval)
-        npush = jnp.minimum(npush, MAX_STACK - sp)
-        rel = iota_s - sp[:, None]
-        pick = cval[0][:, None]
+        npush = jnp.minimum(npush, S - sp)
+        rel = iota_s - sp[None, :]
+        pick = cval[0][None, :]
         for r in range(1, WIDTH):
-            pick = jnp.where(rel >= r, cval[r][:, None], pick)
-        stack = jnp.where((rel >= 0) & (rel < npush[:, None]), pick, stack)
+            pick = jnp.where(rel >= r, cval[r][None, :], pick)
+        stack = jnp.where((rel >= 0) & (rel < npush[None, :]), pick, stack)
         sp = sp + npush
 
         if any_hit:
