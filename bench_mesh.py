@@ -107,6 +107,19 @@ def main():
         t0 = time.time()
         with open(args.scene_cache, "rb") as f:
             scene = pickle.load(f)
+        # caches written before BVH*Arrays.stack_size fall back to the
+        # class default (128); recompute the per-tree bound host-side
+        tb = getattr(scene, "tri_bvh", None)
+        if tb is not None and hasattr(tb, "fat") and hasattr(tb, "stack_size"):
+            from craytracer_tpu.accel.bvh4 import BVH4Arrays, _stack_bound
+            from craytracer_tpu.accel.bvh import BVHArrays, _stack_bound_bin
+
+            if isinstance(tb, BVH4Arrays):
+                scene = scene.replace(tri_bvh=tb.replace(
+                    stack_size=_stack_bound(np.asarray(tb.fat))))
+            elif isinstance(tb, BVHArrays):
+                scene = scene.replace(tri_bvh=tb.replace(
+                    stack_size=_stack_bound_bin(np.asarray(tb.fat))))
         scene = jax.tree_util.tree_map(jnp.asarray, scene)
         n_tris, build_s = scene.triangles.mat_id.shape[0], 0.0
         print(f"# scene: {n_tris} triangles, loaded from cache in "
