@@ -27,6 +27,15 @@ def main():
     ap.add_argument("--rays", type=int, default=262144)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--block", type=int, default=0,
+                    help="Pallas ray-block lanes (0 = module default)")
+    ap.add_argument("--sort", action="store_true",
+                    help="coherence-sort rays before the Pallas kernel "
+                         "(ops/raysort.py) — expect wins only with "
+                         "--incoherent")
+    ap.add_argument("--incoherent", action="store_true",
+                    help="bounce-like ray batch (scattered origins + "
+                         "random directions) instead of a camera cone")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +87,15 @@ def main():
 
     def make_rays(n_rays, seed):
         k = jax.random.PRNGKey(seed)
+        if args.incoherent:
+            # bounce-like batch: origins scattered through the city volume,
+            # directions uniform on the sphere — the wavefront's secondary-
+            # ray regime where per-block trip counts diverge most
+            u = jax.random.uniform(k, (n_rays, 3))
+            o = jnp.stack([(u[:, 0] * 2 - 1) * ext, u[:, 1] * 3.0 + 0.2,
+                           (u[:, 2] * 2 - 1) * ext], axis=-1)
+            d = jax.random.normal(jax.random.fold_in(k, 1), (n_rays, 3))
+            return o, d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         eye = jnp.array([0.0, ext * 0.9 + 6.0, ext * 1.8 + 8.0])
         o = jnp.broadcast_to(eye, (n_rays, 3))
         # jittered look-at cone covering the city footprint so most rays
@@ -98,20 +116,29 @@ def main():
         return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
 
     interp = bool(args.cpu)  # no Mosaic on the CPU backend
+    from craytracer_tpu.accel.pallas_bvh4 import RAY_BLOCK
+    from craytracer_tpu.ops.raysort import sorted_traversal
+
+    block = args.block or RAY_BLOCK
+
+    def one_pallas(o, d):
+        fn = lambda oo, dd: pallas_bvh4_closest_hit(  # noqa: E731
+            bvh, oo, dd, interpret=interp, block=block)
+        if args.sort:
+            return sorted_traversal(fn, o, d)
+        return fn(o, d)
 
     @jax.jit
     def run_pallas(o, d, iters):
         def body(i, acc):
-            t, tri = pallas_bvh4_closest_hit(bvh, o + 1e-5 * i, d,
-                                             interpret=interp)
+            t, tri = one_pallas(o + 1e-5 * i, d)
             return acc + t.sum() + tri.sum()
         return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
 
     # correctness cross-check + smallest-first compile
     o_s, d_s = make_rays(512, 1)
     t_x, tri_x = jax.jit(lambda o, d: bvh4_closest_hit(bvh, o, d))(o_s, d_s)
-    t_p, tri_p = jax.jit(lambda o, d: pallas_bvh4_closest_hit(
-        bvh, o, d, interpret=bool(args.cpu)))(o_s, d_s)
+    t_p, tri_p = jax.jit(one_pallas)(o_s, d_s)
     same_tri = float(jnp.mean((tri_x == tri_p).astype(jnp.float32)))
     same_t = float(jnp.max(jnp.abs(jnp.where(tri_x == tri_p, t_x - t_p, 0.0))))
     hit_rate = float(jnp.mean((tri_x >= 0).astype(jnp.float32)))
@@ -140,7 +167,8 @@ def main():
     rps_pal = slope(run_pallas)
     print(json.dumps({
         "metric": "bvh4_traversal_rays_per_sec",
-        "tris": int(n_tris), "rays": args.rays,
+        "tris": int(n_tris), "rays": args.rays, "block": block,
+        "sort": bool(args.sort), "incoherent": bool(args.incoherent),
         "xla_while_loop": round(rps_xla, 1),
         "pallas_vmem_kernel": round(rps_pal, 1),
         "speedup": round(rps_pal / max(rps_xla, 1.0), 3),

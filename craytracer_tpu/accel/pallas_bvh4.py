@@ -50,11 +50,12 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
     o = o_ref[:]  # [B, 3]
     d = d_ref[:]
     n = o.shape[0]
+    stack_cap = stack_ref.shape[1]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                             jnp.where(d < 0, -1e-12, 1e-12), d)
     n_nodes = fat_ref.shape[0]
 
-    stack_ref[:, :] = jnp.zeros((n, MAX_STACK), jnp.int32)
+    stack_ref[:, :] = jnp.zeros((n, stack_cap), jnp.int32)
     fat = fat_ref[:]  # resident table
 
     def cond(state):
@@ -124,10 +125,10 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
         for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
             key, cval = swap(key, cval, i, j)
         for k in range(WIDTH):
-            do_push = (cval[:, k] >= 0) & (sp <= MAX_STACK - 1)
+            do_push = (cval[:, k] >= 0) & (sp <= stack_cap - 1)
             stack_ref[:, :] = jnp.where(
                 do_push[:, None]
-                & (jnp.arange(MAX_STACK)[None, :] == sp[:, None]),
+                & (jnp.arange(stack_cap)[None, :] == sp[:, None]),
                 cval[:, k][:, None], stack_ref[:, :])
             sp = jnp.where(do_push, sp + 1, sp)
         return sp, best_t, best_tri
@@ -141,23 +142,29 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
     tri_ref[:] = best_tri
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False):
-    """Drop-in for bvh4_closest_hit. Pads the ray batch to RAY_BLOCK."""
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
+                            block: int = RAY_BLOCK):
+    """Drop-in for bvh4_closest_hit. Pads the ray batch to `block` lanes.
+
+    Each grid step runs its OWN while-loop over one `block`-lane slice, so
+    per-block trip counts (not the global max) set the cost — pair with
+    ops/raysort.sorted_traversal so coherent rays share blocks."""
     n = o.shape[0]
-    pad = (-n) % RAY_BLOCK
+    pad = (-n) % block
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-    blocks = (n + pad) // RAY_BLOCK
+    blocks = (n + pad) // block
     bvh_fat_shape = bvh.fat.shape
+    stack_cap = min(int(bvh.stack_size), MAX_STACK)
 
     t, tri = pl.pallas_call(
         _make_traversal_kernel(WIDTH * bvh.leaf_size),
         grid=(blocks,),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0)),
-            pl.BlockSpec((RAY_BLOCK, 3), lambda i: (i, 0)),
+            pl.BlockSpec((block, 3), lambda i: (i, 0)),
+            pl.BlockSpec((block, 3), lambda i: (i, 0)),
             # Whole fat table as ONE block with a constant index map: the
             # Pallas pipeline sees the same block every grid step, DMAs it
             # to VMEM once, and keeps it resident — memory_space=ANY would
@@ -165,14 +172,14 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False):
             pl.BlockSpec(bvh_fat_shape, lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,)),
-            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,)),
+            pl.BlockSpec((block,), lambda i: (i,)),
+            pl.BlockSpec((block,), lambda i: (i,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n + pad,), jnp.float32),
             jax.ShapeDtypeStruct((n + pad,), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((RAY_BLOCK, MAX_STACK), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((block, stack_cap), jnp.int32)],
         interpret=interpret,
     )(o, d, bvh.fat)
     return t[:n], tri[:n]

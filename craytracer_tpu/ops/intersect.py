@@ -514,7 +514,16 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
                 from craytracer_tpu.accel.pallas_bvh4 import (
                     pallas_bvh4_closest_hit)
 
-                gmin, gidx = pallas_bvh4_closest_hit(scene.tri_bvh, o_s, d_s)
+                fn = lambda oo, dd: pallas_bvh4_closest_hit(  # noqa: E731
+                    scene.tri_bvh, oo, dd)
+                if os.environ.get("CRAYTRACER_RAY_SORT") == "1":
+                    # coherence reorder: pays only with per-block loops
+                    # (ops/raysort.py module docstring)
+                    from craytracer_tpu.ops.raysort import sorted_traversal
+
+                    gmin, gidx = sorted_traversal(fn, o_s, d_s)
+                else:
+                    gmin, gidx = fn(o_s, d_s)
             else:
                 from craytracer_tpu.accel.bvh4 import bvh4_closest_hit
 

@@ -26,6 +26,16 @@ for B in 1 4; do
     grep '^{' /tmp/tpuq_sppb$B.log | tail -1
 done
 
+echo "== 2b. Pallas traversal A/B (VMEM kernel vs XLA; sort x block) =="
+for cfg in "" "--incoherent" "--incoherent --sort" \
+           "--incoherent --sort --block 512" "--block 512"; do
+    echo "-- pallas $cfg"
+    timeout 500 python bench_pallas_traversal.py --tris 64000 $cfg \
+        > /tmp/tpuq_pallas.log 2>&1
+    grep '^{' /tmp/tpuq_pallas.log | tail -1
+    probe > /dev/null || { echo "-- tunnel wedged after pallas; stop"; exit 1; }
+done
+
 echo "== 3. bench.py (Cornell headline) =="
 timeout 500 python bench.py > /tmp/tpuq_bench.log 2>&1
 grep '^{' /tmp/tpuq_bench.log | tail -1
