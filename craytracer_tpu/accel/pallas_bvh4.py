@@ -1,24 +1,35 @@
 """Pallas TPU kernel for fat-row BVH4 traversal (north-star: traversal as
 "a stackless breadth-wise Pallas kernel with stream compaction").
 
-Shape: the ray batch is blocked over the Pallas grid (RAY_BLOCK lanes per
-step); the ENTIRE fat node table rides in VMEM (its BlockSpec has no
-blocking), so the per-step node fetch — the cost that dominates the XLA
-`lax.while_loop` traversal, ~ms-scale HBM gather latency per step at
-262k lanes — becomes an on-chip VMEM gather. That bounds the supported
-tree size to VMEM (~16 MB ≈ 80k nodes ≈ 650k triangles); larger scenes
-keep the XLA path (accel/bvh4.py), whose HBM gathers are the right tool
-when the table cannot be resident.
+Design: BLOCK-SYNCHRONOUS PACKET TRAVERSAL. Each grid step owns one block
+of rays; the block walks the tree with ONE scalar stack in SMEM — a pop
+fetches a single fat node row by scalar dynamic-slice (Mosaic-supported,
+unlike per-lane row gathers, whose lowering TPU rejects) and every lane
+tests that node's 4 child boxes + inlined leaf triangles as dense [B]
+vector ops on the VPU. A child is pushed when ANY lane's box test passes
+(scalar or-reduce), ordered far-to-near by the packet-min entry distance
+so the nearest child pops first. This is the classic SIMD packet
+traversal re-shaped for the TPU's scalar-core + 128-lane-VPU split; the
+reference traverses one ray per CPU thread instead
+(accelerator/bvh4.h:299-389).
 
-Per-lane short stacks live in VMEM scratch ([RAY_BLOCK, STACK] i32); the
-while-loop body is the same 4-box slab + 16-inlined-triangle step as the
-XLA traversal, so results are identical by construction (asserted by
-tests/test_pallas_kernel.py in interpret mode).
+Cost model: a block's wall time is the UNION of its lanes' node visits,
+so the kernel wants spatially/directionally coherent blocks — pair with
+ops/raysort.sorted_traversal, which Morton-orders the wavefront's bounce
+rays. Camera rays are coherent by construction.
+
+The ENTIRE fat node table rides in VMEM (BlockSpec with a constant index
+map — DMA'd once, resident across grid steps), so the per-pop fetch is
+on-chip: supported tree size is bounded by VMEM (~16 MB ≈ 30k nodes ≈
+230k tris at leaf2); larger scenes keep the XLA path (accel/bvh4.py),
+whose batched HBM gathers are the right tool when the table cannot be
+resident.
 
 Env-gated: set CRAYTRACER_PALLAS_TRAVERSAL=1 to use the compiled kernel
-in intersect_scene. Gated because large Pallas compiles have wedged the
-remote-TPU tunnel in this environment (memory: axon-tpu-environment) —
-interpret mode is always safe and is what CI exercises.
+in intersect_scene (+ CRAYTRACER_RAY_SORT=1 for the coherence sort).
+Gated because large Pallas compiles have wedged the remote-TPU tunnel in
+this environment — interpret mode is always safe and is what CI
+exercises.
 """
 
 from __future__ import annotations
@@ -34,8 +45,9 @@ from craytracer_tpu.constants import K_EPSILON, TMAX
 from craytracer_tpu.accel.bvh import LEAF_SIZE, MAX_STACK
 from craytracer_tpu.accel.bvh4 import _FAT_TRI0, _TRI_COLS, WIDTH, BVH4Arrays
 
-RAY_BLOCK = 128
+RAY_BLOCK = 256
 _K_SLOTS = WIDTH * LEAF_SIZE  # default; the kernel factory is leaf-general
+_BIG = 3.0e38  # plain float: jnp scalars would be captured tracer consts
 
 
 def _make_traversal_kernel(k_slots):
@@ -47,97 +59,110 @@ def _make_traversal_kernel(k_slots):
 
 def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
                       k_slots=_K_SLOTS):
+    """One ray block vs the whole tree. stack_ref: SMEM [stack_cap] i32."""
     o = o_ref[:]  # [B, 3]
     d = d_ref[:]
-    n = o.shape[0]
-    stack_cap = stack_ref.shape[1]
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
-                            jnp.where(d < 0, -1e-12, 1e-12), d)
-    n_nodes = fat_ref.shape[0]
+    stack_cap = stack_ref.shape[0]
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
 
-    stack_ref[:, :] = jnp.zeros((n, stack_cap), jnp.int32)
-    fat = fat_ref[:]  # resident table
+    def safe(v, eps):
+        return jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
+
+    ivx = 1.0 / safe(dx, 1e-12)
+    ivy = 1.0 / safe(dy, 1e-12)
+    ivz = 1.0 / safe(dz, 1e-12)
+
+    stack_ref[0] = 0  # root
 
     def cond(state):
         sp, *_ = state
-        return jnp.any(sp > 0)
+        return sp > 0
 
     def body(state):
         sp, best_t, best_tri = state
-        active = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        node = jnp.take_along_axis(stack_ref[:, :], top[:, None], axis=1)[:, 0]
-        sp = jnp.where(active, sp - 1, sp)
-        node_c = jnp.where(active, jnp.clip(node, 0, n_nodes - 1), 0)
+        node = stack_ref[sp - 1]
+        sp = sp - 1
 
-        row = jnp.take(fat, node_c, axis=0)  # VMEM gather
-        cmin = row[:, 0:12].reshape(n, WIDTH, 3)
-        cmax = row[:, 12:24].reshape(n, WIDTH, 3)
-        child = row[:, 24:28].astype(jnp.int32)
+        row = fat_ref[node, :]  # scalar-indexed row: [FAT_WIDTH]
+        col = lambda j: row[j]  # noqa: E731 — scalar columns
 
-        t0 = (cmin - o[:, None, :]) * inv_d[:, None, :]
-        t1 = (cmax - o[:, None, :]) * inv_d[:, None, :]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        box_hit = active[:, None] & (tn <= tf) & (tf > 0.0) & (tn < best_t[:, None])
+        # 4-box slab test, dense over lanes per child
+        # (rayIntersectAABB4, accelerator/bvh4.h:23-97)
+        tn_c, hit_any_c, child_c = [], [], []
+        for c in range(WIDTH):
+            t0x = (col(c * 3 + 0) - ox) * ivx
+            t1x = (col(12 + c * 3 + 0) - ox) * ivx
+            t0y = (col(c * 3 + 1) - oy) * ivy
+            t1y = (col(12 + c * 3 + 1) - oy) * ivy
+            t0z = (col(c * 3 + 2) - oz) * ivz
+            t1z = (col(12 + c * 3 + 2) - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            lane_hit = (tn <= tf) & (tf > 0.0) & (tn < best_t)
+            # packet vote: nearest entry over the lanes that hit
+            tn_c.append(jnp.min(jnp.where(lane_hit, tn, _BIG)))
+            hit_any_c.append(jnp.any(lane_hit))
+            child_c.append(col(24 + c).astype(jnp.int32))
 
-        tris = row[:, _FAT_TRI0:_FAT_TRI0 + k_slots * _TRI_COLS].reshape(
-            n, k_slots, _TRI_COLS)
-        tv0 = tris[..., 0:3]
-        te1 = tris[..., 3:6]
-        te2 = tris[..., 6:9]
-        tid = tris[..., 9].astype(jnp.int32)
-        dN = d[:, None, :]
-        pvec = jnp.cross(dN, te2)
-        det = jnp.sum(te1 * pvec, axis=-1)
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20,
-                                  jnp.where(det < 0, -1e-20, 1e-20), det)
-        tvec = o[:, None, :] - tv0
-        beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, te1)
-        gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
-        tt = jnp.sum(te2 * qvec, axis=-1) * inv_det
-        ok = (active[:, None] & (tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
-              & (beta + gamma <= 1.0) & (tt > K_EPSILON)
-              & (tt < best_t[:, None]))
-        tt = jnp.where(ok, tt, TMAX)
-        slot = jnp.argmin(tt, axis=1)
-        t_min = jnp.take_along_axis(tt, slot[:, None], axis=1)[:, 0]
-        better = t_min < best_t
-        best_tri = jnp.where(
-            better, jnp.take_along_axis(tid, slot[:, None], axis=1)[:, 0],
-            best_tri)
-        best_t = jnp.where(better, t_min, best_t)
+        # Inlined leaf triangles (every child's, unconditionally: a miss or
+        # pad can never produce a closer valid t), dense Moller-Trumbore
+        # per slot over the lanes.
+        for k in range(k_slots):
+            b = _FAT_TRI0 + k * _TRI_COLS
+            v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
+            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+            tid = col(b + 9).astype(jnp.int32)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / safe(det, 1e-20)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            beta = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+                  & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t))
+            best_tri = jnp.where(ok, tid, best_tri)
+            best_t = jnp.where(ok, tt, best_t)
 
-        is_int = (child >= 0) & box_hit
-        key = jnp.where(is_int, tn, -jnp.inf)
-        cval = jnp.where(is_int, child, -1)
-
-        def swap(key, val, i, j):
-            do = key[:, i] < key[:, j]
-            ki = jnp.where(do, key[:, j], key[:, i])
-            kj = jnp.where(do, key[:, i], key[:, j])
-            vi = jnp.where(do, val[:, j], val[:, i])
-            vj = jnp.where(do, val[:, i], val[:, j])
-            return (key.at[:, i].set(ki).at[:, j].set(kj),
-                    val.at[:, i].set(vi).at[:, j].set(vj))
-
+        # Push internal children the packet wants, far-to-near by the
+        # packet-min tn (scalar sorting network of 4, nearest on top).
+        key = [jnp.where(hit_any_c[c] & (child_c[c] >= 0), tn_c[c], -_BIG)
+               for c in range(WIDTH)]
+        cval = [jnp.where(hit_any_c[c] & (child_c[c] >= 0), child_c[c], -1)
+                for c in range(WIDTH)]
         for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-            key, cval = swap(key, cval, i, j)
+            do = key[i] < key[j]  # descending: far first
+            ki = jnp.where(do, key[j], key[i])
+            kj = jnp.where(do, key[i], key[j])
+            vi = jnp.where(do, cval[j], cval[i])
+            vj = jnp.where(do, cval[i], cval[j])
+            key = [ki if s == i else kj if s == j else key[s]
+                   for s in range(WIDTH)]
+            cval = [vi if s == i else vj if s == j else cval[s]
+                    for s in range(WIDTH)]
         for k in range(WIDTH):
-            do_push = (cval[:, k] >= 0) & (sp <= stack_cap - 1)
-            stack_ref[:, :] = jnp.where(
-                do_push[:, None]
-                & (jnp.arange(stack_cap)[None, :] == sp[:, None]),
-                cval[:, k][:, None], stack_ref[:, :])
-            sp = jnp.where(do_push, sp + 1, sp)
+            push = (cval[k] >= 0) & (sp < stack_cap)
+            stack_ref[jnp.where(push, sp, 0)] = jnp.where(
+                push, cval[k], stack_ref[0])
+            sp = sp + push.astype(jnp.int32)
         return sp, best_t, best_tri
 
-    sp0 = jnp.ones((n,), jnp.int32)
+    n = o.shape[0]
     best_t0 = jnp.full((n,), TMAX, jnp.float32)
     best_tri0 = jnp.full((n,), -1, jnp.int32)
     sp, best_t, best_tri = jax.lax.while_loop(
-        cond, body, (sp0, best_t0, best_tri0))
+        cond, body, (jnp.int32(1), best_t0, best_tri0))
     t_ref[:] = best_t
     tri_ref[:] = best_tri
 
@@ -147,9 +172,10 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
                             block: int = RAY_BLOCK):
     """Drop-in for bvh4_closest_hit. Pads the ray batch to `block` lanes.
 
-    Each grid step runs its OWN while-loop over one `block`-lane slice, so
-    per-block trip counts (not the global max) set the cost — pair with
-    ops/raysort.sorted_traversal so coherent rays share blocks."""
+    Each grid step runs its OWN packet while-loop over one `block`-lane
+    slice, so per-block node-visit unions (not the global max) set the
+    cost — pair with ops/raysort.sorted_traversal so coherent rays share
+    blocks."""
     n = o.shape[0]
     pad = (-n) % block
     if pad:
@@ -157,6 +183,8 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
     blocks = (n + pad) // block
     bvh_fat_shape = bvh.fat.shape
+    # packet stack: one node per pop, net +3 per step — the per-lane bound
+    # (3*depth+4) holds for the union walk too
     stack_cap = min(int(bvh.stack_size), MAX_STACK)
 
     t, tri = pl.pallas_call(
@@ -179,7 +207,7 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
             jax.ShapeDtypeStruct((n + pad,), jnp.float32),
             jax.ShapeDtypeStruct((n + pad,), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((block, stack_cap), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32)],
         interpret=interpret,
     )(o, d, bvh.fat)
     return t[:n], tri[:n]
