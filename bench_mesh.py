@@ -162,10 +162,13 @@ def main():
             op = jnp.asarray(rngp.normal(0, 30, (4096, 3)).astype(np.float32))
             dp = rngp.normal(size=(4096, 3)).astype(np.float32)
             dp = jnp.asarray(dp / np.linalg.norm(dp, axis=-1, keepdims=True))
-            f = _jax.jit(lambda o, d: _b4.bvh4_closest_hit(scene.tri_bvh, o, d))
-            float(f(op, dp)[0].min())  # compile + warm
+            # tri_bvh must be an ARGUMENT: a closed-over tree is baked
+            # into the HLO as literal constants and a 7M-tri table blows
+            # the relay's remote_compile request cap (HTTP 413).
+            f = _jax.jit(lambda tb, o, d: _b4.bvh4_closest_hit(tb, o, d))
+            float(f(scene.tri_bvh, op, dp)[0].min())  # compile + warm
             t0 = time.time()
-            float(f(op, dp * (1 + 1e-6))[0].min())
+            float(f(scene.tri_bvh, op, dp * (1 + 1e-6))[0].min())
             walk_s = time.time() - t0
             # a pass is ~2*depth walks; timed dispatches run 3*iters passes
             est = walk_s * 2 * args.depth * 3 * args.iters
