@@ -59,12 +59,15 @@ def _make_traversal_kernel(k_slots):
 
 def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
                       k_slots=_K_SLOTS):
-    """One ray block vs the whole tree. stack_ref: SMEM [stack_cap] i32."""
-    o = o_ref[:]  # [B, 3]
-    d = d_ref[:]
+    """One ray block vs the whole tree. stack_ref: SMEM [stack_cap] i32.
+
+    Rays arrive TRANSPOSED ([3, B]) and results leave as a [1, B] row:
+    1-D blocked operands trip an XLA-vs-Mosaic tiling mismatch
+    (T(512) vs T(256) for f32[512]), and [B, 3] blocks lane-pad the
+    3-wide minor dim; [3, B] rows keep the 128-lane minor dim dense."""
     stack_cap = stack_ref.shape[0]
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
 
     def safe(v, eps):
         return jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
@@ -158,13 +161,13 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
             sp = sp + push.astype(jnp.int32)
         return sp, best_t, best_tri
 
-    n = o.shape[0]
+    n = ox.shape[0]
     best_t0 = jnp.full((n,), TMAX, jnp.float32)
     best_tri0 = jnp.full((n,), -1, jnp.int32)
     sp, best_t, best_tri = jax.lax.while_loop(
         cond, body, (jnp.int32(1), best_t0, best_tri0))
-    t_ref[:] = best_t
-    tri_ref[:] = best_tri
+    t_ref[0, :] = best_t
+    tri_ref[0, :] = best_tri
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))
@@ -187,12 +190,16 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
     # (3*depth+4) holds for the union walk too
     stack_cap = min(int(bvh.stack_size), MAX_STACK)
 
+    # Rays ride transposed ([3, N]) so each block is [3, block] with the
+    # 128-lane minor dim dense; outputs are [blocks, block] rows for the
+    # same reason (1-D f32 blocks hit an XLA T(512) vs Mosaic T(256)
+    # layout mismatch).
     t, tri = pl.pallas_call(
         _make_traversal_kernel(WIDTH * bvh.leaf_size),
         grid=(blocks,),
         in_specs=[
-            pl.BlockSpec((block, 3), lambda i: (i, 0)),
-            pl.BlockSpec((block, 3), lambda i: (i, 0)),
+            pl.BlockSpec((3, block), lambda i: (0, i)),
+            pl.BlockSpec((3, block), lambda i: (0, i)),
             # Whole fat table as ONE block with a constant index map: the
             # Pallas pipeline sees the same block every grid step, DMAs it
             # to VMEM once, and keeps it resident — memory_space=ANY would
@@ -200,14 +207,14 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
             pl.BlockSpec(bvh_fat_shape, lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((block,), lambda i: (i,)),
-            pl.BlockSpec((block,), lambda i: (i,)),
+            pl.BlockSpec((1, block), lambda i: (i, 0)),
+            pl.BlockSpec((1, block), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n + pad,), jnp.float32),
-            jax.ShapeDtypeStruct((n + pad,), jnp.int32),
+            jax.ShapeDtypeStruct((blocks, block), jnp.float32),
+            jax.ShapeDtypeStruct((blocks, block), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32)],
         interpret=interpret,
-    )(o, d, bvh.fat)
-    return t[:n], tri[:n]
+    )(o.T, d.T, bvh.fat)
+    return t.reshape(-1)[:n], tri.reshape(-1)[:n]
