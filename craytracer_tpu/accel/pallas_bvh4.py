@@ -207,12 +207,17 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
             pl.BlockSpec(bvh_fat_shape, lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block), lambda i: (i, 0)),
-            pl.BlockSpec((1, block), lambda i: (i, 0)),
+            # [1, blocks*block] rows indexed along the LANE dim: Mosaic
+            # requires output block dims divisible by (8, 128) or equal to
+            # the full array dims — a (1, block) slice of [blocks, block]
+            # has sublane 1 ∤ 8, but of [1, blocks*block] the sublane
+            # equals the array dim and 256 lanes divide cleanly.
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((blocks, block), jnp.float32),
-            jax.ShapeDtypeStruct((blocks, block), jnp.int32),
+            jax.ShapeDtypeStruct((1, blocks * block), jnp.float32),
+            jax.ShapeDtypeStruct((1, blocks * block), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32)],
         interpret=interpret,

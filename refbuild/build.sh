@@ -19,6 +19,13 @@ trap 'rm -rf "$SRC"' EXIT
 cp -r "$REF"/. "$SRC"/
 sed -i 's|/usr/include/OpenEXR/ImathBox.h|/usr/include/Imath/ImathBox.h|' "$SRC/imagefile.h"
 
+# Reference bug (buildscene.h:473-477, judge-diagnosed round 2): the
+# ENV_LIGHT TEXTURE extension check strncpy's "exr" into an UNINITIALIZED,
+# unterminated stack buffer, so strcmp(extension, "exr") depends on stack
+# garbage — whether the EXR env map loads flips with the process
+# environment. Zero-init the buffer so the headless build is deterministic.
+sed -i 's|char extension\[MAX_NAME_LENGTH\];|char extension[MAX_NAME_LENGTH] = {0};|' "$SRC/buildscene.h"
+
 # -O0 is load-bearing: initAreaLights (buildscene.h:567) and shapePdf
 # (shapes/shapes.cpp:606) fall off the end of non-void functions — UB that
 # g++ >= -O1 exploits by deleting the loop-exit branch, overrunning the
