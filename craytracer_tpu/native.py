@@ -138,9 +138,10 @@ def load_obj_native(path: str):
 
 
 def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                     leaf_size: int = 4):
-    """Median-split BVH build in C++. Returns None if unavailable, else the
-    flat arrays (node_min, node_max, right, axis, first, count, order)."""
+                     leaf_size: int = 4, split: str = "median"):
+    """Binary BVH build in C++ (median or exact-sweep SAH). Returns None if
+    unavailable, else the flat arrays (node_min, node_max, right, axis,
+    first, count, order)."""
     lib = _load()
     if lib is None:
         return None
@@ -149,7 +150,7 @@ def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     v2 = np.ascontiguousarray(v2, np.float32)
     n = v0.shape[0]
     h = lib.crn_build_bvh(_fptr(v0), _fptr(v1), _fptr(v2), n, leaf_size,
-                          SPLIT_MODES["median"])
+                          SPLIT_MODES[split])
     if not h:
         return None
     try:
