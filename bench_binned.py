@@ -55,13 +55,26 @@ def make_rays(n_rays, seed, ext, incoherent, tiled=False):
 
     k = jax.random.PRNGKey(seed)
     if tiled:
-        # scanline raster of a pinhole camera — the order a real render
-        # dispatches primary rays in (the representative coherent case;
-        # the jittered-cone default is a worst-case shuffle)
+        # raster of a pinhole camera — the order a real render dispatches
+        # primary rays in. tiled="morton" interleaves the pixel bits so a
+        # 2048-ray block is a compact ~45x45 tile instead of a 4-row strip
+        # spanning the whole image width (strip unions touch every treelet
+        # in the frustum; tiles don't).
         w = int(n_rays ** 0.5)
         eye = jnp.array([0.0, ext * 0.9 + 6.0, ext * 1.8 + 8.0])
-        i = jnp.arange(n_rays) % w
-        j = jnp.arange(n_rays) // w
+        if tiled == "morton":
+            import numpy as _np
+            code = _np.arange(n_rays, dtype=_np.uint64)
+            i = _np.zeros(n_rays, _np.int64)
+            j = _np.zeros(n_rays, _np.int64)
+            for b in range(16):
+                i |= ((code >> (2 * b)) & 1).astype(_np.int64) << b
+                j |= ((code >> (2 * b + 1)) & 1).astype(_np.int64) << b
+            i = jnp.asarray(i % w)
+            j = jnp.asarray(j % w)
+        else:
+            i = jnp.arange(n_rays) % w
+            j = jnp.arange(n_rays) // w
         ji = jax.random.uniform(k, (2, n_rays))
         tx = ((i + ji[0]) / w * 2 - 1) * ext
         tz = ((j + ji[1]) / w * 2 - 1) * ext
@@ -97,8 +110,11 @@ def main():
     ap.add_argument("--sort", action="store_true")
     ap.add_argument("--incoherent", action="store_true")
     ap.add_argument("--anyhit", action="store_true")
-    ap.add_argument("--tiled", action="store_true")
+    ap.add_argument("--tiled", nargs="?", const=True, default=False,
+                    help="raster order; --tiled morton for tile order")
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--mxu", action="store_true")
+    ap.add_argument("--precision", default="highest", choices=["default", "high", "highest"])
     args = ap.parse_args()
 
     import jax
@@ -116,7 +132,7 @@ def main():
 
     v0, v1, v2, ext = build_city(args.tris)
     t0 = time.time()
-    acc = build_binned(v0, v1, v2, L=args.L)
+    acc = build_binned(v0, v1, v2, L=args.L, mxu=args.mxu)
     t_build_binned = time.time() - t0
     bvh = build_bvh4(v0, v1, v2)
     print(f"# {acc.n_tris} tris, {acc.n_treelets} treelets (L={args.L}, "
@@ -124,6 +140,9 @@ def main():
           f"{t_build_binned:.1f}s)", file=sys.stderr)
 
     md_val = ext * 0.6
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[args.precision]
 
     def fn_xla(o, d):
         if args.anyhit:
@@ -134,10 +153,12 @@ def main():
     def fn_binned_raw(o, d):
         if args.anyhit:
             t = binned_any_hit(acc, o, d, jnp.full((o.shape[0],), md_val),
-                               block=args.block, k_fetch=args.k)
+                               block=args.block, k_fetch=args.k,
+                               mxu=args.mxu, precision=prec)
             return t, (t < md_val).astype(jnp.int32)
         return binned_closest_hit(acc, o, d, block=args.block,
-                                  k_fetch=args.k)
+                                  k_fetch=args.k, mxu=args.mxu,
+                                  precision=prec)
 
     def fn_binned(o, d):
         if args.sort:
@@ -162,7 +183,7 @@ def main():
                                              t_x - t_b, 0.0))))
     print(f"# 512-ray cross-check: agree {agree:.4f}, max |dt| "
           f"{max_dt:.2e}", file=sys.stderr)
-    assert agree > 0.995, "binned disagrees with bvh4"
+    assert agree > (0.98 if args.mxu else 0.995), "binned disagrees with bvh4"
 
     o, d = make_rays(args.rays, 2, ext, args.incoherent, args.tiled)
 
@@ -189,7 +210,8 @@ def main():
         "tris": int(acc.n_tris), "rays": args.rays, "L": args.L,
         "block": args.block, "k": args.k, "treelets": int(acc.n_treelets),
         "sort": bool(args.sort), "incoherent": bool(args.incoherent),
-        "tiled": bool(args.tiled),
+        "tiled": bool(args.tiled), "mxu": bool(args.mxu),
+        "precision": args.precision,
         "xla_while_loop": round(rps_x, 1),
         "binned": round(rps_b, 1),
         "speedup": round(rps_b / max(rps_x, 1.0), 3),

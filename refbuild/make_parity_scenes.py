@@ -361,6 +361,67 @@ def make_prims() -> str:
     return HEADER + PRIMS_SCENE
 
 
+MESH_SCENE = """CAMERA_POS 0 1.4 4.0
+LOOK_POINT 0 0.7 0
+
+MATERIAL MATTE
+NAME floor
+COLOR 0.72 0.72 0.72
+SIGMA 0.0
+END
+
+MATERIAL MATTE
+NAME ball
+COLOR 0.25 0.4 0.75
+SIGMA 0.0
+END
+
+MATERIAL EMISSIVE
+NAME lamp
+COLOR 1 0.95 0.85
+INTENSITY 12
+END
+
+END_MATERIALS
+
+ENV_LIGHT
+TYPE CONSTANT
+COLOR WHITE
+INTENSITY 0
+
+OBJECT RECTANGLE
+POINT -4 0 -4
+WIDTH 8 0 0
+HEIGHT 0 0 8
+MATERIAL floor
+
+OBJECT MESH
+FILE_NAME icosphere_small.obj
+SMOOTH no
+SCALING 0.8 0.8 0.8
+LOCATION 0 0.9 0
+ORIENTATION 0 0 0
+MATERIAL ball
+
+OBJECT RECTANGLE
+POINT -1.0 3.2 -1.0
+WIDTH 2.0 0 0
+HEIGHT 0 0 2.0
+MATERIAL lamp
+"""
+
+
+def make_mesh() -> str:
+    """OBJECT MESH parity scene: flat-shaded icosphere_small.obj (320
+    tris) over a matte floor, one lamp LAST (see make_mix). SMOOTH no:
+    flat normals remove the vertex-normal-averaging order dependence.
+    The headless reference HANGS nondeterministically on mesh scenes
+    (an environment-dependent infinite loop in its render loop, see
+    refbuild/run_ref_golden.sh) — the golden is captured by retrying
+    until a run completes; the scene itself parses and renders fine."""
+    return HEADER + MESH_SCENE
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, "parity_cornell.txt"), "w") as f:
@@ -369,8 +430,10 @@ def main():
         f.write(make_mix())
     with open(os.path.join(OUT, "parity_prims.txt"), "w") as f:
         f.write(make_prims())
+    with open(os.path.join(OUT, "parity_mesh.txt"), "w") as f:
+        f.write(make_mesh())
     print("wrote", OUT + "/parity_cornell.txt", OUT + "/parity_mix.txt",
-          OUT + "/parity_prims.txt")
+          OUT + "/parity_prims.txt", OUT + "/parity_mesh.txt")
 
 
 if __name__ == "__main__":

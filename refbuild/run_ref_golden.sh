@@ -1,0 +1,47 @@
+#!/bin/bash
+# Capture a reference golden: run the headless reference binary on a
+# parity scene until a run completes, then copy savestate.is out.
+#
+# Retrying is load-bearing for mesh scenes: the reference nondeterm-
+# inistically enters an infinite loop inside its render worker on
+# OBJECT MESH scenes (env-dependent; same binary+scene completed in ~3s
+# on one run and spun 25+ min on the next). A bounded retry harvests a
+# good run; the completed render itself is deterministic modulo that.
+#
+# Usage: run_ref_golden.sh <scene.txt> <out.is> [spp] [depth] [accel] [tries]
+set -u
+SCENE=$(realpath "$1"); OUT=$(realpath -m "$2")
+SPP=${3:-256}; DEPTH=${4:-5}; ACCEL=${5:-NONE}; TRIES=${6:-10}
+HERE=$(cd "$(dirname "$0")" && pwd)
+BIN=$HERE/craytracer_ref
+WORK=$(mktemp -d)
+trap 'rm -rf "$WORK"' EXIT
+cp "$SCENE" "$WORK/scene.txt"
+# OBJ meshes resolve relative to cwd
+for f in "$(dirname "$SCENE")"/*.obj; do
+    [ -e "$f" ] && ln -s "$f" "$WORK/" 2>/dev/null
+done
+cat > "$WORK/config.txt" <<CFG
+scene_file scene.txt
+num_samples $SPP
+num_sample_sets 83
+max_depth $DEPTH
+trace_type PATHTRACE
+accel_struct $ACCEL
+image_save no
+CFG
+cd "$WORK"
+for i in $(seq 1 "$TRIES"); do
+    rm -f savestate.is
+    echo "-- try $i" >&2
+    timeout 600 "$BIN" > run.log 2>&1
+    if [ -s savestate.is ]; then
+        cp savestate.is "$OUT"
+        echo "golden written: $OUT (try $i)" >&2
+        tail -3 run.log >&2
+        exit 0
+    fi
+    tail -2 run.log >&2
+done
+echo "FAILED after $TRIES tries" >&2
+exit 1
