@@ -73,7 +73,11 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--accel", default="bvh",
-                    help="bvh | bvh4 | bvh4q | grid | none")
+                    help="bvh | bvh4 | bvh4q | binned | grid | none")
+    ap.add_argument("--order", default="morton",
+                    help="pixel dispatch order: morton | scan (morton makes "
+                         "each traversal block a compact tile; bit-identical "
+                         "image)")
     ap.add_argument("--warm-build", action="store_true",
                     help="build twice, report (cold, warm) build seconds")
     ap.add_argument("--spp-batch", type=int, default=1,
@@ -155,7 +159,7 @@ def main():
     if not args.cpu and n_tris > 0:
         from craytracer_tpu.accel import bvh4 as _b4
 
-        if args.accel == "bvh4":
+        if args.accel in ("bvh4", "binned"):
             import jax as _jax
 
             rngp = np.random.default_rng(0)
@@ -165,7 +169,14 @@ def main():
             # tri_bvh must be an ARGUMENT: a closed-over tree is baked
             # into the HLO as literal constants and a 7M-tri table blows
             # the relay's remote_compile request cap (HTTP 413).
-            f = _jax.jit(lambda tb, o, d: _b4.bvh4_closest_hit(tb, o, d))
+            if args.accel == "binned":
+                from craytracer_tpu.accel.binned import binned_closest_hit
+                import jax.lax as _lax
+
+                f = _jax.jit(lambda tb, o, d: binned_closest_hit(
+                    tb, o, d, mxu=True, precision=_lax.Precision.HIGH))
+            else:
+                f = _jax.jit(lambda tb, o, d: _b4.bvh4_closest_hit(tb, o, d))
             float(f(scene.tri_bvh, op, dp)[0].min())  # compile + warm
             t0 = time.time()
             float(f(scene.tri_bvh, op, dp * (1 + 1e-6))[0].min())
@@ -182,7 +193,20 @@ def main():
 
     cam = make_camera((0, 40, 3.2 * (n_tris / 1280) ** 0.5 + 40), (0, 2, 0))
     film = Film(fov=jnp.float32(np.radians(50.0)), width=args.size, height=args.size)
-    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+    if args.order == "morton":
+        w = args.size
+        bits = max(int(np.ceil(np.log2(max(w, 2)))), 1)
+        code = np.arange(1 << (2 * bits), dtype=np.int64)
+        mx = np.zeros_like(code)
+        my = np.zeros_like(code)
+        for bb in range(bits):
+            mx |= ((code >> (2 * bb)) & 1) << bb
+            my |= ((code >> (2 * bb + 1)) & 1) << bb
+        perm = (my * w + mx)[(mx < w) & (my < w)].astype(np.int32)
+        ids = jnp.asarray(perm)
+    else:
+        perm = None
+        ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
 
     B = max(1, args.spp_batch)
     npix = film.num_pixels
@@ -243,7 +267,12 @@ def main():
 
         from craytracer_tpu.utils.tonemap import tone_map
 
-        img = np.asarray(tone_map(acc / args.iters)).reshape(args.size, args.size, 3)
+        img_flat = np.asarray(tone_map(acc / args.iters))
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
+            img_flat = img_flat[inv]
+        img = img_flat.reshape(args.size, args.size, 3)
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(args.image)
 
 

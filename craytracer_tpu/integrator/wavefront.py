@@ -201,7 +201,15 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         # when the light is nearer than ~offset/1e-3 (seen as a dark
         # ceiling above the cornell lamp).
         dist_adj = ls.distance - vm.dot(shadow_o - hit.point, ls.wi)
-        t_shadow = shadow_distance(scene, shadow_o, ls.wi, dist_adj)
+        # Lanes that won't use the result shoot an ESCAPE ray (origin far
+        # outside every scene box, max_dist 0) instead of a stale one:
+        # `lit` is masked by want_shadow, but the traversal still pays for
+        # whatever ray sits in the lane — block-synchronous accels
+        # (binned/pallas) pay the block UNION, so stale rays from retired
+        # lanes would widen every remaining round for free.
+        shadow_o = jnp.where(want_shadow[:, None], shadow_o, 3.0e18)
+        dist_adj_t = jnp.where(want_shadow, dist_adj, 0.0)
+        t_shadow = shadow_distance(scene, shadow_o, ls.wi, dist_adj_t)
         if geom_axis is not None:
             t_shadow = jax.lax.pmin(t_shadow, geom_axis)
         lit = t_shadow >= dist_adj - jnp.maximum(K_EPSILON, 1e-3 * dist_adj)
@@ -249,8 +257,16 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         )
 
         new_alive = cont & ~dead_sample & ~rr_kill
-        new_o = jnp.where(cont[:, None], _offset_ray(hit.point, hit.normal, wi_world), o)
-        new_d = jnp.where(cont[:, None], wi_world, d)
+        # Retired lanes carry an ESCAPE ray (far origin: every box test
+        # fails on the first round) instead of re-traversing their stale
+        # ray each remaining bounce — results are alive-masked either
+        # way, so the image is bit-identical; the traversal work isn't.
+        new_o = jnp.where(new_alive[:, None],
+                          _offset_ray(hit.point, hit.normal, wi_world),
+                          3.0e18)
+        # +x from a (+3e18)^3 origin: every box is behind the ray
+        new_d = jnp.where(new_alive[:, None], wi_world,
+                          jnp.array([1.0, 0.0, 0.0], d.dtype))
         new_prev_sg = jnp.where(cont, is_spec | is_glossy, prev_sg)
         new_prev_pdf = jnp.where(cont, pdf_s, prev_pdf)
         new_prev_delta = jnp.where(cont, is_spec, prev_delta)

@@ -504,7 +504,7 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
 
             gmin, gidx = bvh_closest_hit(scene.tri_bvh, o_s, d_s)
             gidx = jnp.maximum(gidx, 0)
-        elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh4":
+        elif gid == T.GROUP_TRIANGLE and scene.accel in ("bvh4", "hybrid"):
             import os
 
             if os.environ.get("CRAYTRACER_PALLAS_TRAVERSAL") == "1":
@@ -528,6 +528,15 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
                 from craytracer_tpu.accel.bvh4 import bvh4_closest_hit
 
                 gmin, gidx = bvh4_closest_hit(scene.tri_bvh, o_s, d_s)
+            gidx = jnp.maximum(gidx, 0)
+        elif gid == T.GROUP_TRIANGLE and scene.accel == "binned":
+            from craytracer_tpu.accel.binned import binned_closest_hit
+
+            # mxu engages iff the build emitted coefficient columns;
+            # Precision.HIGH (bf16x3) is the measured accuracy/speed knee
+            gmin, gidx = binned_closest_hit(scene.tri_bvh, o_s, d_s,
+                                            mxu=True,
+                                            precision=jax.lax.Precision.HIGH)
             gidx = jnp.maximum(gidx, 0)
         elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh4q":
             from craytracer_tpu.accel.bvh4q import bvh4q_closest_hit
@@ -609,6 +618,24 @@ def shadow_distance(scene: T.Scene, o, d, max_dist=None) -> jnp.ndarray:
 
             md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
             best_t = jnp.minimum(best_t, bvh4_any_hit(scene.tri_bvh, o, d, md))
+        elif gid == T.GROUP_TRIANGLE and scene.accel in ("binned", "hybrid"):
+            from craytracer_tpu.accel.binned import binned_any_hit
+            from craytracer_tpu.ops.raysort import ray_key
+
+            tb = scene.tri_shadow if scene.accel == "hybrid" else scene.tri_bvh
+            md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
+            # Coherence re-sort before the block-synchronous traversal:
+            # later-bounce shadow origins arrive shuffled, and a binned
+            # block's cost is its UNION of needed treelets
+            # (accel/binned.py docstring). One argsort + gathers; results
+            # scatter back to lane order.
+            perm = jnp.argsort(ray_key(o, d))
+            t_s = binned_any_hit(tb, jnp.take(o, perm, axis=0),
+                                 jnp.take(d, perm, axis=0),
+                                 jnp.take(md, perm), mxu=True,
+                                 precision=jax.lax.Precision.HIGH)
+            best_t = jnp.minimum(
+                best_t, jnp.zeros((n,), t_s.dtype).at[perm].set(t_s))
         elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh4q":
             from craytracer_tpu.accel.bvh4q import bvh4q_any_hit
 

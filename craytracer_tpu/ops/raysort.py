@@ -51,10 +51,19 @@ def ray_key(o, d, pos_bits: int = 6, dir_major: bool = False):
     (octant first) — better when the scene is small and direction
     divergence dominates traversal order.
     """
-    lo = jnp.min(o, axis=0)
-    hi = jnp.max(o, axis=0)
+    # ESCAPE rays (retired wavefront lanes parked at |o| ~ 3e18,
+    # integrator/wavefront.py) must not stretch the batch AABB: quantize
+    # against the box of REAL origins only; escapes all land in the top
+    # cell together (they retire on their first round anyway).
+    real = (jnp.abs(o) < 1.0e17).all(axis=1)
+    big = jnp.where(real[:, None], o, -jnp.inf)
+    small = jnp.where(real[:, None], o, jnp.inf)
+    lo = jnp.min(small, axis=0)
+    hi = jnp.max(big, axis=0)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
     scale = (1 << pos_bits) / jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip(((o - lo) * scale).astype(jnp.uint32), 0,
+    q = jnp.clip(((jnp.clip(o, lo, hi) - lo) * scale).astype(jnp.uint32), 0,
                  (1 << pos_bits) - 1)
     # quantized axes promoted to the Morton bit positions: with
     # pos_bits<10 shift up so the most significant quantization bit sits

@@ -480,8 +480,27 @@ class SceneBuilder:
             # 4-wide BVH: ~half the serial traversal depth of the binary BVH
             accel = "bvh4" if n_tris >= 64 else "none"
         tri_bvh = None
+        tri_shadow = None
         if n_tris == 0:
             accel = "none"
+        elif accel == "hybrid":
+            # bvh4 fat rows for closest-hit (incoherent-robust) + binned
+            # treelets for shadow any-hit (see T.Scene.tri_shadow)
+            import os
+
+            from craytracer_tpu.accel.binned import build_binned
+            from craytracer_tpu.accel.bvh4 import build_bvh4
+            from craytracer_tpu.native import _load as _native_load
+
+            split = ("sah" if _native_load() is not None else "median")
+            leaf = int(os.environ.get("CRAY_BVH4_LEAF", "2"))
+            tri_bvh = build_bvh4(np.asarray(tv[0]), np.asarray(tv[1]),
+                                 np.asarray(tv[2]), leaf_size=leaf,
+                                 split=split)
+            tri_shadow = build_binned(
+                np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]),
+                L=int(os.environ.get("CRAY_BINNED_L", "512")), split=split,
+                mxu=os.environ.get("CRAY_BINNED_MXU", "1") == "1")
         elif accel == "bvh":
             from craytracer_tpu.accel.bvh import build_bvh
 
@@ -512,6 +531,19 @@ class SceneBuilder:
             leaf = int(os.environ.get("CRAY_BVH4_LEAF", "2"))
             tri_bvh = build_bvh4q(np.asarray(tv[0]), np.asarray(tv[1]),
                                   np.asarray(tv[2]), leaf_size=leaf)
+        elif accel == "binned":
+            import os
+
+            from craytracer_tpu.accel.binned import build_binned
+            from craytracer_tpu.native import _load as _native_load
+
+            # gather-free treelet traversal (accel/binned.py); pairs with
+            # the renderer's Morton pixel order for block coherence
+            tri_bvh = build_binned(
+                np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]),
+                L=int(os.environ.get("CRAY_BINNED_L", "512")),
+                split=("sah" if _native_load() is not None else "median"),
+                mxu=os.environ.get("CRAY_BINNED_MXU", "1") == "1")
         elif accel == "grid":
             from craytracer_tpu.accel.grid import build_grid
 
@@ -541,7 +573,8 @@ class SceneBuilder:
             spheres=spheres, planes=planes, rects=rects, disks=disks,
             triangles=triangles, instanced=instanced, materials=materials,
             lights=lights, mesh_lights=mesh_lights, env=env, textures=textures,
-            tri_bvh=tri_bvh, sph_bvh=sph_bvh, accel=accel,
+            tri_bvh=tri_bvh, tri_shadow=tri_shadow, sph_bvh=sph_bvh,
+            accel=accel,
             mat_types_present=tuple(sorted(
                 int(t) for t in np.unique(np.asarray(materials.mat_type)))),
             light_types_present=tuple(sorted(

@@ -248,6 +248,12 @@ class Scene:
     env: EnvLight
     textures: TexturePack
     tri_bvh: object = None  # BVHArrays when accel == 'bvh'
+    # Hybrid shadow accel (accel == 'hybrid'): BinnedArrays consumed ONLY
+    # by shadow_distance — any-hit retire-on-occlusion + max_dist pruning
+    # fit the binned block-sync design (measured 4.1x the fat-row any-hit
+    # at 327k tris on TPU), while closest-hit bounce rays stay on the
+    # fat-row BVH4 (incoherent-robust).
+    tri_shadow: object = None
     # Sphere acceleration (analytic primitives indexed like the reference's
     # grid/BVH hold all object types, scene/scenedata.h:12-18): built for
     # sphere-heavy scenes, None = brute force.
