@@ -61,18 +61,25 @@ def _pair(o, d, prim_o):
 def sphere_ts(o, d, s: T.Spheres):
     """Partial-sphere hit distances (rayIntersectSphere, shapes/sphere.cpp:33-86):
     quadratic roots, each accepted only inside the phi/theta clip window."""
-    oc = o[:, None, :] - s.center[None, :, :]
-    dN = d[:, None, :]
-    a = vm.dot(dN, dN)
-    b = 2.0 * vm.dot(oc, dN)
-    c = vm.dot(oc, oc) - (s.radius * s.radius)[None, :]
+    # Per-component [N,1] x [1,M] layout (see triangle_ts: a 3-wide minor
+    # dim lane-pads 42x on TPU).
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    cx, cy, cz = (s.center[None, :, 0], s.center[None, :, 1],
+                  s.center[None, :, 2])
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a = dx * dx + dy * dy + dz * dz
+    b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+    c = (ocx * ocx + ocy * ocy + ocz * ocz) - (s.radius * s.radius)[None, :]
     _, t0, t1 = solve_quadratic(a, b, c)
 
     def accept(t):
-        hp = o[:, None, :] + t[..., None] * dN - s.center[None, :, :]
+        hx = ox + t * dx - cx
+        hy = oy + t * dy - cy
+        hz = oz + t * dz - cz
         # reference phi convention: atan2(x, z) (sphere.cpp:56,110)
-        phi = jnp.arctan2(hp[..., 0], hp[..., 2])
-        cos_raw = hp[..., 1] / s.radius[None, :]
+        phi = jnp.arctan2(hx, hz)
+        cos_raw = hy / s.radius[None, :]
         theta = jnp.arccos(jnp.clip(cos_raw, -1.0, 1.0))
         ok = (
             (t > K_EPSILON)
@@ -93,56 +100,97 @@ def sphere_ts(o, d, s: T.Spheres):
 
 
 def plane_ts(o, d, p: T.Planes):
-    """rayIntersectPlane (shapes/plane.cpp:4-19)."""
-    disp = p.point[None, :, :] - o[:, None, :]
-    denom = vm.dot(d[:, None, :], p.normal[None, :, :])
-    t = vm.dot(disp, p.normal[None, :, :]) / vm._safe(denom)
+    """rayIntersectPlane (shapes/plane.cpp:4-19). Per-component layout
+    (see triangle_ts)."""
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    px_, py_, pz_ = (p.point[None, :, 0], p.point[None, :, 1],
+                     p.point[None, :, 2])
+    nx, ny, nz = (p.normal[None, :, 0], p.normal[None, :, 1],
+                  p.normal[None, :, 2])
+    denom = dx * nx + dy * ny + dz * nz
+    t = ((px_ - ox) * nx + (py_ - oy) * ny + (pz_ - oz) * nz) \
+        / vm._safe(denom)
     return jnp.where(t > K_EPSILON, t, TMAX)
 
 
 def rect_ts(o, d, r: T.Rects):
-    """rayIntersectRect (shapes/rect.cpp:3-54): plane hit + edge projections."""
-    disp = r.point[None, :, :] - o[:, None, :]
-    denom = vm.dot(d[:, None, :], r.normal[None, :, :])
-    t = vm.dot(disp, r.normal[None, :, :]) / vm._safe(denom)
-    hp = o[:, None, :] + t[..., None] * d[:, None, :]
-    q = hp - r.point[None, :, :]
-    w = r.width[None, :, :]
-    h = r.height[None, :, :]
-    u = vm.dot(q, w) / vm.dot(w, w)
-    v = vm.dot(q, h) / vm.dot(h, h)
+    """rayIntersectRect (shapes/rect.cpp:3-54): plane hit + edge
+    projections. Per-component layout (see triangle_ts): [N,1] x [1,M]
+    keeps the primitive count in the 128-lane minor dim."""
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]          # [N, 1]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    pxr, pyr, pzr = (r.point[None, :, 0], r.point[None, :, 1],
+                     r.point[None, :, 2])                 # [1, M]
+    nx, ny, nz = (r.normal[None, :, 0], r.normal[None, :, 1],
+                  r.normal[None, :, 2])
+    wx, wy, wz = (r.width[None, :, 0], r.width[None, :, 1],
+                  r.width[None, :, 2])
+    hx, hy, hz = (r.height[None, :, 0], r.height[None, :, 1],
+                  r.height[None, :, 2])
+    denom = dx * nx + dy * ny + dz * nz
+    t = ((pxr - ox) * nx + (pyr - oy) * ny + (pzr - oz) * nz) \
+        / vm._safe(denom)
+    qx = ox + t * dx - pxr
+    qy = oy + t * dy - pyr
+    qz = oz + t * dz - pzr
+    u = (qx * wx + qy * wy + qz * wz) / (wx * wx + wy * wy + wz * wz)
+    v = (qx * hx + qy * hy + qz * hz) / (hx * hx + hy * hy + hz * hz)
     ok = (t > K_EPSILON) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
     return jnp.where(ok, t, TMAX)
 
 
 def disk_ts(o, d, k: T.Disks):
-    """rayIntersectDisk (shapes/disk.cpp:3-32)."""
-    disp = k.center[None, :, :] - o[:, None, :]
-    denom = vm.dot(d[:, None, :], k.normal[None, :, :])
-    t = vm.dot(disp, k.normal[None, :, :]) / vm._safe(denom)
-    hp = o[:, None, :] + t[..., None] * d[:, None, :]
-    q = hp - k.center[None, :, :]
-    ok = (t > K_EPSILON) & (vm.length_sq(q) <= (k.radius * k.radius)[None, :])
+    """rayIntersectDisk (shapes/disk.cpp:3-32). Per-component layout
+    (see triangle_ts)."""
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    cx, cy, cz = (k.center[None, :, 0], k.center[None, :, 1],
+                  k.center[None, :, 2])
+    nx, ny, nz = (k.normal[None, :, 0], k.normal[None, :, 1],
+                  k.normal[None, :, 2])
+    denom = dx * nx + dy * ny + dz * nz
+    t = ((cx - ox) * nx + (cy - oy) * ny + (cz - oz) * nz) \
+        / vm._safe(denom)
+    qx = ox + t * dx - cx
+    qy = oy + t * dy - cy
+    qz = oz + t * dz - cz
+    ok = (t > K_EPSILON) & ((qx * qx + qy * qy + qz * qz)
+                            <= (k.radius * k.radius)[None, :])
     return jnp.where(ok, t, TMAX)
 
 
 def triangle_ts(o, d, tr: T.Triangles, v0=None, e1=None, e2=None):
     """Moller-Trumbore over [N, M] pairs — the batched replacement for
     calcTriangleIntersect (shapes/triangle.cpp:14-79) and the 4-wide SSE
-    kernel (shapes/triangle.cpp:81-151). Returns (t, beta, gamma)."""
+    kernel (shapes/triangle.cpp:81-151). Returns (t, beta, gamma).
+
+    Written PER-COMPONENT ([N,1] ray columns against [1,M] triangle
+    rows) rather than over [N,M,3] vectors: on TPU a 3-wide minor dim
+    lane-pads to 128, so the vector form moves ~42x the bytes. This
+    brute-force path IS the hot path for small scenes (cornell = 20
+    tris; measured 2x on the production bench headline)."""
     if v0 is None:
         v0 = tr.v0
         e1 = tr.v1 - tr.v0
         e2 = tr.v2 - tr.v0
-    dN = d[:, None, :]
-    pvec = vm.cross(dN, e2[None, :, :])
-    det = vm.dot(e1[None, :, :], pvec)
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]          # [N, 1]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]  # [1, M]
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = 1.0 / vm._safe(det)
-    tvec = o[:, None, :] - v0[None, :, :]
-    beta = vm.dot(tvec, pvec) * inv_det
-    qvec = vm.cross(tvec, e1[None, :, :])
-    gamma = vm.dot(dN, qvec) * inv_det
-    t = vm.dot(e2[None, :, :], qvec) * inv_det
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    beta = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok = (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0) & (t > K_EPSILON)
     return jnp.where(ok, t, TMAX), beta, gamma
 

@@ -361,6 +361,13 @@ def make_prims() -> str:
     return HEADER + PRIMS_SCENE
 
 
+MESH_HEADER = """WINDOW_WIDTH 128
+WINDOW_HEIGHT 128
+IMAGE_WIDTH 128
+IMAGE_HEIGHT 128
+FOV 38.0
+"""
+
 MESH_SCENE = """CAMERA_POS 0 1.4 4.0
 LOOK_POINT 0 0.7 0
 
@@ -418,8 +425,11 @@ def make_mesh() -> str:
     The headless reference HANGS nondeterministically on mesh scenes
     (an environment-dependent infinite loop in its render loop, see
     refbuild/run_ref_golden.sh) — the golden is captured by retrying
-    until a run completes; the scene itself parses and renders fine."""
-    return HEADER + MESH_SCENE
+    until a run completes; the scene itself parses and renders fine.
+    128x128 film: the reference runs single-threaded at -O0 and brute-
+    forces 320 tris + rects; 256^2 x 256spp would exceed the retry
+    harness timeout even on a healthy run."""
+    return MESH_HEADER + MESH_SCENE
 
 
 def main():

@@ -48,8 +48,16 @@ def main(argv=None):
     p.add_argument("--probe", default=None, metavar="X,Y",
                    help="print pixel (x, y) accumulated radiance after the "
                         "render (the pause-probe, main.cpp:151-167)")
-    p.add_argument("--accel", default=None, choices=["auto", "none", "bvh", "bvh4", "bvh4q", "grid"],
+    p.add_argument("--accel", default=None,
+                   choices=["auto", "none", "bvh", "bvh4", "bvh4q", "binned",
+                            "hybrid", "grid"],
                    help="triangle accel backend (default: from config)")
+    p.add_argument("--sampler", default=None,
+                   choices=["rng", "regular", "multijittered", "hammersley"],
+                   help="film-jitter sample generator: counter RNG "
+                        "(default) or a table sampler built from the "
+                        "config's num_samples x num_sample_sets "
+                        "(config.h:37-40, sampling.cpp:514-544)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -77,6 +85,16 @@ def main(argv=None):
 
     accel_map = {"GRID": "grid", "BVH": "bvh", "BVH4": "bvh4", "NONE": "none"}
     accel = args.accel or accel_map.get(cfg.accel_struct, "auto")
+    if accel == "grid" and args.accel is None and not args.cpu:
+        # The reference SHIPS accel_struct GRID (config.txt), but the
+        # batched DDA walk is 26x behind bvh4 on TPU and a full-size
+        # dispatch can exceed the relay's kill threshold
+        # (ACCEL_AB_TPU.json). Config-driven GRID upgrades to bvh4 on the
+        # accelerator; grid remains available as a correctness/parity
+        # backend via an explicit --accel grid.
+        print("config accel GRID is a CPU-era default; using bvh4 on TPU "
+              "(pass --accel grid to force)", file=sys.stderr)
+        accel = "bvh4"
     scene, camera, film = load_scene_file(scene_file, accel=accel)
 
     if cfg.caustic_map:
@@ -113,6 +131,14 @@ def main(argv=None):
         estimator=args.estimator,
         trace_type=cfg.trace_type if cfg.trace_type in ("PATHTRACE", "WHITTED", "RAYCAST") else "PATHTRACE",
     )
+    if args.sampler and args.sampler != "rng":
+        from craytracer_tpu.sampling.tables import make_sample_table
+
+        rc.sampler = make_sample_table(args.sampler, rc.num_samples,
+                                       max(cfg.num_sample_sets, 1),
+                                       seed=args.seed)
+        print(f"sampler={args.sampler} ({rc.num_samples} samples x "
+              f"{max(cfg.num_sample_sets, 1)} sets)")
     print(f"scene={scene_file} {film.width}x{film.height} spp={rc.num_samples} "
           f"depth={rc.max_depth} estimator={rc.estimator}")
 

@@ -18,11 +18,15 @@ accel NONE, PATHTRACE:
   under one big lamp.
 * scenes/parity_prims.txt — instanced torus + box + disk. No open
   cylinder (the reference renders cylinder direct light ~2.3x above
-  exact quadrature — see tests/test_quadrature.py cylinder anchor) and
-  no OBJECT MESH scene: the reference binary HANGS (no pass completes in
-  5+ minutes at 32x32x4spp, flat or smooth, GRID or NONE) on any mesh
-  scene in this headless build, so a mesh golden is unobtainable; the
-  OBJ pipeline is covered by loader unit tests instead.
+  exact quadrature — see tests/test_quadrature.py cylinder anchor).
+* scenes/parity_mesh.txt — flat-shaded icosphere_small.obj (320 tris)
+  over a matte floor, 128x128 @ 144 spp (the sampler requires a perfect
+  square; 256^2 x 256 would overrun the capture timeout single-threaded
+  at -O0). The reference binary hangs NONDETERMINISTICALLY on mesh
+  scenes (env-dependent infinite loop in its render worker — same
+  binary+scene completed in 3s and spun 25 min across runs); the golden
+  was harvested by refbuild/run_ref_golden.sh's bounded retry. This
+  closes the round-2 gap where no mesh-pipeline image evidence existed.
 
 Both scenes declare the lamp as the LAST object: the reference's shadow
 loop early-outs on the FIRST object with t < light_dist (intersect.h:
@@ -86,7 +90,7 @@ def _render_ours(scene_path: str, size: int = 128, spp: int = 64):
     return np.asarray(r.raw_mean()).reshape(size, size, 3)
 
 
-@pytest.mark.parametrize("name", ["cornell", "mix", "prims"])
+@pytest.mark.parametrize("name", ["cornell", "mix", "prims", "mesh"])
 def test_reference_image_parity(name):
     golden_path = os.path.join(HERE, "goldens", f"golden_{name}.is")
     accum, spp, w, h = read_reference_is(golden_path)
