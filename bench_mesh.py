@@ -163,9 +163,23 @@ def main():
             import jax as _jax
 
             rngp = np.random.default_rng(0)
-            op = jnp.asarray(rngp.normal(0, 30, (4096, 3)).astype(np.float32))
-            dp = rngp.normal(size=(4096, 3)).astype(np.float32)
-            dp = jnp.asarray(dp / np.linalg.norm(dp, axis=-1, keepdims=True))
+            if args.accel == "binned":
+                # binned cost is COHERENCE-dependent: random rays are its
+                # worst case (block union ~ all treelets) and overestimate
+                # the real Morton-tiled render ~10x. Probe with a compact
+                # camera-cone bundle instead.
+                eye = np.array([0.0, 30.0, 60.0], np.float32)
+                op = jnp.asarray(np.broadcast_to(eye, (4096, 3)).copy())
+                t = rngp.normal(0, 2, (4096, 3)).astype(np.float32)
+                dp = t - eye
+                dp = jnp.asarray(dp / np.linalg.norm(dp, axis=-1,
+                                                     keepdims=True))
+            else:
+                op = jnp.asarray(
+                    rngp.normal(0, 30, (4096, 3)).astype(np.float32))
+                dp = rngp.normal(size=(4096, 3)).astype(np.float32)
+                dp = jnp.asarray(dp / np.linalg.norm(dp, axis=-1,
+                                                     keepdims=True))
             # tri_bvh must be an ARGUMENT: a closed-over tree is baked
             # into the HLO as literal constants and a 7M-tri table blows
             # the relay's remote_compile request cap (HTTP 413).
