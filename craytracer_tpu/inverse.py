@@ -47,13 +47,31 @@ class InverseConfig:
     # per step cuts the variance term (and thus the bias) by S.
     spp_per_step: int = 4
     optimizer: str = "adam"  # adam | sgd
+    # cosine-decay the learning rate to ~0 over this many steps (0 = a
+    # constant rate). Under Monte-Carlo gradient noise a constant-rate
+    # Adam random-walks around the optimum with radius ~ lr * noise; the
+    # decay anneals the walk (measured: metal roughness on the mesh demo
+    # overshot 0.6 -> 0.12 past the 0.35 optimum at constant lr).
+    decay_steps: int = 0
+    # loss: "mse" (reference default) or "log1p" — MSE in log1p space.
+    # Monte-Carlo renders of sharp glossy lobes are HEAVY-TAILED (most
+    # samples miss the light, rare ones spike); the mean gradient points
+    # toward the truth but the per-step gradient usually points the
+    # other way, and Adam's sign-following random-walks downhill on the
+    # typical step (measured: metal alpha converged to 0.12-0.16 under
+    # plain MSE with the minimum verifiably at 0.35). log1p compresses
+    # the spikes so the typical step agrees with the mean.
+    loss: str = "mse"
 
 
 def _make_optimizer(cfg: InverseConfig):
+    lr = cfg.learning_rate
+    if cfg.decay_steps:
+        lr = optax.cosine_decay_schedule(cfg.learning_rate, cfg.decay_steps)
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.learning_rate)
+        return optax.adam(lr)
     if cfg.optimizer == "sgd":
-        return optax.sgd(cfg.learning_rate)
+        return optax.sgd(lr)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
@@ -93,7 +111,10 @@ class InverseRenderer:
                     s, cam, film, ids, seed,
                     spp_index * cfg.spp_per_step + k,
                     cfg.max_depth, estimator=cfg.estimator)
-            return jnp.mean((img / cfg.spp_per_step - target) ** 2)
+            img = img / cfg.spp_per_step
+            if cfg.loss == "log1p":
+                return jnp.mean((jnp.log1p(img) - jnp.log1p(target)) ** 2)
+            return jnp.mean((img - target) ** 2)
 
         self._value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 

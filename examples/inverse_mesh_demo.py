@@ -63,13 +63,13 @@ def main():
         tid = b.add_texture("floor_tex", tex)
         b.add_matte("floor", (1.0, 1.0, 1.0), diffuse_tex=tid)
         mid = b.add_metal("ball", preset="GOLD", roughness=0.2)
-        b.add_emissive("lamp", (1.0, 0.95, 0.85), 18.0)
+        b.add_emissive("lamp", (1.0, 0.95, 0.85), 2.0)
         b.add_rect((-8, 0, -8), (16, 0, 0), (0, 0, 16), "floor")
         v, f = icosphere(2)
         c = np.array([0, 1.6, 0])
         b.add_triangles_array(1.5 * v[f[:, 0]] + c, 1.5 * v[f[:, 1]] + c,
                               1.5 * v[f[:, 2]] + c, "ball")
-        b.add_rect((-2, 7, -2), (4, 0, 0), (0, 0, 4), "lamp")
+        b.add_rect((-4, 7, -4), (8, 0, 0), (0, 0, 8), "lamp")
         return b.build(accel="bvh4"), b.material_id("ball")
 
     scene, ball_mid = build(checker(K))
@@ -78,8 +78,9 @@ def main():
                 width=args.size, height=args.size)
     ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
 
-    cfg = InverseConfig(learning_rate=0.03, max_depth=2,
-                        estimator="physical", spp_per_step=4)
+    cfg = InverseConfig(learning_rate=0.02, max_depth=2,
+                        estimator="physical", spp_per_step=16,
+                        spp_cycle=8, decay_steps=args.steps)
 
     @jax.jit
     def render_ref(s, spp0):
@@ -97,11 +98,11 @@ def main():
     scene_true = scene.replace(materials=mats_true)
     target = render_ref(scene_true, 0)
 
-    # initial guess: flat grey texture, roughness 0.08
+    # initial guess: flat grey texture, roughness well above the truth
     n_tex = K * K
     params0 = {
         "texels": jnp.full((n_tex, 3), 0.4, jnp.float32),
-        "alpha": jnp.float32(0.08),
+        "alpha": jnp.float32(0.6),
     }
 
     tex_rows = scene.textures.texels.shape[0]
@@ -163,10 +164,10 @@ def main():
         return (np.clip(a, 0, 1) * 255).astype(np.uint8)
 
     s = args.size
-    panel = np.zeros((s, s * 3 + K * 2 + 16, 3), np.uint8)
-    panel[:, 0:s] = to8(target)
-    panel[:, s:2 * s] = to8(img0)
-    panel[:, 2 * s:3 * s] = to8(img1)
+    panel = np.zeros((max(s, K), s * 3 + K * 2 + 16, 3), np.uint8)
+    panel[:s, 0:s] = to8(target)
+    panel[:s, s:2 * s] = to8(img0)
+    panel[:s, 2 * s:3 * s] = to8(img1)
     panel[:K, 3 * s + 8:3 * s + 8 + K] = (checker(K) * 255).astype(np.uint8)
     panel[:K, 3 * s + K + 16:3 * s + 2 * K + 16] = (
         np.clip(np.asarray(rec["texels"]).reshape(K, K, 3), 0, 1)
