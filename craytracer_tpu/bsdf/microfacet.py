@@ -53,7 +53,11 @@ def distribution_lambda(w, ax, ay, dist):
     abs_tan = jnp.abs(vm.tan_theta(w))
     finite = jnp.isfinite(abs_tan)
     abs_tan = jnp.where(finite, abs_tan, 0.0)  # double-where (see D above)
-    alpha = jnp.sqrt(vm.cos2_phi(w) * ax * ax + vm.sin2_phi(w) * ay * ay)
+    # the 1e-12 floor keeps sqrt off 0 for ZERO input vectors (their
+    # cos2_phi+sin2_phi can be 0): d sqrt(0)/d ax = NaN even on lanes a
+    # later where() discards (the where-NaN-VJP trap)
+    alpha = jnp.sqrt(jnp.maximum(
+        vm.cos2_phi(w) * ax * ax + vm.sin2_phi(w) * ay * ay, 1e-12))
     a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-16)
     # the rational branch is only used for a < 1.6, but it is EVALUATED for
     # all lanes: at a ~ 1e16 its quotient-rule denominator overflows f32 to

@@ -168,13 +168,18 @@ def tan2_theta(w):
 
 
 def cos_phi(w):
+    # s < 1e-6, not == 0: sin_theta's sqrt floor returns ~1e-8 at the
+    # pole, so an equality guard never fires there and BOTH cos_phi and
+    # sin_phi come out ~0 — cos^2+sin^2 = 0 instead of 1, which fed
+    # sqrt(0) in the anisotropic-alpha interpolation and NaN'd reverse
+    # mode w.r.t. roughness (d sqrt(0) = inf). pbrt's pole convention.
     s = sin_theta(w)
-    return jnp.where(s == 0.0, 1.0, jnp.clip(w[..., 0] / _safe(s), -1.0, 1.0))
+    return jnp.where(s < 1e-6, 1.0, jnp.clip(w[..., 0] / _safe(s), -1.0, 1.0))
 
 
 def sin_phi(w):
     s = sin_theta(w)
-    return jnp.where(s == 0.0, 0.0, jnp.clip(w[..., 1] / _safe(s), -1.0, 1.0))
+    return jnp.where(s < 1e-6, 0.0, jnp.clip(w[..., 1] / _safe(s), -1.0, 1.0))
 
 
 def cos2_phi(w):

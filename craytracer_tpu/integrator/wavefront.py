@@ -116,15 +116,26 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
             # (trace.h:316-323); the light strategy has zero density there
             # (e.g. transmission through glass), so BSDF keeps weight 1.
             p_l = jnp.where(vm.dot(d, prev_n) >= 0.0, p_l, 0.0)
+            # Sanitize BEFORE the ratio, not just select after: delta
+            # lobes carry prev_pdf=inf and inf^2/inf^2 = NaN in the
+            # UNSELECTED where-branch, which poisons reverse-mode
+            # gradients through the select (the classic where-NaN-VJP
+            # trap; measured as NaN d(loss)/d(alpha) under mis).
+            pp_s = jnp.where(no_compete | ~jnp.isfinite(prev_pdf),
+                             1.0, prev_pdf)
+            pl_s = jnp.where(no_compete | ~jnp.isfinite(p_l), 0.0, p_l)
             w_emit = jnp.where(
                 no_compete, 1.0,
-                prev_pdf * prev_pdf / jnp.maximum(prev_pdf * prev_pdf + p_l * p_l, 1e-20))
+                pp_s * pp_s / jnp.maximum(pp_s * pp_s + pl_s * pl_s, 1e-20))
+
             add_emit = alive & emissive_hit
             L = L + jnp.where(add_emit[:, None], beta * emitted * w_emit[:, None], 0.0)
             p_env = env_pdf(scene, d, prev_n)
+            pe_s = jnp.where(no_compete | ~jnp.isfinite(p_env), 0.0, p_env)
             w_env = jnp.where(
                 no_compete, 1.0,
-                prev_pdf * prev_pdf / jnp.maximum(prev_pdf * prev_pdf + p_env * p_env, 1e-20))
+                pp_s * pp_s / jnp.maximum(pp_s * pp_s + pe_s * pe_s, 1e-20))
+
             add_env = alive & miss
             L = L + jnp.where(add_env[:, None], beta * env_li * w_env[:, None], 0.0)
         else:
@@ -141,7 +152,15 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         cont = alive & hit.hit_mask & ~emissive_hit & (bounce < max_depth)
 
         # ---- shading frame (computeLocalBasis, trace.h:132-146)
-        ft, fb, fn = vm.make_shading_frame(hit.normal, hit.dpdu)
+        # Miss lanes carry a zero hit normal; build their frame from a
+        # fixed +z instead — every consumer is hit-masked, but garbage
+        # frames NaN reverse mode through the masked branches (0-cotangent
+        # times a NaN partial is NaN; sanitizing inputs is the only cure).
+        safe_n = jnp.where(hit.hit_mask[:, None], hit.normal,
+                           jnp.array([0.0, 0.0, 1.0], hit.normal.dtype))
+        safe_dpdu = jnp.where(hit.hit_mask[:, None], hit.dpdu,
+                              jnp.array([1.0, 0.0, 0.0], hit.dpdu.dtype))
+        ft, fb, fn = vm.make_shading_frame(safe_n, safe_dpdu)
         # Normal mapping (getSmoothTriangleShadeRec, shapes/triangle.cpp:
         # 270-292; matte-only per Material_hasNormalMap, materials.cpp:190-204).
         # Deviation: texels are remapped 2c-1 to tangent-space normals — the
@@ -180,6 +199,14 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
             )
         ls = sample_one_light(scene, u_pick, u_light, hit.point, fn, ft, fb)
         wi_l = vm.to_local(ls.wi, ft, fb, fn)
+        # Lanes with no hit or no valid light sample carry garbage wi/
+        # frames; their f_nee is never USED (want_shadow masks it) but a
+        # NaN produced inside bsdf_f_nodelta's backward still reaches
+        # d/d(material params) through the 0-cotangent product (0*NaN).
+        # Sanitize the INPUT (a post-hoc where cannot help reverse mode).
+        _nee_ok = ls.valid & hit.hit_mask
+        wi_l = jnp.where(_nee_ok[:, None],
+                         wi_l, jnp.array([0.0, 0.0, 1.0], wi_l.dtype))
         if mis:
             f_nee = bsdf_f_nodelta(wi_l, wo_local, mp, present=present) * jnp.abs(vm.dot(fn, ls.wi))[:, None]
         else:
@@ -220,10 +247,23 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
                 jnp.searchsorted(scene.lights.power_cdf, u_pick, side="right"),
                 0, scene.lights.light_type.shape[0] - 1)) if scene.lights.light_type.shape[0] else jnp.zeros_like(hit.mat_id)
             is_delta_l = (ltype_l == T.LIGHT_DIRECTIONAL) | (ltype_l == T.LIGHT_POINT)
-            p_b = bsdf_pdf_balanced(wi_l, wo_local, mp, present=present)
+            # same where-NaN-VJP guard as w_emit, applied to the INPUT:
+            # degenerate NEE samples (invalid lanes carry wi ~ 0) NaN the
+            # half-vector normalize inside the pdf, and a post-hoc select
+            # cannot stop reverse mode from pulling that NaN into
+            # d/d(alpha) — sanitize wi before the primal instead.
+            skip_w = is_delta_l | ~want_shadow
+            up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], wi_l.dtype),
+                                  wi_l.shape)
+            wi_l_s = jnp.where(skip_w[:, None], up, wi_l)
+            p_b = bsdf_pdf_balanced(wi_l_s, wo_local, mp, present=present)
+            pb_s = jnp.where(skip_w | ~jnp.isfinite(p_b), 0.0, p_b)
+            pl2_s = jnp.where(skip_w, 1.0, ls.pdf)
             w_l = jnp.where(
                 is_delta_l, 1.0,
-                ls.pdf * ls.pdf / jnp.maximum(ls.pdf * ls.pdf + p_b * p_b, 1e-20))
+                pl2_s * pl2_s / jnp.maximum(pl2_s * pl2_s + pb_s * pb_s,
+                                            1e-20))
+
             nee_scale = nee_scale * w_l[:, None]
         contrib = jnp.where(
             (want_shadow & lit)[:, None],
@@ -238,6 +278,10 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         u_bsdf = u_all[:, _DIM_BSDF:_DIM_BSDF + 3]
         f_s, wi_local, pdf_s, is_spec, is_glossy = bsdf_sample(
             u_bsdf, wo_local, mp, balanced=mis, present=present)
+        # non-finite sampled pdfs (grazing microfacet denominators) are
+        # dead samples; leaving inf in pdf_s NaNs reverse mode through
+        # every later use (prev_pdf MIS weights) even where-masked
+        pdf_s = jnp.where(jnp.isfinite(pdf_s), pdf_s, 0.0)
         dead_sample = (pdf_s <= 0.0) | ((f_s[:, 0] == 0.0) & (f_s[:, 1] == 0.0)
                                         & (f_s[:, 2] == 0.0))
         wi_world = vm.to_world(wi_local, ft, fb, fn)
@@ -360,7 +404,15 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
     state0 = _init_state(origin, direction, max_depth, pixel_ids)
 
     if not compact_at or compact_at > max_depth or n < 2:
-        state = jax.lax.fori_loop(0, max_depth + 1, body, state0)
+        import os as _os_dbg
+        if _os_dbg.environ.get("CRAY_UNROLL_BOUNCES") == "1":
+            # debug aid: python-unrolled bounce loop so JAX_DEBUG_NANS /
+            # tracebacks point INTO a bounce instead of at the fori_loop
+            state = state0
+            for _b in range(max_depth + 1):
+                state = body(_b, state)
+        else:
+            state = jax.lax.fori_loop(0, max_depth + 1, body, state0)
         L, good = state[3], state[4]
     else:
         from craytracer_tpu.ops.gather import take_rows

@@ -97,6 +97,7 @@ class InverseRenderer:
         self.opt_state = self.opt.init(params0)
         self.step_idx = 0
         self.seed = seed
+        self.nan_steps = 0  # skipped non-finite-gradient steps
         self.history: list = []  # (loss, grad_norm) per step
         self._clip_fn = clip_fn
         target = jnp.asarray(target)
@@ -119,10 +120,21 @@ class InverseRenderer:
         self._value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 
     def step(self):
-        """One optimization step; returns (loss, global_grad_norm)."""
+        """One optimization step; returns (loss, global_grad_norm).
+
+        Non-finite gradients SKIP the update (counted in nan_steps) —
+        the optimizer-side analog of the renderer's NaN recovery
+        (main.cpp:127-136): one bad Monte-Carlo step must not poison
+        the parameter state (Adam moments included)."""
         spp = jnp.int32(self.step_idx % self.config.spp_cycle)
         loss, g = self._value_and_grad(self.params, spp)
         gnorm = optax.global_norm(g)
+        if not bool(jnp.isfinite(gnorm)) or not bool(jnp.isfinite(loss)):
+            self.nan_steps += 1
+            self.step_idx += 1
+            rec = (float(loss), float(gnorm))
+            self.history.append(rec)
+            return rec
         updates, self.opt_state = self.opt.update(g, self.opt_state,
                                                   self.params)
         self.params = optax.apply_updates(self.params, updates)
