@@ -49,6 +49,14 @@ class RenderConfig:
     # every `ansi_every` passes (the only "window" a headless host has).
     ansi_every: int = 0
     ansi_cols: int = 48
+    # Interactive console during the render — the reference's pause key +
+    # click-to-probe of a RUNNING render (main.cpp:41-55,151-167),
+    # re-designed for a terminal: between passes, stdin lines are polled
+    # non-blockingly: "p X,Y" prints the pixel's running accumulator /
+    # mean / tone-mapped value, "pause" blocks until "resume", "stop"
+    # ends the render early (the accumulated state stays valid and can
+    # be checkpointed/resumed).
+    interactive: bool = False
     # Optional table-driven sampler (sampling.tables.SampleTable): the
     # reference's regular/multijittered/Hammersley sample sets
     # (sampling.cpp:169-352) for the film-jitter dimension.
@@ -178,8 +186,60 @@ class Renderer:
                 print(self.ansi_preview(cfg.ansi_cols))
             if progress_cb is not None:
                 progress_cb(s, self.image())
+            if cfg.interactive and self._console(s):
+                # early stop: record the passes actually accumulated
+                self.spp_done = s
+                return self.image()
         self.spp_done += cfg.num_samples
         return self.image()
+
+    def _probe(self, x: int, y: int, spp: int):
+        i = y * self.film.width + x
+        acc = np.asarray(self.accum[i])
+        mean = acc / max(spp, 1)
+        tm = np.asarray(tone_map(jnp.asarray(mean)[None]))[0]
+        print(f"probe ({x},{y}) @ {spp} spp: accum={acc.tolist()} "
+              f"mean={mean.tolist()} tonemapped={tm.tolist()}")
+
+    def _console(self, spp: int) -> bool:
+        """Drain pending stdin commands; returns True on early stop."""
+        import select
+        import sys
+
+        paused = False
+        while True:
+            timeout = None if paused else 0.0
+            r, _, _ = select.select([sys.stdin], [], [], timeout)
+            if not r:
+                return False
+            line = sys.stdin.readline().strip().lower()
+            if not line:
+                if paused:
+                    continue
+                return False
+            if line in ("q", "stop", "quit"):
+                print(f"stopped at {spp} spp (state remains resumable)")
+                return True
+            if line in ("pause", " "):
+                paused = True
+                print(f"paused at {spp} spp — 'p X,Y' to probe, "
+                      "'resume' to continue, 'stop' to end")
+                continue
+            if line in ("resume", "r"):
+                paused = False
+                continue
+            if line.startswith("p"):
+                try:
+                    x, y = (int(v) for v in
+                            line[1:].replace(",", " ").split())
+                    if 0 <= x < self.film.width and 0 <= y < self.film.height:
+                        self._probe(x, y, spp)
+                    else:
+                        print("probe out of bounds")
+                except ValueError:
+                    print("usage: p X,Y")
+                continue
+            print("commands: p X,Y | pause | resume | stop")
 
     def _write_preview(self):
         try:

@@ -35,6 +35,10 @@ def main(argv=None):
                    help="trace B spp per dispatch (TPU: amortizes the "
                         "traversal trip count; same per-sample RNG streams)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--interactive", action="store_true",
+                   help="poll stdin between passes: 'p X,Y' probes the "
+                        "RUNNING render, 'pause'/'resume', 'stop' ends "
+                        "early (main.cpp:41-55,151-167 analog)")
     p.add_argument("--live", type=int, default=0, metavar="K",
                    help="print the running image to the terminal as ANSI "
                         "half-blocks every K passes (headless live view)")
@@ -127,6 +131,7 @@ def main(argv=None):
         tile_pixels=args.tile,
         spp_batch=max(1, args.spp_batch),
         ansi_every=max(0, args.live),
+        interactive=args.interactive,
         log_every=1,
         estimator=args.estimator,
         trace_type=cfg.trace_type if cfg.trace_type in ("PATHTRACE", "WHITTED", "RAYCAST") else "PATHTRACE",
