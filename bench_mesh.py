@@ -190,7 +190,26 @@ def main():
                 f = _jax.jit(lambda tb, o, d: binned_closest_hit(
                     tb, o, d, mxu=True, precision=_lax.Precision.HIGH))
             else:
-                f = _jax.jit(lambda tb, o, d: _b4.bvh4_closest_hit(tb, o, d))
+                # Mirror the production selection (ops/intersect.py): the
+                # Pallas packet kernel engages automatically on TPU when
+                # the fat table is VMEM-resident-sized — probing the XLA
+                # loop instead would abort runs the kernel handles fine.
+                from craytracer_tpu.accel.pallas_bvh4 import fits_vmem
+
+                gate = os.environ.get("CRAYTRACER_PALLAS_TRAVERSAL", "auto")
+                use_pallas = gate == "1" or (
+                    gate != "0" and _jax.default_backend() == "tpu"
+                    and fits_vmem(scene.tri_bvh))
+                if use_pallas:
+                    from craytracer_tpu.accel.pallas_bvh4 import (
+                        pallas_bvh4_closest_hit)
+                    from craytracer_tpu.ops.raysort import sorted_traversal
+
+                    f = _jax.jit(lambda tb, o, d: sorted_traversal(
+                        lambda a, b: pallas_bvh4_closest_hit(tb, a, b), o, d))
+                else:
+                    f = _jax.jit(
+                        lambda tb, o, d: _b4.bvh4_closest_hit(tb, o, d))
             float(f(scene.tri_bvh, op, dp)[0].min())  # compile + warm
             t0 = time.time()
             float(f(scene.tri_bvh, op, dp * (1 + 1e-6))[0].min())

@@ -20,16 +20,21 @@ rays. Camera rays are coherent by construction.
 
 The ENTIRE fat node table rides in VMEM (BlockSpec with a constant index
 map — DMA'd once, resident across grid steps), so the per-pop fetch is
-on-chip: supported tree size is bounded by VMEM (~16 MB ≈ 30k nodes ≈
-230k tris at leaf2); larger scenes keep the XLA path (accel/bvh4.py),
-whose batched HBM gathers are the right tool when the table cannot be
-resident.
+on-chip: supported tree size is bounded by VMEM — 128 MiB on v5e
+(measured, profiling/probe_vmem_limit.py; Mosaic's default limit is
+~16 MiB until compiler_params raises it) ≈ 245k nodes ≈ 1.9M tris at
+leaf2. Larger scenes keep the XLA path (accel/bvh4.py), whose batched
+HBM gathers are the right tool when the table cannot be resident.
 
-Env-gated: set CRAYTRACER_PALLAS_TRAVERSAL=1 to use the compiled kernel
-in intersect_scene (+ CRAYTRACER_RAY_SORT=1 for the coherence sort).
-Gated because large Pallas compiles have wedged the remote-TPU tunnel in
-this environment — interpret mode is always safe and is what CI
-exercises.
+Selection: intersect_scene picks this kernel AUTOMATICALLY on the TPU
+backend when the fat node table fits the VMEM budget (fits_vmem below) —
+measured on hardware 2026-08-19: compiled kernel + coherence sort =
+1.51M rays/s vs 778k for the XLA while-loop on a real 131k-tri render
+(bench_mesh 256^2 depth 4). Env overrides: CRAYTRACER_PALLAS_TRAVERSAL=0
+forces the XLA path, =1 forces the kernel even past the auto criteria;
+CRAYTRACER_RAY_SORT=0 disables the coherence sort (on by default with
+the kernel, a no-op for the monolithic XLA loop). interpret=True is what
+CI exercises on CPU.
 """
 
 from __future__ import annotations
@@ -49,11 +54,33 @@ RAY_BLOCK = 256
 _K_SLOTS = WIDTH * LEAF_SIZE  # default; the kernel factory is leaf-general
 _BIG = 3.0e38  # plain float: jnp scalars would be captured tracer consts
 
+# VMEM on this chip (v5e) is 128 MiB, not the ~16 MiB the generic guide
+# quotes — measured 2026-08-19 (profiling/probe_vmem_limit.py): a 124 MiB
+# fat table compiles and runs once compiler_params raises Mosaic's
+# default vmem limit; without the knob fresh compiles fail above ~16 MiB.
+# Budget 120 MiB of node rows ≈ 245k nodes ≈ 1.9M tris at leaf2; the
+# ray/output blocks and scratch need only a few hundred KiB on top.
+VMEM_FAT_BUDGET_BYTES = 120 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 127 * 1024 * 1024
+
+
+def fits_vmem(bvh: BVH4Arrays) -> bool:
+    """True when the whole fat node table can ride in VMEM (see budget)."""
+    m, w = bvh.fat.shape
+    return m * w * 4 <= VMEM_FAT_BUDGET_BYTES
+
 
 def _make_traversal_kernel(k_slots):
     def kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref):
         return _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref,
                                  stack_ref, k_slots)
+    return kernel
+
+
+def _make_anyhit_kernel(k_slots):
+    def kernel(o_ref, d_ref, md_ref, fat_ref, t_ref, stack_ref):
+        return _anyhit_kernel(o_ref, d_ref, md_ref, fat_ref, t_ref,
+                              stack_ref, k_slots)
     return kernel
 
 
@@ -170,6 +197,136 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
     tri_ref[0, :] = best_tri
 
 
+def _anyhit_kernel(o_ref, d_ref, md_ref, fat_ref, t_ref, stack_ref,
+                   k_slots=_K_SLOTS):
+    """Shadow-ray (occlusion) packet walk: bvh4_any_hit semantics
+    (accel/bvh4.py:425-427) — a lane retires the moment any triangle hit
+    lands under its max_dist, the packet retires when EVERY live lane is
+    occluded or the stack drains, and no child ordering is needed (any
+    hit is as good as the nearest). Returns best_t (TMAX = unoccluded).
+    Padded lanes arrive with md = 0 and count as done from the start."""
+    stack_cap = stack_ref.shape[0]
+    ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+    md = md_ref[0, :]
+
+    def safe(v, eps):
+        return jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
+
+    ivx = 1.0 / safe(dx, 1e-12)
+    ivy = 1.0 / safe(dy, 1e-12)
+    ivz = 1.0 / safe(dz, 1e-12)
+
+    stack_ref[0] = 0  # root
+
+    def done(best_t):
+        return (best_t < md) | (md <= 0.0)
+
+    def cond(state):
+        sp, best_t = state
+        return (sp > 0) & jnp.logical_not(jnp.all(done(best_t)))
+
+    def body(state):
+        sp, best_t = state
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+
+        row = fat_ref[node, :]
+        col = lambda j: row[j]  # noqa: E731
+
+        live = jnp.logical_not(done(best_t))
+        tlimit = jnp.where(live, jnp.minimum(best_t, md), -_BIG)
+
+        hit_any_c, child_c = [], []
+        for c in range(WIDTH):
+            t0x = (col(c * 3 + 0) - ox) * ivx
+            t1x = (col(12 + c * 3 + 0) - ox) * ivx
+            t0y = (col(c * 3 + 1) - oy) * ivy
+            t1y = (col(12 + c * 3 + 1) - oy) * ivy
+            t0z = (col(c * 3 + 2) - oz) * ivz
+            t1z = (col(12 + c * 3 + 2) - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            hit_any_c.append(jnp.any((tn <= tf) & (tf > 0.0) & (tn < tlimit)))
+            child_c.append(col(24 + c).astype(jnp.int32))
+
+        for k in range(k_slots):
+            b = _FAT_TRI0 + k * _TRI_COLS
+            v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
+            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+            tid = col(b + 9).astype(jnp.int32)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / safe(det, 1e-20)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            beta = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+                  & (beta + gamma <= 1.0) & (tt > K_EPSILON)
+                  & (tt < best_t) & (tt < md))
+            best_t = jnp.where(ok, tt, best_t)
+
+        # push internal children the packet wants — unordered (no sorting
+        # network: any-hit does not care which child pops first)
+        for c in range(WIDTH):
+            push = hit_any_c[c] & (child_c[c] >= 0) & (sp < stack_cap)
+            stack_ref[jnp.where(push, sp, 0)] = jnp.where(
+                push, child_c[c], stack_ref[0])
+            sp = sp + push.astype(jnp.int32)
+        return sp, best_t
+
+    n = ox.shape[0]
+    best_t0 = jnp.full((n,), TMAX, jnp.float32)
+    sp, best_t = jax.lax.while_loop(cond, body, (jnp.int32(1), best_t0))
+    t_ref[0, :] = best_t
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def pallas_bvh4_any_hit(bvh: BVH4Arrays, o, d, max_dist,
+                        interpret: bool = False, block: int = RAY_BLOCK):
+    """Drop-in for bvh4_any_hit (returns t; TMAX = unoccluded under
+    max_dist). Same block/VMEM layout story as pallas_bvh4_closest_hit."""
+    n = o.shape[0]
+    pad = (-n) % block
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        # md = 0 marks the padded lanes done from the first cond check
+        max_dist = jnp.concatenate(
+            [max_dist, jnp.zeros((pad,), max_dist.dtype)])
+    blocks = (n + pad) // block
+    stack_cap = min(int(bvh.stack_size), MAX_STACK)
+
+    t = pl.pallas_call(
+        _make_anyhit_kernel(WIDTH * bvh.leaf_size),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((3, block), lambda i: (0, i)),
+            pl.BlockSpec((3, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec(bvh.fat.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, blocks * block), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(o.T, d.T, max_dist.reshape(1, -1), bvh.fat)
+    return t.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))
 def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
                             block: int = RAY_BLOCK):
@@ -220,6 +377,10 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
             jax.ShapeDtypeStruct((1, blocks * block), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32)],
+        # Raise Mosaic's VMEM allocation limit to the chip's real 128 MiB
+        # (minus margin): the default rejects tables above ~16 MiB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(o.T, d.T, bvh.fat)
     return t.reshape(-1)[:n], tri.reshape(-1)[:n]

@@ -555,16 +555,23 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
         elif gid == T.GROUP_TRIANGLE and scene.accel in ("bvh4", "hybrid"):
             import os
 
-            if os.environ.get("CRAYTRACER_PALLAS_TRAVERSAL") == "1":
-                # env-gated compiled Pallas traversal (VMEM-resident node
-                # table; see accel/pallas_bvh4.py for the size bound and
-                # why it is not the default on this environment)
+            from craytracer_tpu.accel.pallas_bvh4 import fits_vmem
+
+            # Compiled Pallas packet kernel: AUTO on the TPU backend when
+            # the fat node table is VMEM-resident-sized (measured ~2x the
+            # XLA while-loop on real renders); env forces either way.
+            gate = os.environ.get("CRAYTRACER_PALLAS_TRAVERSAL", "auto")
+            use_pallas = gate == "1" or (
+                gate != "0"
+                and jax.default_backend() == "tpu"
+                and fits_vmem(scene.tri_bvh))
+            if use_pallas:
                 from craytracer_tpu.accel.pallas_bvh4 import (
                     pallas_bvh4_closest_hit)
 
                 fn = lambda oo, dd: pallas_bvh4_closest_hit(  # noqa: E731
                     scene.tri_bvh, oo, dd)
-                if os.environ.get("CRAYTRACER_RAY_SORT") == "1":
+                if os.environ.get("CRAYTRACER_RAY_SORT", "1") != "0":
                     # coherence reorder: pays only with per-block loops
                     # (ops/raysort.py module docstring)
                     from craytracer_tpu.ops.raysort import sorted_traversal
@@ -662,10 +669,44 @@ def shadow_distance(scene: T.Scene, o, d, max_dist=None) -> jnp.ndarray:
             md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
             best_t = jnp.minimum(best_t, bvh_any_hit(scene.tri_bvh, o, d, md))
         elif gid == T.GROUP_TRIANGLE and scene.accel == "bvh4":
-            from craytracer_tpu.accel.bvh4 import bvh4_any_hit
+            import os
+
+            from craytracer_tpu.accel.pallas_bvh4 import fits_vmem
 
             md = max_dist if max_dist is not None else jnp.full((n,), TMAX)
-            best_t = jnp.minimum(best_t, bvh4_any_hit(scene.tri_bvh, o, d, md))
+            # MEASURED NEGATIVE (2026-08-19, 327k tris, surface->lamp
+            # shadow batch, 47% occluded): XLA any-hit 6.27M rays/s vs
+            # packet kernel 1.20M sorted / 0.14M unsorted — per-LANE early
+            # termination beats per-BLOCK unions for occlusion queries,
+            # the opposite of the closest-hit result. Default stays XLA;
+            # CRAYTRACER_PALLAS_ANYHIT=1 opts the packet kernel in.
+            gate = os.environ.get("CRAYTRACER_PALLAS_ANYHIT", "0")
+            use_pallas = gate == "1" or (
+                gate == "auto"
+                and jax.default_backend() == "tpu"
+                and fits_vmem(scene.tri_bvh))
+            if use_pallas:
+                from craytracer_tpu.accel.pallas_bvh4 import (
+                    pallas_bvh4_any_hit)
+
+                if os.environ.get("CRAYTRACER_RAY_SORT", "1") != "0":
+                    # shadow origins arrive shuffled after bounce 1; the
+                    # packet cost is the per-block UNION of node visits
+                    from craytracer_tpu.ops.raysort import ray_key
+
+                    perm = jnp.argsort(ray_key(o, d))
+                    t_s = pallas_bvh4_any_hit(
+                        scene.tri_bvh, jnp.take(o, perm, axis=0),
+                        jnp.take(d, perm, axis=0), jnp.take(md, perm))
+                    t_pal = jnp.zeros((n,), t_s.dtype).at[perm].set(t_s)
+                else:
+                    t_pal = pallas_bvh4_any_hit(scene.tri_bvh, o, d, md)
+                best_t = jnp.minimum(best_t, t_pal)
+            else:
+                from craytracer_tpu.accel.bvh4 import bvh4_any_hit
+
+                best_t = jnp.minimum(
+                    best_t, bvh4_any_hit(scene.tri_bvh, o, d, md))
         elif gid == T.GROUP_TRIANGLE and scene.accel in ("binned", "hybrid"):
             from craytracer_tpu.accel.binned import binned_any_hit
             from craytracer_tpu.ops.raysort import ray_key

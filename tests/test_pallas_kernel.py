@@ -62,3 +62,35 @@ def test_pallas_bvh4_traversal_matches_xla():
     np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     assert (np.asarray(t0) < 1e8).sum() > 50  # real hits exercised
+
+
+def test_pallas_bvh4_any_hit_matches_xla():
+    """Occlusion packet kernel (accel/pallas_bvh4.py::_anyhit_kernel):
+    interpret-mode equivalence with bvh4_any_hit on occlusion verdicts —
+    the shadow test only consumes (t < max_dist), so verdict equality is
+    the correctness contract (the two may find different occluders)."""
+    import sys
+
+    sys.path.insert(0, "scenes")
+    import numpy as np
+    import jax.numpy as jnp
+    from make_fixtures import icosphere
+
+    from craytracer_tpu.accel.bvh4 import build_bvh4, bvh4_any_hit
+    from craytracer_tpu.accel.pallas_bvh4 import pallas_bvh4_any_hit
+
+    v, f = icosphere(2)
+    bvh = build_bvh4(v[f[:, 0]] * 3, v[f[:, 1]] * 3, v[f[:, 2]] * 3)
+    rng = np.random.default_rng(2)
+    n = 500  # non-multiple of RAY_BLOCK exercises the md=0 padded lanes
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    md = jnp.asarray(rng.uniform(0.5, 20.0, n).astype(np.float32))
+    t0 = bvh4_any_hit(bvh, o, d, md)
+    t1 = pallas_bvh4_any_hit(bvh, o, d, md, interpret=True)
+    occ0 = np.asarray(t0) < np.asarray(md)
+    occ1 = np.asarray(t1) < np.asarray(md)
+    np.testing.assert_array_equal(occ0, occ1)
+    assert occ0.sum() > 50 and (~occ0).sum() > 50  # both verdicts exercised
