@@ -121,6 +121,20 @@ def main():
             if isinstance(tb, BVH4Arrays):
                 scene = scene.replace(tri_bvh=tb.replace(
                     stack_size=_stack_bound(np.asarray(tb.fat))))
+                # caches from before Scene.tri_parts: cut oversized fat
+                # tables for the partitioned packet kernel (build.py does
+                # this for fresh builds)
+                from craytracer_tpu.accel.bvh4_parts import (
+                    PART_BUDGET_BYTES, partition_bvh4)
+
+                if (getattr(scene, "tri_parts", None) is None
+                        and scene.tri_bvh.fat.size * 4 > PART_BUDGET_BYTES):
+                    t0 = time.time()
+                    scene = scene.replace(
+                        tri_parts=partition_bvh4(scene.tri_bvh))
+                    print(f"# partitioned fat table into "
+                          f"{len(scene.tri_parts)} parts in "
+                          f"{time.time() - t0:.1f}s", file=sys.stderr)
             elif isinstance(tb, BVHArrays):
                 scene = scene.replace(tri_bvh=tb.replace(
                     stack_size=_stack_bound_bin(np.asarray(tb.fat))))
@@ -197,10 +211,22 @@ def main():
                 from craytracer_tpu.accel.pallas_bvh4 import fits_vmem
 
                 gate = os.environ.get("CRAYTRACER_PALLAS_TRAVERSAL", "auto")
-                use_pallas = gate == "1" or (
-                    gate != "0" and _jax.default_backend() == "tpu"
-                    and fits_vmem(scene.tri_bvh))
-                if use_pallas:
+                on_tpu = gate == "1" or (gate != "0"
+                                         and _jax.default_backend() == "tpu")
+                use_pallas = on_tpu and fits_vmem(scene.tri_bvh)
+                use_parts = (on_tpu and not use_pallas
+                             and getattr(scene, "tri_parts", None)
+                             is not None)
+                if use_parts:
+                    from craytracer_tpu.accel.bvh4_parts import (
+                        pallas_parts_closest_hit)
+                    from craytracer_tpu.ops.raysort import sorted_traversal
+
+                    parts = scene.tri_parts
+                    f = _jax.jit(lambda tb, o, d: sorted_traversal(
+                        lambda a, b: pallas_parts_closest_hit(parts, a, b),
+                        o, d))
+                elif use_pallas:
                     from craytracer_tpu.accel.pallas_bvh4 import (
                         pallas_bvh4_closest_hit)
                     from craytracer_tpu.ops.raysort import sorted_traversal

@@ -77,6 +77,18 @@ def _make_traversal_kernel(k_slots):
     return kernel
 
 
+def _make_traversal_kernel_init(k_slots):
+    """Variant whose best_t/best_tri start from carried-in rows — the
+    per-part step of the partitioned traversal (accel/bvh4_parts.py):
+    part k prunes against the best hit found in parts 0..k-1."""
+    def kernel(o_ref, d_ref, t0_ref, tri0_ref, fat_ref, t_ref, tri_ref,
+               stack_ref):
+        return _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref,
+                                 stack_ref, k_slots,
+                                 t0_ref=t0_ref, tri0_ref=tri0_ref)
+    return kernel
+
+
 def _make_anyhit_kernel(k_slots):
     def kernel(o_ref, d_ref, md_ref, fat_ref, t_ref, stack_ref):
         return _anyhit_kernel(o_ref, d_ref, md_ref, fat_ref, t_ref,
@@ -85,7 +97,7 @@ def _make_anyhit_kernel(k_slots):
 
 
 def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
-                      k_slots=_K_SLOTS):
+                      k_slots=_K_SLOTS, t0_ref=None, tri0_ref=None):
     """One ray block vs the whole tree. stack_ref: SMEM [stack_cap] i32.
 
     Rays arrive TRANSPOSED ([3, B]) and results leave as a [1, B] row:
@@ -189,12 +201,61 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
         return sp, best_t, best_tri
 
     n = ox.shape[0]
-    best_t0 = jnp.full((n,), TMAX, jnp.float32)
-    best_tri0 = jnp.full((n,), -1, jnp.int32)
+    if t0_ref is None:
+        best_t0 = jnp.full((n,), TMAX, jnp.float32)
+        best_tri0 = jnp.full((n,), -1, jnp.int32)
+    else:
+        best_t0 = t0_ref[0, :]
+        best_tri0 = tri0_ref[0, :]
     sp, best_t, best_tri = jax.lax.while_loop(
         cond, body, (jnp.int32(1), best_t0, best_tri0))
     t_ref[0, :] = best_t
     tri_ref[0, :] = best_tri
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def pallas_bvh4_closest_hit_init(bvh: BVH4Arrays, o, d, t0, tri0,
+                                 interpret: bool = False,
+                                 block: int = RAY_BLOCK):
+    """pallas_bvh4_closest_hit with carried-in (t0, tri0): the winner of
+    previous parts prunes this part's walk (accel/bvh4_parts.py). Padded
+    lanes carry t0 = -1 so their packet slots retire immediately."""
+    n = o.shape[0]
+    pad = (-n) % block
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        # best_t = -1 on padded lanes: every box test has tn >= 0 > -1,
+        # so pads never vote a child in and never win a leaf slot
+        t0 = jnp.concatenate([t0, jnp.full((pad,), -1.0, t0.dtype)])
+        tri0 = jnp.concatenate([tri0, jnp.full((pad,), -1, tri0.dtype)])
+    blocks = (n + pad) // block
+    stack_cap = min(int(bvh.stack_size), MAX_STACK)
+
+    t, tri = pl.pallas_call(
+        _make_traversal_kernel_init(WIDTH * bvh.leaf_size),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((3, block), lambda i: (0, i)),
+            pl.BlockSpec((3, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec(bvh.fat.shape, lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, blocks * block), jnp.float32),
+            jax.ShapeDtypeStruct((1, blocks * block), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(o.T, d.T, t0.reshape(1, -1), tri0.reshape(1, -1), bvh.fat)
+    return t.reshape(-1)[:n], tri.reshape(-1)[:n]
 
 
 def _anyhit_kernel(o_ref, d_ref, md_ref, fat_ref, t_ref, stack_ref,

@@ -534,6 +534,7 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
     # re-derives t/normal/uv from scene.triangles.
     scene = scene.replace(
         tri_bvh=jax.tree.map(jax.lax.stop_gradient, scene.tri_bvh),
+        tri_parts=jax.tree.map(jax.lax.stop_gradient, scene.tri_parts),
         sph_bvh=jax.tree.map(jax.lax.stop_gradient, scene.sph_bvh))
     best_t = jnp.full((n,), TMAX)
     best_group = jnp.full((n,), T.GROUP_NONE, jnp.int32)
@@ -561,16 +562,31 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
             # the fat node table is VMEM-resident-sized (measured ~2x the
             # XLA while-loop on real renders); env forces either way.
             gate = os.environ.get("CRAYTRACER_PALLAS_TRAVERSAL", "auto")
-            use_pallas = gate == "1" or (
-                gate != "0"
-                and jax.default_backend() == "tpu"
-                and fits_vmem(scene.tri_bvh))
-            if use_pallas:
-                from craytracer_tpu.accel.pallas_bvh4 import (
-                    pallas_bvh4_closest_hit)
+            on_tpu = gate == "1" or (gate != "0"
+                                     and jax.default_backend() == "tpu")
+            use_pallas = on_tpu and fits_vmem(scene.tri_bvh)
+            # Past the VMEM bound (San-Miguel scale): partitioned packet
+            # traversal — each part rides VMEM in turn, carrying the best
+            # hit (accel/bvh4_parts.py).
+            use_parts = (on_tpu and not use_pallas
+                         and scene.tri_parts is not None)
+            if use_pallas or use_parts:
+                from craytracer_tpu.accel.pallas_bvh4 import RAY_BLOCK
 
-                fn = lambda oo, dd: pallas_bvh4_closest_hit(  # noqa: E731
-                    scene.tri_bvh, oo, dd)
+                blk = int(os.environ.get("CRAYTRACER_PALLAS_BLOCK",
+                                         str(RAY_BLOCK)))
+                if use_parts:
+                    from craytracer_tpu.accel.bvh4_parts import (
+                        pallas_parts_closest_hit)
+
+                    fn = lambda oo, dd: pallas_parts_closest_hit(  # noqa: E731
+                        scene.tri_parts, oo, dd, block=blk)
+                else:
+                    from craytracer_tpu.accel.pallas_bvh4 import (
+                        pallas_bvh4_closest_hit)
+
+                    fn = lambda oo, dd: pallas_bvh4_closest_hit(  # noqa: E731
+                        scene.tri_bvh, oo, dd, block=blk)
                 if os.environ.get("CRAYTRACER_RAY_SORT", "1") != "0":
                     # coherence reorder: pays only with per-block loops
                     # (ops/raysort.py module docstring)

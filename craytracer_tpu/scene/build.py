@@ -481,6 +481,7 @@ class SceneBuilder:
             accel = "bvh4" if n_tris >= 64 else "none"
         tri_bvh = None
         tri_shadow = None
+        tri_parts = None
         if n_tris == 0:
             accel = "none"
         elif accel == "hybrid":
@@ -523,6 +524,14 @@ class SceneBuilder:
                                  np.asarray(tv[2]), leaf_size=leaf,
                                  split=os.environ.get("CRAY_BVH_SPLIT",
                                                       default_split))
+            # San-Miguel scale: when the fat table exceeds the VMEM part
+            # budget, also cut it into packet-kernel-sized parts (the
+            # monolithic table stays for the XLA/shadow paths).
+            from craytracer_tpu.accel.bvh4_parts import (PART_BUDGET_BYTES,
+                                                         partition_bvh4)
+
+            if tri_bvh.fat.size * 4 > PART_BUDGET_BYTES:
+                tri_parts = partition_bvh4(tri_bvh)
         elif accel == "bvh4q":
             import os
 
@@ -573,8 +582,8 @@ class SceneBuilder:
             spheres=spheres, planes=planes, rects=rects, disks=disks,
             triangles=triangles, instanced=instanced, materials=materials,
             lights=lights, mesh_lights=mesh_lights, env=env, textures=textures,
-            tri_bvh=tri_bvh, tri_shadow=tri_shadow, sph_bvh=sph_bvh,
-            accel=accel,
+            tri_bvh=tri_bvh, tri_shadow=tri_shadow, tri_parts=tri_parts,
+            sph_bvh=sph_bvh, accel=accel,
             mat_types_present=tuple(sorted(
                 int(t) for t in np.unique(np.asarray(materials.mat_type)))),
             light_types_present=tuple(sorted(

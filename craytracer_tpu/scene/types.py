@@ -254,6 +254,12 @@ class Scene:
     # at 327k tris on TPU), while closest-hit bounce rays stay on the
     # fat-row BVH4 (incoherent-robust).
     tri_shadow: object = None
+    # Partitioned fat-row BVH4 (tuple of BVH4Arrays) when the monolithic
+    # table exceeds the VMEM part budget (accel/bvh4_parts.py): the Pallas
+    # packet kernel traverses part-by-part with carried best hit. None for
+    # VMEM-sized scenes; the monolithic tri_bvh is ALWAYS kept alongside
+    # (XLA closest-hit fallback + shadow any-hit consume it).
+    tri_parts: object = None
     # Sphere acceleration (analytic primitives indexed like the reference's
     # grid/BVH hold all object types, scene/scenedata.h:12-18): built for
     # sphere-heavy scenes, None = brute force.
