@@ -40,6 +40,7 @@ CI exercises on CPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -70,22 +71,42 @@ def fits_vmem(bvh: BVH4Arrays) -> bool:
     return m * w * 4 <= VMEM_FAT_BUDGET_BYTES
 
 
-def _make_traversal_kernel(k_slots):
-    def kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref):
+# Per-pop cost knobs (profiling/ablate_pallas_pop.py: at block 256 a full
+# pop costs ~812ns — row load 44, box 22, MT 340, sort network + serial
+# push chain ~406):
+#   push_mode "sorted"  — far-to-near sorting network (the original)
+#   push_mode "fixed"   — push in child order, no network (ablation)
+#   push_mode "culled"  — UNORDERED pushes with parallel prefix offsets
+#                         (no serial sp chain) + the packet-min entry
+#                         distance stored alongside; a pop whose stored
+#                         tn can no longer beat ANY lane's best_t skips
+#                         the whole body via lax.cond. Recovers sorted-
+#                         order pruning without the per-pop network.
+#   mt_skip             — lax.cond around the Moller-Trumbore slots when
+#                         no child of the popped node is a leaf (upper-
+#                         tree pops pay box tests only).
+_PUSH_MODE = os.environ.get("CRAY_PALLAS_PUSH", "culled")
+_MT_SKIP = os.environ.get("CRAY_PALLAS_MTSKIP", "1") == "1"
+
+
+def _make_traversal_kernel(k_slots, push_mode, mt_skip):
+    def kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref, tns_ref):
         return _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref,
-                                 stack_ref, k_slots)
+                                 stack_ref, tns_ref, k_slots,
+                                 push_mode=push_mode, mt_skip=mt_skip)
     return kernel
 
 
-def _make_traversal_kernel_init(k_slots):
+def _make_traversal_kernel_init(k_slots, push_mode, mt_skip):
     """Variant whose best_t/best_tri start from carried-in rows — the
     per-part step of the partitioned traversal (accel/bvh4_parts.py):
     part k prunes against the best hit found in parts 0..k-1."""
     def kernel(o_ref, d_ref, t0_ref, tri0_ref, fat_ref, t_ref, tri_ref,
-               stack_ref):
+               stack_ref, tns_ref):
         return _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref,
-                                 stack_ref, k_slots,
-                                 t0_ref=t0_ref, tri0_ref=tri0_ref)
+                                 stack_ref, tns_ref, k_slots,
+                                 t0_ref=t0_ref, tri0_ref=tri0_ref,
+                                 push_mode=push_mode, mt_skip=mt_skip)
     return kernel
 
 
@@ -97,8 +118,10 @@ def _make_anyhit_kernel(k_slots):
 
 
 def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
-                      k_slots=_K_SLOTS, t0_ref=None, tri0_ref=None):
-    """One ray block vs the whole tree. stack_ref: SMEM [stack_cap] i32.
+                      tns_ref, k_slots=_K_SLOTS, t0_ref=None, tri0_ref=None,
+                      push_mode="sorted", mt_skip=False):
+    """One ray block vs the whole tree. stack_ref: SMEM [stack_cap] i32;
+    tns_ref: SMEM [stack_cap] f32 (packet-min entry t, "culled" mode only).
 
     Rays arrive TRANSPOSED ([3, B]) and results leave as a [1, B] row:
     1-D blocked operands trip an XLA-vs-Mosaic tiling mismatch
@@ -116,16 +139,14 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
     ivz = 1.0 / safe(dz, 1e-12)
 
     stack_ref[0] = 0  # root
+    if push_mode == "culled":
+        tns_ref[0] = -_BIG  # the root is never culled
 
     def cond(state):
         sp, *_ = state
         return sp > 0
 
-    def body(state):
-        sp, best_t, best_tri = state
-        node = stack_ref[sp - 1]
-        sp = sp - 1
-
+    def visit(node, sp, best_t, best_tri):
         row = fat_ref[node, :]  # scalar-indexed row: [FAT_WIDTH]
         col = lambda j: row[j]  # noqa: E731 — scalar columns
 
@@ -151,34 +172,76 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
             hit_any_c.append(jnp.any(lane_hit))
             child_c.append(col(24 + c).astype(jnp.int32))
 
-        # Inlined leaf triangles (every child's, unconditionally: a miss or
-        # pad can never produce a closer valid t), dense Moller-Trumbore
-        # per slot over the lanes.
-        for k in range(k_slots):
-            b = _FAT_TRI0 + k * _TRI_COLS
-            v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
-            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
-            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
-            tid = col(b + 9).astype(jnp.int32)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = 1.0 / safe(det, 1e-20)
-            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-            beta = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            gamma = (dx * qx + dy * qy + dz * qz) * inv_det
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = ((tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
-                  & (beta + gamma <= 1.0) & (tt > K_EPSILON) & (tt < best_t))
-            best_tri = jnp.where(ok, tid, best_tri)
-            best_t = jnp.where(ok, tt, best_t)
+        # Inlined leaf triangles (every child's: a miss or pad can never
+        # produce a closer valid t), dense Moller-Trumbore per slot over
+        # the lanes. With mt_skip, pops whose children are ALL internal
+        # (every slot id < 0) branch around the whole section — upper-tree
+        # pops pay box tests only (~340ns of ~812ns saved at block 256).
+        def run_mt(carry):
+            best_t, best_tri = carry
+            for k in range(k_slots):
+                b = _FAT_TRI0 + k * _TRI_COLS
+                v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
+                e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+                e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+                tid = col(b + 9).astype(jnp.int32)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = 1.0 / safe(det, 1e-20)
+                tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+                beta = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = ((tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+                      & (beta + gamma <= 1.0) & (tt > K_EPSILON)
+                      & (tt < best_t))
+                best_tri = jnp.where(ok, tid, best_tri)
+                best_t = jnp.where(ok, tt, best_t)
+            return best_t, best_tri
 
-        # Push internal children the packet wants, far-to-near by the
-        # packet-min tn (scalar sorting network of 4, nearest on top).
+        if mt_skip:
+            has_leaf = col(_FAT_TRI0 + 9) >= 0
+            for k in range(1, k_slots):
+                has_leaf = has_leaf | (col(_FAT_TRI0 + k * _TRI_COLS + 9)
+                                       >= 0)
+            best_t, best_tri = jax.lax.cond(
+                has_leaf, run_mt, lambda c: c, (best_t, best_tri))
+        else:
+            best_t, best_tri = run_mt((best_t, best_tri))
+
+        if push_mode == "culled":
+            # UNORDERED pushes, parallel prefix offsets: no serial sp
+            # chain and no sorting network. Ordered-traversal pruning is
+            # recovered at POP time — the packet-min entry t rides the
+            # stack and a popped node that cannot beat any lane's best_t
+            # skips its visit entirely (see body()).
+            want = [hit_any_c[c] & (child_c[c] >= 0) for c in range(WIDTH)]
+            wi = [w.astype(jnp.int32) for w in want]
+            off = [jnp.int32(0), wi[0], wi[0] + wi[1], wi[0] + wi[1] + wi[2]]
+            n_push = jnp.int32(0)
+            for c in range(WIDTH):
+                push = want[c] & (sp + off[c] < stack_cap)
+                idx = jnp.where(push, sp + off[c], 0)
+                stack_ref[idx] = jnp.where(push, child_c[c], stack_ref[0])
+                tns_ref[idx] = jnp.where(push, tn_c[c], tns_ref[0])
+                n_push = n_push + push.astype(jnp.int32)
+            return sp + n_push, best_t, best_tri
+
+        if push_mode == "fixed":
+            for c in range(WIDTH):
+                push = hit_any_c[c] & (child_c[c] >= 0) & (sp < stack_cap)
+                stack_ref[jnp.where(push, sp, 0)] = jnp.where(
+                    push, child_c[c], stack_ref[0])
+                sp = sp + push.astype(jnp.int32)
+            return sp, best_t, best_tri
+
+        # "sorted": push far-to-near by the packet-min tn (scalar sorting
+        # network of 4, nearest on top).
         key = [jnp.where(hit_any_c[c] & (child_c[c] >= 0), tn_c[c], -_BIG)
                for c in range(WIDTH)]
         cval = [jnp.where(hit_any_c[c] & (child_c[c] >= 0), child_c[c], -1)
@@ -200,6 +263,21 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
             sp = sp + push.astype(jnp.int32)
         return sp, best_t, best_tri
 
+    def body(state):
+        sp, best_t, best_tri = state
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        if push_mode != "culled":
+            return visit(node, sp, best_t, best_tri)
+        # pop-cull: the stored packet-min entry t can no longer beat any
+        # lane's current best — skip the visit (box+MT+push) outright
+        tnp = tns_ref[sp]
+        return jax.lax.cond(
+            tnp < jnp.max(best_t),
+            lambda a: visit(*a),
+            lambda a: (a[1], a[2], a[3]),
+            (node, sp, best_t, best_tri))
+
     n = ox.shape[0]
     if t0_ref is None:
         best_t0 = jnp.full((n,), TMAX, jnp.float32)
@@ -213,13 +291,18 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
     tri_ref[0, :] = best_tri
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+@functools.partial(jax.jit, static_argnames=("interpret", "block",
+                                             "push_mode", "mt_skip"))
 def pallas_bvh4_closest_hit_init(bvh: BVH4Arrays, o, d, t0, tri0,
                                  interpret: bool = False,
-                                 block: int = RAY_BLOCK):
+                                 block: int = RAY_BLOCK,
+                                 push_mode: str | None = None,
+                                 mt_skip: bool | None = None):
     """pallas_bvh4_closest_hit with carried-in (t0, tri0): the winner of
     previous parts prunes this part's walk (accel/bvh4_parts.py). Padded
     lanes carry t0 = -1 so their packet slots retire immediately."""
+    push_mode = _PUSH_MODE if push_mode is None else push_mode
+    mt_skip = _MT_SKIP if mt_skip is None else mt_skip
     n = o.shape[0]
     pad = (-n) % block
     if pad:
@@ -233,7 +316,8 @@ def pallas_bvh4_closest_hit_init(bvh: BVH4Arrays, o, d, t0, tri0,
     stack_cap = min(int(bvh.stack_size), MAX_STACK)
 
     t, tri = pl.pallas_call(
-        _make_traversal_kernel_init(WIDTH * bvh.leaf_size),
+        _make_traversal_kernel_init(WIDTH * bvh.leaf_size, push_mode,
+                                    mt_skip),
         grid=(blocks,),
         in_specs=[
             pl.BlockSpec((3, block), lambda i: (0, i)),
@@ -250,7 +334,8 @@ def pallas_bvh4_closest_hit_init(bvh: BVH4Arrays, o, d, t0, tri0,
             jax.ShapeDtypeStruct((1, blocks * block), jnp.float32),
             jax.ShapeDtypeStruct((1, blocks * block), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32),
+                        pltpu.SMEM((stack_cap,), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
@@ -388,15 +473,20 @@ def pallas_bvh4_any_hit(bvh: BVH4Arrays, o, d, max_dist,
     return t.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+@functools.partial(jax.jit, static_argnames=("interpret", "block",
+                                             "push_mode", "mt_skip"))
 def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
-                            block: int = RAY_BLOCK):
+                            block: int = RAY_BLOCK,
+                            push_mode: str | None = None,
+                            mt_skip: bool | None = None):
     """Drop-in for bvh4_closest_hit. Pads the ray batch to `block` lanes.
 
     Each grid step runs its OWN packet while-loop over one `block`-lane
     slice, so per-block node-visit unions (not the global max) set the
     cost — pair with ops/raysort.sorted_traversal so coherent rays share
     blocks."""
+    push_mode = _PUSH_MODE if push_mode is None else push_mode
+    mt_skip = _MT_SKIP if mt_skip is None else mt_skip
     n = o.shape[0]
     pad = (-n) % block
     if pad:
@@ -413,7 +503,7 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
     # same reason (1-D f32 blocks hit an XLA T(512) vs Mosaic T(256)
     # layout mismatch).
     t, tri = pl.pallas_call(
-        _make_traversal_kernel(WIDTH * bvh.leaf_size),
+        _make_traversal_kernel(WIDTH * bvh.leaf_size, push_mode, mt_skip),
         grid=(blocks,),
         in_specs=[
             pl.BlockSpec((3, block), lambda i: (0, i)),
@@ -437,7 +527,8 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
             jax.ShapeDtypeStruct((1, blocks * block), jnp.float32),
             jax.ShapeDtypeStruct((1, blocks * block), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32),
+                        pltpu.SMEM((stack_cap,), jnp.float32)],
         # Raise Mosaic's VMEM allocation limit to the chip's real 128 MiB
         # (minus margin): the default rejects tables above ~16 MiB.
         compiler_params=pltpu.CompilerParams(
