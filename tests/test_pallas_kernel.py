@@ -64,6 +64,44 @@ def test_pallas_bvh4_traversal_matches_xla():
     assert (np.asarray(t0) < 1e8).sum() > 50  # real hits exercised
 
 
+def test_pallas_bvh4_push_modes_match_xla():
+    """Every push-mode/mt-skip combination of the packet kernel is
+    t/id-identical to the XLA traversal: "sorted" (far-to-near network),
+    "fixed" (child order), "culled" (unordered + pop-cull) — the pop
+    order must never change WHICH closest hit wins, only how many pops
+    it takes (profiling/ablate_pallas_pop.py measures the cost side)."""
+    import sys
+
+    sys.path.insert(0, "scenes")
+    import numpy as np
+    import jax.numpy as jnp
+    from make_fixtures import icosphere
+
+    from craytracer_tpu.accel.bvh4 import build_bvh4, bvh4_closest_hit
+    from craytracer_tpu.accel.pallas_bvh4 import pallas_bvh4_closest_hit
+
+    v, f = icosphere(2)
+    bvh = build_bvh4(v[f[:, 0]] * 3, v[f[:, 1]] * 3, v[f[:, 2]] * 3)
+    rng = np.random.default_rng(7)
+    n = 500
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t0, i0 = bvh4_closest_hit(bvh, o, d)
+    for push_mode in ("sorted", "fixed", "culled"):
+        for mt_skip in (False, True):
+            t1, i1 = pallas_bvh4_closest_hit(
+                bvh, o, d, interpret=True,
+                push_mode=push_mode, mt_skip=mt_skip)
+            np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                                       rtol=1e-6,
+                                       err_msg=f"{push_mode}/{mt_skip}")
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1),
+                                          err_msg=f"{push_mode}/{mt_skip}")
+    assert (np.asarray(t0) < 1e8).sum() > 50
+
+
 def test_pallas_bvh4_any_hit_matches_xla():
     """Occlusion packet kernel (accel/pallas_bvh4.py::_anyhit_kernel):
     interpret-mode equivalence with bvh4_any_hit on occlusion verdicts —
