@@ -76,6 +76,9 @@ def fits_vmem(bvh: BVH4Arrays) -> bool:
 # push chain ~406):
 #   push_mode "sorted"  — far-to-near sorting network (the original)
 #   push_mode "fixed"   — push in child order, no network (ablation)
+#   push_mode "cnear"   — culled + rank-based far-to-near push offsets
+#                         (nearest child pops first; no sorting network,
+#                         no serial sp chain) — see the kernel body
 #   push_mode "culled"  — UNORDERED pushes with parallel prefix offsets
 #                         (no serial sp chain) + the packet-min entry
 #                         distance stored alongside; a pop whose stored
@@ -121,7 +124,7 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
                       tns_ref, k_slots=_K_SLOTS, t0_ref=None, tri0_ref=None,
                       push_mode="sorted", mt_skip=False):
     """One ray block vs the whole tree. stack_ref: SMEM [stack_cap] i32;
-    tns_ref: SMEM [stack_cap] f32 (packet-min entry t, "culled" mode only).
+    tns_ref: SMEM [stack_cap] f32 (packet-min entry t; culled/cnear modes).
 
     Rays arrive TRANSPOSED ([3, B]) and results leave as a [1, B] row:
     1-D blocked operands trip an XLA-vs-Mosaic tiling mismatch
@@ -139,7 +142,7 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
     ivz = 1.0 / safe(dz, 1e-12)
 
     stack_ref[0] = 0  # root
-    if push_mode == "culled":
+    if push_mode in ("culled", "cnear"):
         tns_ref[0] = -_BIG  # the root is never culled
 
     def cond(state):
@@ -214,7 +217,7 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
         else:
             best_t, best_tri = run_mt((best_t, best_tri))
 
-        if push_mode == "culled":
+        if push_mode in ("culled", "cnear"):
             # UNORDERED pushes, parallel prefix offsets: no serial sp
             # chain and no sorting network. Ordered-traversal pruning is
             # recovered at POP time — the packet-min entry t rides the
@@ -222,7 +225,32 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
             # skips its visit entirely (see body()).
             want = [hit_any_c[c] & (child_c[c] >= 0) for c in range(WIDTH)]
             wi = [w.astype(jnp.int32) for w in want]
-            off = [jnp.int32(0), wi[0], wi[0] + wi[1], wi[0] + wi[1] + wi[2]]
+            if push_mode == "culled":
+                off = [jnp.int32(0), wi[0], wi[0] + wi[1],
+                       wi[0] + wi[1] + wi[2]]
+            else:
+                # "cnear": rank-based far-to-near offsets. Among the
+                # wanted children, a LARGER packet-min entry t gets a
+                # smaller offset (deeper in the stack), so the NEAREST
+                # child lands on top and pops first — sorted-order
+                # pruning recovered with 12 parallel scalar compares
+                # instead of the 5-stage sorting network + serial sp
+                # chain the "sorted" mode pays (~406ns of an ~812ns pop,
+                # profiling/ablate_pallas_pop.py). Composes with the
+                # pop-cull: earlier near pops tighten best_t, so more
+                # later pops cull.
+                key = [jnp.where(want[c], tn_c[c], -_BIG)
+                       for c in range(WIDTH)]
+                off = []
+                for c in range(WIDTH):
+                    r = jnp.int32(0)
+                    for c2 in range(WIDTH):
+                        if c2 == c:
+                            continue
+                        gt = (key[c2] > key[c]) | ((key[c2] == key[c])
+                                                   & (c2 < c))
+                        r = r + (want[c2] & gt).astype(jnp.int32)
+                    off.append(r)
             n_push = jnp.int32(0)
             for c in range(WIDTH):
                 push = want[c] & (sp + off[c] < stack_cap)
@@ -267,7 +295,7 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
         sp, best_t, best_tri = state
         node = stack_ref[sp - 1]
         sp = sp - 1
-        if push_mode != "culled":
+        if push_mode not in ("culled", "cnear"):
             return visit(node, sp, best_t, best_tri)
         # pop-cull: the stored packet-min entry t can no longer beat any
         # lane's current best — skip the visit (box+MT+push) outright

@@ -27,7 +27,7 @@ print('tpu ok', float((jnp.ones((256,256))@jnp.ones((256,256))).sum()))" 2>&1 | 
 echo "== probe =="; probe || exit 1
 
 echo "== 1. push-mode A/B (327k tris, coherent + incoherent) =="
-for push in culled sorted fixed; do
+for push in culled cnear sorted fixed; do
     for inc in "" "--incoherent"; do
         echo "-- push=$push $inc"
         CRAY_PALLAS_PUSH=$push timeout 600 python bench_pallas_traversal.py \

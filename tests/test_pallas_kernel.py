@@ -89,7 +89,7 @@ def test_pallas_bvh4_push_modes_match_xla():
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     d = jnp.asarray(d)
     t0, i0 = bvh4_closest_hit(bvh, o, d)
-    for push_mode in ("sorted", "fixed", "culled"):
+    for push_mode in ("sorted", "fixed", "culled", "cnear"):
         for mt_skip in (False, True):
             t1, i1 = pallas_bvh4_closest_hit(
                 bvh, o, d, interpret=True,
