@@ -1,0 +1,135 @@
+"""Head-to-head vs the reference binary on the SAME scene file.
+
+The reference prints its own render seconds + ray counters
+(main.cpp:319-334); refbuild/run_ref_perf.sh turns that into rays/s.
+This script is the repo side of that comparison: it loads the identical
+scene through the production parser (io/scenefile.py), renders with the
+production wavefront integrator, and counts rays with the same
+definition the reference uses — closest-hit traversals (one per live
+lane per bounce == one intersectTest call per bounce, intersect.h:367)
+plus shadow traversals (one per NEE shadow ray, intersect.h:445).
+
+Timing is two-point slope (3k iters minus k iters) with forced scalar
+readback, per the axon-relay rules in CLAUDE.md.
+
+Usage:
+  python bench_ref_compare.py [--scene scenes/bench_mesh.txt]
+      [--spp 16] [--depth 4] [--accel bvh4] [--cpu] [--image out.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="scenes/bench_mesh.txt")
+    ap.add_argument("--spp", type=int, default=16,
+                    help="spp per timed dispatch (matches the reference "
+                         "config's num_samples for the head-to-head)")
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--accel", default="bvh4")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--spp-batch", type=int, default=1)
+    ap.add_argument("--image", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from craytracer_tpu.camera import generate_rays
+    from craytracer_tpu.integrator.wavefront import CAMERA_BOUNCE, trace_paths
+    from craytracer_tpu.io.scenefile import load_scene_file
+    from craytracer_tpu.sampling import uniforms
+
+    t0 = time.time()
+    scene, cam, film = load_scene_file(args.scene, accel=args.accel)
+    n_tris = int(scene.triangles.mat_id.shape[0])
+    print(f"# scene: {n_tris} tris, loaded+built in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    # Morton pixel order (bit-identical image; compact traversal tiles)
+    w = film.width
+    bits = max(int(np.ceil(np.log2(max(w, 2)))), 1)
+    code = np.arange(1 << (2 * bits), dtype=np.int64)
+    mx = np.zeros_like(code)
+    my = np.zeros_like(code)
+    for bb in range(bits):
+        mx |= ((code >> (2 * bb)) & 1) << bb
+        my |= ((code >> (2 * bb + 1)) & 1) << bb
+    perm = (my * w + mx)[(mx < w) & (my < film.height)].astype(np.int32)
+    ids = jnp.asarray(perm)
+
+    B = max(1, args.spp_batch)
+    npix = film.num_pixels
+    ids_b = jnp.tile(ids, B)
+
+    @jax.jit
+    def passes(scene, s0, iters):
+        def body(s, carry):
+            acc, rays, shadows = carry
+            spp_lane = s0 + s * B + jnp.repeat(
+                jnp.arange(B, dtype=jnp.int32), npix)
+            jitter = uniforms(0, ids_b, spp_lane, CAMERA_BOUNCE, 2, 0)
+            o, d = generate_rays(cam, film, ids_b, jitter)
+            L, good, m = trace_paths(scene, o, d, 0, ids_b, spp_lane,
+                                     args.depth, with_metrics=True)
+            acc = acc + L.reshape(B, npix, 3).sum(axis=0)
+            return acc, rays + m["rays"], shadows + m["shadow_rays"]
+
+        return jax.lax.fori_loop(
+            0, iters, body,
+            (jnp.zeros((npix, 3)), jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32)))
+
+    iters = max(1, args.spp // B)
+    base = int(time.time()) % 1000000  # defeat the relay result cache
+    acc, rays, shadows = passes(scene, base, iters)
+    float(acc.mean())  # warm + forced readback
+
+    def timed(s0, it):
+        t0 = time.time()
+        acc, rays, shadows = passes(scene, s0, it)
+        float(acc.mean())
+        return time.time() - t0, int(rays), int(shadows), acc
+
+    rps_best, best = 0.0, None
+    for rep in range(2):
+        dt1, r1, s1, _ = timed(base + (4 * rep + 1) * iters, iters)
+        dt3, r3, s3, acc = timed(base + (4 * rep + 2) * iters, 3 * iters)
+        if dt3 > dt1:
+            rps = ((r3 + s3) - (r1 + s1)) / (dt3 - dt1)
+            if rps > rps_best:
+                rps_best = rps
+                best = (dt3, r3, s3)
+    assert not bool(jnp.isnan(acc).any())
+    dt3, r3, s3 = best
+    print(json.dumps({
+        "binary": "craytracer_tpu", "scene": args.scene, "tris": n_tris,
+        "spp": args.spp, "depth": args.depth, "accel": args.accel,
+        "backend": jax.default_backend(),
+        "closest_rays": r3 // 3, "shadow_rays": s3 // 3,
+        "rays_per_sec": round(rps_best, 1)}))
+    if args.image:
+        from PIL import Image
+
+        from craytracer_tpu.utils.tonemap import tone_map
+
+        img_flat = np.asarray(tone_map(acc / (3 * iters)))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.shape[0], dtype=np.int32)
+        img = img_flat[inv].reshape(film.height, film.width, 3)
+        Image.fromarray(
+            (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(args.image)
+
+
+if __name__ == "__main__":
+    main()

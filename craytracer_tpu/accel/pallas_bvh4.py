@@ -88,7 +88,13 @@ def fits_vmem(bvh: BVH4Arrays) -> bool:
 #   mt_skip             — lax.cond around the Moller-Trumbore slots when
 #                         no child of the popped node is a leaf (upper-
 #                         tree pops pay box tests only).
+PUSH_MODES = ("sorted", "fixed", "culled", "cnear")
 _PUSH_MODE = os.environ.get("CRAY_PALLAS_PUSH", "culled")
+if _PUSH_MODE not in PUSH_MODES:
+    # An unknown mode would silently fall through to the 'sorted' branch
+    # chain and benchmark the wrong variant (e.g. the simulator-only
+    # 'cnearb'); fail loudly at import instead.
+    raise ValueError(f"CRAY_PALLAS_PUSH={_PUSH_MODE!r} not in {PUSH_MODES}")
 _MT_SKIP = os.environ.get("CRAY_PALLAS_MTSKIP", "1") == "1"
 
 
@@ -330,6 +336,8 @@ def pallas_bvh4_closest_hit_init(bvh: BVH4Arrays, o, d, t0, tri0,
     previous parts prunes this part's walk (accel/bvh4_parts.py). Padded
     lanes carry t0 = -1 so their packet slots retire immediately."""
     push_mode = _PUSH_MODE if push_mode is None else push_mode
+    if push_mode not in PUSH_MODES:
+        raise ValueError(f"push_mode={push_mode!r} not in {PUSH_MODES}")
     mt_skip = _MT_SKIP if mt_skip is None else mt_skip
     n = o.shape[0]
     pad = (-n) % block
@@ -514,6 +522,8 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
     cost — pair with ops/raysort.sorted_traversal so coherent rays share
     blocks."""
     push_mode = _PUSH_MODE if push_mode is None else push_mode
+    if push_mode not in PUSH_MODES:
+        raise ValueError(f"push_mode={push_mode!r} not in {PUSH_MODES}")
     mt_skip = _MT_SKIP if mt_skip is None else mt_skip
     n = o.shape[0]
     pad = (-n) % block

@@ -12,6 +12,9 @@ ranks the modes without a TPU in the loop:
   culled  child-order pushes + pop-time cull (packet-min entry t vs the
           block's max best_t)
   cnear   far-to-near rank offsets + pop-time cull (the round-3 mode)
+  cnearb  cnear + per-lane scene-exit bound tightening the cull —
+          SIMULATION-ONLY: no kernel implements this mode (its
+          numbers are a what-if, not a runnable configuration)
 
 Counts reported per mode: full visits (box+MT+push body), culled pops
 (cheap lax.cond skips), and leaf visits (the MT section runs — with
@@ -80,9 +83,13 @@ def gen_rays(n_rays: int, ext: float, incoherent: bool, seed: int = 3):
     return o.astype(np.float32), d.astype(np.float32)
 
 
-def simulate_block(fat, o, d, mode: str, k_slots: int, eps=1e-4):
+def simulate_block(fat, o, d, mode: str, k_slots: int, eps=None):
     """One block of rays through the kernel's control flow; numpy lanes."""
     from craytracer_tpu.accel.bvh4 import _FAT_TRI0, _TRI_COLS, WIDTH
+    from craytracer_tpu.constants import K_EPSILON
+
+    if eps is None:
+        eps = K_EPSILON  # match the kernel's triangle-hit epsilon exactly
 
     BIG = 3.0e38
     iv = 1.0 / np.where(np.abs(d) < 1e-12, np.where(d < 0, -1e-12, 1e-12), d)
@@ -176,7 +183,7 @@ def main():
         perm = np.argsort(np.asarray(ray_key(o, d)))  # the production sort
         o, d = o[perm], d[perm]
         rows = {}
-        for mode in ("fixed", "sorted", "culled", "cnear", "cnearb"):
+        for mode in ("fixed", "sorted", "culled", "cnear", "cnearb"):  # cnearb: simulation-only (no kernel mode)
             tot = np.zeros(3, np.int64)
             for b0 in range(0, args.rays, args.block):
                 tot += simulate_block(fat, o[b0:b0 + args.block],

@@ -67,7 +67,8 @@ def test_pallas_bvh4_traversal_matches_xla():
 def test_pallas_bvh4_push_modes_match_xla():
     """Every push-mode/mt-skip combination of the packet kernel is
     t/id-identical to the XLA traversal: "sorted" (far-to-near network),
-    "fixed" (child order), "culled" (unordered + pop-cull) — the pop
+    "fixed" (child order), "culled" (unordered + pop-cull), "cnear"
+    (rank-offset far-to-near + pop-cull) — the pop
     order must never change WHICH closest hit wins, only how many pops
     it takes (profiling/ablate_pallas_pop.py measures the cost side)."""
     import sys
