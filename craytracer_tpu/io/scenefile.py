@@ -248,6 +248,58 @@ def _parse_object(builder: SceneBuilder, obj_type: str, kv: dict, search_dirs):
         _parse_mesh(builder, kv, mat, search_dirs)
 
 
+def _ns_to_roughness(ns: float) -> float:
+    """Phong exponent -> microfacet roughness (the usual sqrt(2/(Ns+2))
+    mapping); clamped away from 0 so Ns=1000 stays a finite lobe."""
+    import math
+
+    return max(0.01, math.sqrt(2.0 / (max(ns, 0.0) + 2.0)))
+
+
+def _mtl_material_name(builder: SceneBuilder, m, base_dir, search_dirs) -> str:
+    """Bind an OBJ/MTL material to a scene material — the per-group path
+    the reference parses but then discards (loadMTL at
+    objloader/objloader.h:487+; the binding itself is commented out "for
+    now" at buildscene.h:232-239, so this is a beyond-reference feature
+    gated behind `MATERIAL FROM_MTL` in a MESH entry).
+
+    Mapping into the reference's material taxonomy (materials.h:8-25):
+    Ke>0 -> EMISSIVE; illum 7 / transmissive -> GLASS(Ni); a name that
+    matches a metal preset or illum 3/5 -> METAL/MIRROR (MTL cannot carry
+    spectral eta/k, so named presets mirror materials.cpp:5-20); Ks
+    significant -> PLASTIC(Kd, Ks, Ns); else MATTE(Kd) — with map_Kd and
+    map_bump wired to the texture pipeline (texture.cpp:27-86 analog)."""
+    from craytracer_tpu.scene.build import METAL_PRESETS
+
+    name = "mtl:" + (m.name or "__nameless__")
+    if name in builder._mat_index:
+        return name
+    dirs = [base_dir] + list(search_dirs)
+    diffuse_tex = _load_texture(builder, m.map_kd, dirs) if m.map_kd else -1
+    normal_tex = _load_texture(builder, m.map_bump, dirs) if m.map_bump else -1
+    ke = max(m.ke)
+    ks = max(m.ks)
+    if ke > 0.0:
+        builder.add_emissive(name, color=tuple(c / ke for c in m.ke),
+                             intensity=float(ke))
+    elif m.illum == 7 or (m.d < 1.0 and m.ni != 1.0):
+        builder.add_glass(name, roughness=0.0 if m.ns <= 0 else _ns_to_roughness(m.ns),
+                          ior_in=m.ni if m.ni > 1.0 else 1.5)
+    elif m.name.upper() in METAL_PRESETS:
+        builder.add_metal(name, preset=m.name.upper(),
+                          roughness=_ns_to_roughness(m.ns))
+    elif m.illum in (3, 5):
+        builder.add_mirror(name, color=m.ks if ks > 0 else (1.0, 1.0, 1.0))
+    elif ks > 0.05:
+        builder.add_plastic(name, kd=m.kd, ks=m.ks,
+                            roughness=_ns_to_roughness(m.ns),
+                            diffuse_tex=diffuse_tex)
+    else:
+        builder.add_matte(name, color=m.kd, diffuse_tex=diffuse_tex,
+                          normal_tex=normal_tex)
+    return name
+
+
 def _parse_mesh(builder: SceneBuilder, kv: dict, mat, search_dirs):
     from craytracer_tpu.io.objloader import compute_vertex_normals, load_obj
 
@@ -261,13 +313,20 @@ def _parse_mesh(builder: SceneBuilder, kv: dict, mat, search_dirs):
     if path is None:
         return  # missing mesh files are skipped (the reference errors out)
     smooth = (kv.get("SMOOTH") or ["no"])[0] == "yes"
-    shapes, _ = load_obj(path)
+    shapes, mtl_mats = load_obj(path)
+    from_mtl = mat == "FROM_MTL"
+    base_dir = os.path.dirname(path)
     for shape in shapes:
         normals = shape.normals
         if smooth and normals is None:
             normals = compute_vertex_normals(shape.positions, shape.indices)
+        shape_mat = mat
+        if from_mtl:
+            m = mtl_mats.get(shape.mat_name)
+            shape_mat = (_mtl_material_name(builder, m, base_dir, search_dirs)
+                         if m is not None else "__default__")
         builder.add_mesh(
-            shape.positions, shape.indices, mat,
+            shape.positions, shape.indices, shape_mat,
             normals=normals, uvs=shape.texcoords, smooth=smooth,
             scaling=_vec3_from(kv.get("SCALING"), (1, 1, 1)),
             location=_vec3_from(kv.get("LOCATION")),

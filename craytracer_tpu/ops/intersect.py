@@ -575,18 +575,24 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
 
                 blk = int(os.environ.get("CRAYTRACER_PALLAS_BLOCK",
                                          str(RAY_BLOCK)))
+                # CRAYTRACER_PALLAS_INTERPRET=1 runs the kernel in
+                # interpret mode — lets CI/dryruns exercise the
+                # PRODUCTION kernel selection on the CPU backend (pair
+                # with CRAYTRACER_PALLAS_TRAVERSAL=1)
+                interp = os.environ.get(
+                    "CRAYTRACER_PALLAS_INTERPRET", "0") == "1"
                 if use_parts:
                     from craytracer_tpu.accel.bvh4_parts import (
                         pallas_parts_closest_hit)
 
                     fn = lambda oo, dd: pallas_parts_closest_hit(  # noqa: E731
-                        scene.tri_parts, oo, dd, block=blk)
+                        scene.tri_parts, oo, dd, block=blk, interpret=interp)
                 else:
                     from craytracer_tpu.accel.pallas_bvh4 import (
                         pallas_bvh4_closest_hit)
 
                     fn = lambda oo, dd: pallas_bvh4_closest_hit(  # noqa: E731
-                        scene.tri_bvh, oo, dd, block=blk)
+                        scene.tri_bvh, oo, dd, block=blk, interpret=interp)
                 if os.environ.get("CRAYTRACER_RAY_SORT", "1") != "0":
                     # coherence reorder: pays only with per-block loops
                     # (ops/raysort.py module docstring)
