@@ -73,7 +73,7 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
     # Static lobe gate: material types absent from the scene compile away.
     present = frozenset(scene.mat_types_present) or None
 
-    def step(bounce, state):
+    def step(bounce, state, cam0: bool = False):
         (o, d, beta, L, good, alive, prev_sg, rays, shadows, live_hist,
          prev_pdf, prev_delta, prev_n, pix, lane) = state
 
@@ -81,8 +81,10 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         # intersect_scene detaches the discrete search and re-derives
         # t/normal/uv differentiably for the winning primitive (implicit-
         # function reparametrization), so interior gradients flow w.r.t.
-        # camera rays and scene geometry.
-        hit = intersect_scene(scene, o, d)
+        # camera rays and scene geometry. `cam0` marks the peeled bounce-0
+        # call: Morton-tiled camera rays may take the coherent-tile accel
+        # (T.Scene.tri_cam).
+        hit = intersect_scene(scene, o, d, camera_coherent=cam0)
         if geom_axis is not None:
             # Geometry sharding (SURVEY.md §5.7, the SP/CP analog): this
             # device only holds a triangle shard; argmin-reduce the per-
@@ -403,21 +405,35 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
     n = origin.shape[0]
     state0 = _init_state(origin, direction, max_depth, pixel_ids)
 
+    # Bounce-0 peel: when the scene carries a camera-bounce accel
+    # (tri_cam), the first bounce runs OUTSIDE the fori_loop with the
+    # coherent-tile traversal; bounces 1.. keep the loop body. The peel
+    # costs one extra trace of the step at compile time.
+    first_bounce = 0
+    if scene.tri_cam is not None:
+        if remat:
+            ckpt0 = jax.checkpoint(lambda st: step(0, st, cam0=True)[0])
+            state0 = ckpt0(state0)
+        else:
+            state0 = step(0, state0, cam0=True)[0]
+        first_bounce = 1
+
     if not compact_at or compact_at > max_depth or n < 2:
         import os as _os_dbg
         if _os_dbg.environ.get("CRAY_UNROLL_BOUNCES") == "1":
             # debug aid: python-unrolled bounce loop so JAX_DEBUG_NANS /
             # tracebacks point INTO a bounce instead of at the fori_loop
             state = state0
-            for _b in range(max_depth + 1):
+            for _b in range(first_bounce, max_depth + 1):
                 state = body(_b, state)
         else:
-            state = jax.lax.fori_loop(0, max_depth + 1, body, state0)
+            state = jax.lax.fori_loop(first_bounce, max_depth + 1, body,
+                                      state0)
         L, good = state[3], state[4]
     else:
         from craytracer_tpu.ops.gather import take_rows
 
-        state = jax.lax.fori_loop(0, compact_at, body, state0)
+        state = jax.lax.fori_loop(first_bounce, compact_at, body, state0)
         alive = state[5]
         order = jnp.argsort(~alive, stable=True)  # alive lanes first
         permuted = take_rows(order, tuple(state[i] for i in _LANE_IDX))

@@ -515,10 +515,17 @@ def _group_size(scene, name):
     return getattr(scene, name).mat_id.shape[0]
 
 
-def intersect_scene(scene: T.Scene, o, d) -> Hit:
+def intersect_scene(scene: T.Scene, o, d, camera_coherent: bool = False) -> Hit:
     """Closest hit across all primitive groups. Triangles go through the
     accel backend selected statically by scene.accel; analytic primitives
     (few in every scene) are always brute-forced.
+
+    `camera_coherent=True` marks the batch as Morton-tiled camera-bounce
+    rays: when the scene carries a bounce-0 binned table (T.Scene.tri_cam,
+    CRAY_CAM_BINNED=1) the triangles group takes the treelet-vote MXU
+    traversal, whose block-synchronous cost model wins ~5x on compact
+    coherent tiles and loses on incoherent bounce rays (accel/binned.py
+    measurements) — bounce>=1 batches keep the fat-row/packet path.
 
     Differentiability: the SEARCH (which primitive, at what distance) is
     detached; the FILL re-derives t/normal/uv differentiably for the
@@ -552,6 +559,14 @@ def intersect_scene(scene: T.Scene, o, d) -> Hit:
             from craytracer_tpu.accel.bvh import bvh_closest_hit
 
             gmin, gidx = bvh_closest_hit(scene.tri_bvh, o_s, d_s)
+            gidx = jnp.maximum(gidx, 0)
+        elif (gid == T.GROUP_TRIANGLE and camera_coherent
+                and scene.tri_cam is not None):
+            from craytracer_tpu.accel.binned import binned_closest_hit
+
+            gmin, gidx = binned_closest_hit(scene.tri_cam, o_s, d_s,
+                                            mxu=True,
+                                            precision=jax.lax.Precision.HIGH)
             gidx = jnp.maximum(gidx, 0)
         elif gid == T.GROUP_TRIANGLE and scene.accel in ("bvh4", "hybrid"):
             import os

@@ -482,6 +482,7 @@ class SceneBuilder:
         tri_bvh = None
         tri_shadow = None
         tri_parts = None
+        tri_cam = None
         if n_tris == 0:
             accel = "none"
         elif accel == "hybrid":
@@ -532,6 +533,16 @@ class SceneBuilder:
 
             if tri_bvh.fat.size * 4 > PART_BUDGET_BYTES:
                 tri_parts = partition_bvh4(tri_bvh)
+            # Camera-bounce binned table (T.Scene.tri_cam): opt-in while
+            # the end-to-end win is being measured (CRAY_CAM_BINNED=1)
+            if os.environ.get("CRAY_CAM_BINNED", "0") == "1":
+                from craytracer_tpu.accel.binned import build_binned
+
+                tri_cam = build_binned(
+                    np.asarray(tv[0]), np.asarray(tv[1]), np.asarray(tv[2]),
+                    L=int(os.environ.get("CRAY_BINNED_L", "512")),
+                    split=os.environ.get("CRAY_BVH_SPLIT", default_split),
+                    mxu=os.environ.get("CRAY_BINNED_MXU", "1") == "1")
         elif accel == "bvh4q":
             import os
 
@@ -583,6 +594,7 @@ class SceneBuilder:
             triangles=triangles, instanced=instanced, materials=materials,
             lights=lights, mesh_lights=mesh_lights, env=env, textures=textures,
             tri_bvh=tri_bvh, tri_shadow=tri_shadow, tri_parts=tri_parts,
+            tri_cam=tri_cam,
             sph_bvh=sph_bvh, accel=accel,
             mat_types_present=tuple(sorted(
                 int(t) for t in np.unique(np.asarray(materials.mat_type)))),

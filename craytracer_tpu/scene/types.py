@@ -260,6 +260,12 @@ class Scene:
     # VMEM-sized scenes; the monolithic tri_bvh is ALWAYS kept alongside
     # (XLA closest-hit fallback + shadow any-hit consume it).
     tri_parts: object = None
+    # Camera-bounce closest-hit accel (CRAY_CAM_BINNED=1): BinnedArrays
+    # consumed ONLY for bounce-0 rays, which are Morton-tiled camera
+    # bundles — the binned treelet traversal's best case (measured 5.16M
+    # vs 1.04M rays/s traversal-only on coherent tiles, accel/binned.py)
+    # while bounce>=1 rays stay on the fat-row BVH4 / packet kernel.
+    tri_cam: object = None
     # Sphere acceleration (analytic primitives indexed like the reference's
     # grid/BVH hold all object types, scene/scenedata.h:12-18): built for
     # sphere-heavy scenes, None = brute force.
