@@ -95,7 +95,10 @@ if _PUSH_MODE not in PUSH_MODES:
     # chain and benchmark the wrong variant (e.g. the simulator-only
     # 'cnearb'); fail loudly at import instead.
     raise ValueError(f"CRAY_PALLAS_PUSH={_PUSH_MODE!r} not in {PUSH_MODES}")
-_MT_SKIP = os.environ.get("CRAY_PALLAS_MTSKIP", "1") == "1"
+# CRAY_PALLAS_MTSKIP: "1" = whole-section cond (default), "child" =
+# per-child cond + box-vote gating (exact; see kernel body), "0" = dense
+_MT_SKIP_ENV = os.environ.get("CRAY_PALLAS_MTSKIP", "1")
+_MT_SKIP = "child" if _MT_SKIP_ENV == "child" else _MT_SKIP_ENV == "1"
 
 
 def _make_traversal_kernel(k_slots, push_mode, mt_skip):
@@ -186,34 +189,55 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
         # the lanes. With mt_skip, pops whose children are ALL internal
         # (every slot id < 0) branch around the whole section — upper-tree
         # pops pay box tests only (~340ns of ~812ns saved at block 256).
-        def run_mt(carry):
-            best_t, best_tri = carry
-            for k in range(k_slots):
-                b = _FAT_TRI0 + k * _TRI_COLS
-                v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
-                e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
-                e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
-                tid = col(b + 9).astype(jnp.int32)
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = 1.0 / safe(det, 1e-20)
-                tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-                beta = (tx * px + ty * py + tz * pz) * inv_det
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                gamma = (dx * qx + dy * qy + dz * qz) * inv_det
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = ((tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
-                      & (beta + gamma <= 1.0) & (tt > K_EPSILON)
-                      & (tt < best_t))
-                best_tri = jnp.where(ok, tid, best_tri)
-                best_t = jnp.where(ok, tt, best_t)
-            return best_t, best_tri
+        def mt_slots(lo, hi):
+            def run(carry):
+                best_t, best_tri = carry
+                for k in range(lo, hi):
+                    b = _FAT_TRI0 + k * _TRI_COLS
+                    v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
+                    e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+                    e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+                    tid = col(b + 9).astype(jnp.int32)
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = 1.0 / safe(det, 1e-20)
+                    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+                    beta = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = ((tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+                          & (beta + gamma <= 1.0) & (tt > K_EPSILON)
+                          & (tt < best_t))
+                    best_tri = jnp.where(ok, tid, best_tri)
+                    best_t = jnp.where(ok, tt, best_t)
+                return best_t, best_tri
+            return run
 
-        if mt_skip:
+        if mt_skip == "child":
+            # Per-CHILD MT gating (exact, not heuristic): child c's slots
+            # run only when (a) its first slot holds a triangle AND (b)
+            # ANY lane entered its box this pop — a box no lane entered
+            # cannot contain a winning triangle (tri t >= the lane's box
+            # entry t >= best_t for culled lanes; a full box miss bounds
+            # every contained tri out). Tree stats (327k-tri mesh): leaf
+            # pops average 5 occupied of 8 slots across 3 leaf children,
+            # and deep pops usually enter 1-2 children, so this skips
+            # most of the ~340ns dense-MT section without changing any
+            # result.
+            leaf_l = k_slots // WIDTH
+            for c in range(WIDTH):
+                pc = ((col(_FAT_TRI0 + (c * leaf_l) * _TRI_COLS + 9) >= 0)
+                      & hit_any_c[c])
+                best_t, best_tri = jax.lax.cond(
+                    pc, mt_slots(c * leaf_l, (c + 1) * leaf_l),
+                    lambda cr: cr, (best_t, best_tri))
+        elif mt_skip:
+            run_mt = mt_slots(0, k_slots)
             has_leaf = col(_FAT_TRI0 + 9) >= 0
             for k in range(1, k_slots):
                 has_leaf = has_leaf | (col(_FAT_TRI0 + k * _TRI_COLS + 9)
@@ -221,7 +245,7 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
             best_t, best_tri = jax.lax.cond(
                 has_leaf, run_mt, lambda c: c, (best_t, best_tri))
         else:
-            best_t, best_tri = run_mt((best_t, best_tri))
+            best_t, best_tri = mt_slots(0, k_slots)((best_t, best_tri))
 
         if push_mode in ("culled", "cnear"):
             # UNORDERED pushes, parallel prefix offsets: no serial sp

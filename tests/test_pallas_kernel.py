@@ -68,7 +68,8 @@ def test_pallas_bvh4_push_modes_match_xla():
     """Every push-mode/mt-skip combination of the packet kernel is
     t/id-identical to the XLA traversal: "sorted" (far-to-near network),
     "fixed" (child order), "culled" (unordered + pop-cull), "cnear"
-    (rank-offset far-to-near + pop-cull) — the pop
+    (rank-offset far-to-near + pop-cull) — x mt_skip off/on/"child"
+    (per-child box-vote MT gating) — the pop
     order must never change WHICH closest hit wins, only how many pops
     it takes (profiling/ablate_pallas_pop.py measures the cost side)."""
     import sys
@@ -91,7 +92,7 @@ def test_pallas_bvh4_push_modes_match_xla():
     d = jnp.asarray(d)
     t0, i0 = bvh4_closest_hit(bvh, o, d)
     for push_mode in ("sorted", "fixed", "culled", "cnear"):
-        for mt_skip in (False, True):
+        for mt_skip in (False, True, "child"):
             t1, i1 = pallas_bvh4_closest_hit(
                 bvh, o, d, interpret=True,
                 push_mode=push_mode, mt_skip=mt_skip)
