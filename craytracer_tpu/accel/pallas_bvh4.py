@@ -51,7 +51,12 @@ from craytracer_tpu.constants import K_EPSILON, TMAX
 from craytracer_tpu.accel.bvh import LEAF_SIZE, MAX_STACK
 from craytracer_tpu.accel.bvh4 import _FAT_TRI0, _TRI_COLS, WIDTH, BVH4Arrays
 
-RAY_BLOCK = 256
+# Block width tuned end-to-end on hardware (2026-08-20, 327k-tri render,
+# bench_ref_compare.py matrix): 256->2048 lanes is +44% — [B]-lane vector
+# ops below 1024 underfill the VPU's native (8,128) tile and the per-pop
+# scalar work amortizes over 8x more lanes; 4096 gives the union growth
+# back. Overridable per-call (block=) or via CRAYTRACER_PALLAS_BLOCK.
+RAY_BLOCK = 2048
 _K_SLOTS = WIDTH * LEAF_SIZE  # default; the kernel factory is leaf-general
 _BIG = 3.0e38  # plain float: jnp scalars would be captured tracer consts
 
@@ -71,9 +76,16 @@ def fits_vmem(bvh: BVH4Arrays) -> bool:
     return m * w * 4 <= VMEM_FAT_BUDGET_BYTES
 
 
-# Per-pop cost knobs (profiling/ablate_pallas_pop.py: at block 256 a full
-# pop costs ~812ns — row load 44, box 22, MT 340, sort network + serial
-# push chain ~406):
+# Per-pop cost knobs. ROUND-4 RE-TUNE (hardware, end-to-end production
+# renders at block 2048): push="sorted" + mt_skip OFF is the fastest
+# combination — at wide blocks the scalar sorting network/push chain is
+# amortized over 8x more vector lanes and near-first pop order cuts pops
+# (culled 967k -> sorted 1.165M rays/s), while every lax.cond variant
+# (mt_skip, mt_skip='child') costs more in scalar-branch serialization
+# than the vector work it skips (1.190M with dense MT). The round-3
+# defaults (culled + mt_skip) were tuned at block 256, where the
+# opposite held (profiling/ablate_pallas_pop.py: ~812ns pop — row 44,
+# box 22, MT 340, sort network + serial push chain ~406):
 #   push_mode "sorted"  — far-to-near sorting network (the original)
 #   push_mode "fixed"   — push in child order, no network (ablation)
 #   push_mode "cnear"   — culled + rank-based far-to-near push offsets
@@ -89,7 +101,7 @@ def fits_vmem(bvh: BVH4Arrays) -> bool:
 #                         no child of the popped node is a leaf (upper-
 #                         tree pops pay box tests only).
 PUSH_MODES = ("sorted", "fixed", "culled", "cnear")
-_PUSH_MODE = os.environ.get("CRAY_PALLAS_PUSH", "culled")
+_PUSH_MODE = os.environ.get("CRAY_PALLAS_PUSH", "sorted")
 if _PUSH_MODE not in PUSH_MODES:
     # An unknown mode would silently fall through to the 'sorted' branch
     # chain and benchmark the wrong variant (e.g. the simulator-only
@@ -97,7 +109,7 @@ if _PUSH_MODE not in PUSH_MODES:
     raise ValueError(f"CRAY_PALLAS_PUSH={_PUSH_MODE!r} not in {PUSH_MODES}")
 # CRAY_PALLAS_MTSKIP: "1" = whole-section cond (default), "child" =
 # per-child cond + box-vote gating (exact; see kernel body), "0" = dense
-_MT_SKIP_ENV = os.environ.get("CRAY_PALLAS_MTSKIP", "1")
+_MT_SKIP_ENV = os.environ.get("CRAY_PALLAS_MTSKIP", "0")
 _MT_SKIP = "child" if _MT_SKIP_ENV == "child" else _MT_SKIP_ENV == "1"
 
 
