@@ -176,6 +176,7 @@ def main():
         if args.accel in ("bvh4", "binned"):
             import jax as _jax
 
+            probe_arg = None
             rngp = np.random.default_rng(0)
             if args.accel == "binned":
                 # binned cost is COHERENCE-dependent: random rays are its
@@ -222,10 +223,12 @@ def main():
                         pallas_parts_closest_hit)
                     from craytracer_tpu.ops.raysort import sorted_traversal
 
-                    parts = scene.tri_parts
-                    f = _jax.jit(lambda tb, o, d: sorted_traversal(
-                        lambda a, b: pallas_parts_closest_hit(parts, a, b),
+                    # parts must be an ARGUMENT too (same HTTP 413 trap
+                    # as tb: closed-over trees bake into the HLO)
+                    f = _jax.jit(lambda pp, o, d: sorted_traversal(
+                        lambda a, b: pallas_parts_closest_hit(pp, a, b),
                         o, d))
+                    probe_arg = scene.tri_parts
                 elif use_pallas:
                     from craytracer_tpu.accel.pallas_bvh4 import (
                         pallas_bvh4_closest_hit)
@@ -236,9 +239,11 @@ def main():
                 else:
                     f = _jax.jit(
                         lambda tb, o, d: _b4.bvh4_closest_hit(tb, o, d))
-            float(f(scene.tri_bvh, op, dp)[0].min())  # compile + warm
+            if probe_arg is None:
+                probe_arg = scene.tri_bvh
+            float(f(probe_arg, op, dp)[0].min())  # compile + warm
             t0 = time.time()
-            float(f(scene.tri_bvh, op, dp * (1 + 1e-6))[0].min())
+            float(f(probe_arg, op, dp * (1 + 1e-6))[0].min())
             walk_s = time.time() - t0
             # a pass is ~2*depth walks; timed dispatches run 3*iters passes
             est = walk_s * 2 * args.depth * 3 * args.iters
