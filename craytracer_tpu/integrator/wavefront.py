@@ -182,7 +182,13 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         # ---- per-bounce uniforms: ONE fused 9-dim RNG call, sliced per
         # call site (bit-identical to separate calls — dims are a shared
         # arange). Layout: _DIM_LIGHT..=_DIM_RR above.
-        u_all = uniforms(seed, pix, spp_index, bounce, 9, 0)
+        # per-lane spp (spp-batched dispatch) must ride the lane
+        # permutation: after stream compaction the state holds a
+        # reordered half-width lane set, so index the closure's full-size
+        # spp array by each lane's ORIGINAL id (state's `lane`)
+        spp_l = (spp_index if jnp.ndim(spp_index) == 0
+                 else jnp.take(spp_index, lane))
+        u_all = uniforms(seed, pix, spp_l, bounce, 9, 0)
 
         # ---- NEE (trace.h:466-481)
         u_light = u_all[:, _DIM_LIGHT:_DIM_LIGHT + 2]

@@ -88,3 +88,35 @@ def test_ao_probe():
     occluded = t < TMAX
     assert occluded.mean() > 0.7  # analytic escape prob past the rect edge ~0.2
     assert t[occluded].min() > 4.9
+
+
+def test_compaction_with_per_lane_spp():
+    """Per-lane spp_index (spp-batched dispatch) under stream compaction:
+    the step must index the full-size spp array by each lane's ORIGINAL
+    id after the alive-first permutation halves the working set —
+    round-4 regression (crashed with a broadcast error before)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from craytracer_tpu.camera import Film, generate_rays, make_camera
+    from craytracer_tpu.integrator.wavefront import CAMERA_BOUNCE, trace_paths
+    from craytracer_tpu.sampling import uniforms
+    from craytracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_matte("w", (0.7, 0.7, 0.7))
+    b.add_emissive("l", (1, 1, 1), 20.0)
+    b.add_rect((-9, 0, -9), (18, 0, 0), (0, 0, 18), "w")
+    b.add_sphere((0.0, 1.0, 0.0), 1.0, "w")
+    b.add_rect((-2, 6, -2), (4, 0, 0), (0, 0, 4), "l")
+    scene = b.build()
+    cam = make_camera((0.0, 3.0, 7.0), (0.0, 1.0, 0.0))
+    film = Film(fov=jnp.float32(np.radians(45.0)), width=16, height=16)
+    ids = jnp.arange(film.num_pixels, dtype=jnp.int32)
+    spp = jnp.full_like(ids, 3)  # per-lane array, constant value
+    jitter = uniforms(0, ids, spp, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(cam, film, ids, jitter)
+    L_c, _ = trace_paths(scene, o, d, 0, ids, spp, 9, compact_at=3)
+    L_s, _ = trace_paths(scene, o, d, 0, ids, 3, 9, compact_at=0)
+    np.testing.assert_allclose(np.asarray(L_c), np.asarray(L_s),
+                               rtol=1e-5, atol=1e-6)
