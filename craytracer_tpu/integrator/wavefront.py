@@ -539,10 +539,17 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
         return trace_whitted(scene, o, d, seed, pixel_ids, spp_index, max_depth,
                              specular_continuation=(trace_type == "WHITTED"))
     # Deep traces compact after Russian roulette starts killing lanes
-    # (trace.h:512-525 creates the holes; bounce_live shows <50% survival
-    # past bounce 4 on the fixture scenes) — shallow traces skip the
-    # permute overhead.
-    compact_at = 4 if max_depth >= 8 else 0
+    # (trace.h:512-525 creates the holes). TPU-measured policy
+    # (COMPACTION_AB.json, 2026-08-20): compaction only pays when the
+    # per-bounce cost is traversal-dominated — on the 327k-tri mesh it
+    # wins ~10% at compact_at=2 (depth 8-10), but on brute-force scenes
+    # like Cornell the permute overhead LOSES up to 33% at every setting
+    # (125.5M -> 83.9M at the old hardcoded compact_at=4, depth 8). So:
+    # deep + accel-backed triangle scenes compact at 2; everything else
+    # runs dense.
+    n_tris = scene.triangles.mat_id.shape[0]
+    compact_at = 2 if (max_depth >= 8 and scene.accel != "none"
+                       and n_tris >= 4096) else 0
     L, good = trace_paths(scene, o, d, seed, pixel_ids, spp_index, max_depth,
                           mis=(estimator == "mis"), compact_at=compact_at,
                           geom_axis=geom_axis, tri_base=tri_base)
