@@ -355,8 +355,39 @@ def _traversal_kernel(o_ref, d_ref, fat_ref, t_ref, tri_ref, stack_ref,
     else:
         best_t0 = t0_ref[0, :]
         best_tri0 = tri0_ref[0, :]
-    sp, best_t, best_tri = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), best_t0, best_tri0))
+    if t0_ref is not None:
+        # PART-LEVEL BLOCK EARLY-EXIT (the per-part compaction lever,
+        # gallery/mesh_7m_scale.json): with a carried-in best hit, a
+        # whole block whose every lane either misses this part's root
+        # boxes or already holds a hit closer than its entry skips the
+        # ENTIRE walk with one box test. Morton-sorted lanes cluster
+        # spatially, so most blocks need only the parts covering their
+        # region — late parts cost ~1 pop instead of a full traversal.
+        row0 = fat_ref[0, :]
+        live = False
+        for c in range(WIDTH):
+            t0x = (row0[c * 3 + 0] - ox) * ivx
+            t1x = (row0[12 + c * 3 + 0] - ox) * ivx
+            t0y = (row0[c * 3 + 1] - oy) * ivy
+            t1y = (row0[12 + c * 3 + 1] - oy) * ivy
+            t0z = (row0[c * 3 + 2] - oz) * ivz
+            t1z = (row0[12 + c * 3 + 2] - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            live = live | jnp.any((tn <= tf) & (tf > 0.0) & (tn < best_t0))
+
+        def run(carry):
+            return jax.lax.while_loop(cond, body, carry)
+
+        sp, best_t, best_tri = jax.lax.cond(
+            live, run, lambda c: c, (jnp.int32(1), best_t0, best_tri0))
+    else:
+        sp, best_t, best_tri = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), best_t0, best_tri0))
     t_ref[0, :] = best_t
     tri_ref[0, :] = best_tri
 
