@@ -41,6 +41,7 @@ _BLOCK_STARTERS = {"MATERIAL", "OBJECT", "ENV_LIGHT", "END_MATERIALS"}
 _KNOWN_KEYS = {
     # materials
     "NAME", "COLOR", "SIGMA", "NORMAL_MAP", "TEXTURE", "KD", "KD_TEXTURE",
+    "IMPORTANCE",
     "KS", "ROUGHNESS", "IOR_IN", "IOR_OUT", "CF_IN", "CF_OUT", "INTENSITY",
     "TYPE",
     # legacy material keys (example_scene.txt / cornell_box.txt era)
@@ -402,9 +403,12 @@ def load_scene_file(path: str, builder: SceneBuilder | None = None,
                 tex_id = _load_texture(builder, tex_file, search_dirs)
                 if tex_id >= 0:
                     # reference applies a fixed rot-y(-0.76) to textured env
-                    # maps (buildscene.h:516)
+                    # maps (buildscene.h:516). `IMPORTANCE yes` (grammar
+                    # extension) turns on texel-CDF NEE sampling.
+                    imp = (kv.get("IMPORTANCE") or ["no"])[0] == "yes"
                     builder.set_env_light("texture", intensity=intensity,
-                                          tex_id=tex_id, rotate_y_angle=-0.76)
+                                          tex_id=tex_id, rotate_y_angle=-0.76,
+                                          importance=imp)
                 else:
                     builder.set_env_light("constant", (1.0, 1.0, 1.0), intensity)
             else:

@@ -19,7 +19,7 @@ from __future__ import annotations
 import flax.struct
 import jax.numpy as jnp
 
-from craytracer_tpu.constants import INV_PI, JITTERED_UP, PI, TMAX
+from craytracer_tpu.constants import INV_PI, JITTERED_UP, PI, TMAX, TWO_PI
 from craytracer_tpu.core import math as vm
 from craytracer_tpu.sampling.mappings import map_to_disk_polar, map_to_hemisphere_cosine
 from craytracer_tpu.scene import types as T
@@ -136,6 +136,18 @@ def env_pdf(scene: T.Scene, wi, prev_normal):
     env_pick = jnp.sum(jnp.where(lights.light_type == T.LIGHT_ENV, lights.power, 0.0))
     # invert the env transform (rotation): the cosine sample was drawn about
     # the shading normal then rotated
+    if scene.env.importance:
+        # importance mode: density of the texel-CDF strategy for wi —
+        # lookup direction = transform @ wi (the escape-path convention)
+        H, W = scene.env.imp_h, scene.env.imp_w
+        d_look = jnp.einsum("ij,nj->ni", scene.env.transform, wi)
+        theta, phi = vm.cartesian_to_spherical(d_look)
+        u, v = vm.spherical_to_uv(theta, phi)
+        x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+        y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+        p_tex = jnp.take(scene.env.flat_pdf, y * W + x)
+        omega = (TWO_PI / W) * (PI / H) * jnp.maximum(jnp.sin(theta), 1e-6)
+        return p_tex / omega * env_pick
     wi_local = jnp.einsum("ji,nj->ni", scene.env.transform, wi)
     cos_t = jnp.maximum(vm.dot(wi_local, prev_normal), 0.0)
     return cos_t * INV_PI * env_pick
@@ -240,14 +252,50 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
         pdf_area = jnp.where(is_dsk, pdf_dsk, pdf_area)
 
     if use(T.LIGHT_ENV):
-        # ---- ENV (trace.h:272-296): cosine hemisphere about the shading
-        # normal, rotated by the env transform; pdf in solid angle.
-        h_env = map_to_hemisphere_cosine(u2)
-        wi_env = vm.to_world(h_env, frame_t, frame_b, shading_normal)
-        wi_env = jnp.einsum("ij,nj->ni", scene.env.transform, wi_env)
-        li_env = env_radiance(scene.env, scene.textures, wi_env)
-        pdf_env = jnp.abs(vm.dot(wi_env, shading_normal)) * INV_PI
-        dist_env = jnp.broadcast_to(scene.env.world_radius, pdf_env.shape)
+        if scene.env.importance:
+            # ---- ENV, texel importance sampling (beyond-reference,
+            # EnvLight.flat_cdf): draw a lat-long texel ~ luminance x
+            # sin(theta), jitter inside it (u reuses the CDF residual),
+            # convert to a direction; pdf = p_texel / texel solid angle.
+            # Consistent with the ESCAPE-path lookup (integrator
+            # transforms the ray dir before lookup): the sampled lookup
+            # direction maps to world through transform^T.
+            H, W = scene.env.imp_h, scene.env.imp_w
+            u_cdf = u2[:, 0]
+            idx = jnp.clip(jnp.searchsorted(scene.env.flat_cdf, u_cdf,
+                                            side="right"), 0, H * W - 1)
+            p_tex = jnp.take(scene.env.flat_pdf, idx)
+            prev_cdf = jnp.where(idx > 0,
+                                 jnp.take(scene.env.flat_cdf,
+                                          jnp.maximum(idx - 1, 0)), 0.0)
+            ju = jnp.clip((u_cdf - prev_cdf)
+                          / jnp.maximum(p_tex, 1e-12), 0.0, 1.0)
+            r = (idx // W).astype(u_cdf.dtype)
+            c = (idx % W).astype(u_cdf.dtype)
+            u_ll = (c + ju) / W
+            v_ll = (r + u2[:, 1]) / H
+            theta = v_ll * PI
+            phi = u_ll * TWO_PI
+            st = jnp.sin(theta)
+            d_look = jnp.stack([st * jnp.sin(phi), jnp.cos(theta),
+                                st * jnp.cos(phi)], axis=-1)
+            wi_env = jnp.einsum("ji,nj->ni", scene.env.transform, d_look)
+            li_env = env_radiance(scene.env, scene.textures, d_look)
+            omega = (TWO_PI / W) * (PI / H) * jnp.maximum(st, 1e-6)
+            pdf_env = p_tex / omega
+            dist_env = jnp.broadcast_to(scene.env.world_radius,
+                                        pdf_env.shape)
+        else:
+            # ---- ENV (trace.h:272-296): cosine hemisphere about the
+            # shading normal, rotated by the env transform; pdf in solid
+            # angle.
+            h_env = map_to_hemisphere_cosine(u2)
+            wi_env = vm.to_world(h_env, frame_t, frame_b, shading_normal)
+            wi_env = jnp.einsum("ij,nj->ni", scene.env.transform, wi_env)
+            li_env = env_radiance(scene.env, scene.textures, wi_env)
+            pdf_env = jnp.abs(vm.dot(wi_env, shading_normal)) * INV_PI
+            dist_env = jnp.broadcast_to(scene.env.world_radius,
+                                        pdf_env.shape)
 
     # ---- MESHLIGHT (MeshLight_genSample, lights.cpp:139-232): CDF binary
     # search over triangle areas + uniform barycentrics. The reference never

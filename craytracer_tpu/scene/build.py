@@ -338,11 +338,17 @@ class SceneBuilder:
                                    1.0 if dist_atten else 0.0))
 
     def set_env_light(self, kind, color=(1, 1, 1), intensity=1.0, tex_id=-1,
-                      rotate_y_angle=0.0):
+                      rotate_y_angle=0.0, importance=False):
         """kind: 'constant' or 'texture'. Texture env maps get the reference's
-        fixed rot-y(-0.76) transform unless overridden (buildscene.h:516)."""
+        fixed rot-y(-0.76) transform unless overridden (buildscene.h:516).
+
+        importance=True (texture envs) builds a luminance*sin(theta) texel
+        CDF so NEE samples the map instead of the cosine hemisphere — a
+        beyond-reference variance reduction for sun/HDR maps; the default
+        keeps the reference's cosine sampling (trace.h:272-296)."""
         self._env = dict(kind=kind, color=tuple(color), intensity=float(intensity),
-                         tex_id=int(tex_id), rotate_y_angle=float(rotate_y_angle))
+                         tex_id=int(tex_id), rotate_y_angle=float(rotate_y_angle),
+                         importance=bool(importance))
 
     # -- build -------------------------------------------------------------
 
@@ -781,6 +787,19 @@ class SceneBuilder:
                 rotate_y(env_cfg["rotate_y_angle"]) if env_cfg["rotate_y_angle"] != 0.0
                 else jnp.eye(3, dtype=jnp.float32)
             )
+            imp = dict(flat_cdf=None, flat_pdf=None, importance=0,
+                       imp_h=0, imp_w=0)
+            if (env_cfg.get("importance") and kind == 2
+                    and 0 <= env_cfg["tex_id"] < len(self._textures)):
+                tex = np.asarray(self._textures[env_cfg["tex_id"]],
+                                 np.float64)
+                h, w = tex.shape[0], tex.shape[1]
+                lum = tex.mean(axis=-1)
+                lum = lum * np.sin((np.arange(h) + 0.5) * np.pi / h)[:, None]
+                p = (lum / max(lum.sum(), 1e-30)).reshape(-1)
+                imp = dict(flat_cdf=jnp.asarray(np.cumsum(p), jnp.float32),
+                           flat_pdf=jnp.asarray(p, jnp.float32),
+                           importance=1, imp_h=h, imp_w=w)
             env = T.EnvLight(
                 color=jnp.asarray(env_cfg["color"], jnp.float32),
                 intensity=jnp.float32(env_cfg["intensity"]),
@@ -788,5 +807,6 @@ class SceneBuilder:
                 world_radius=jnp.float32(world_radius),
                 tex_id=jnp.int32(env_cfg["tex_id"]),
                 kind=kind,
+                **imp,
             )
         return lights, mesh_lights, env

@@ -205,6 +205,15 @@ class EnvLight:
     world_radius: jnp.ndarray  # scalar, set by preprocess (2x scene diagonal)
     tex_id: jnp.ndarray  # int32
     kind: int = flax.struct.field(pytree_node=False, default=0)
+    # Texel importance sampling (beyond-reference, opt-in via
+    # set_env_light(importance=True) / scene-file `IMPORTANCE yes`):
+    # flat_cdf/flat_pdf are the luminance*sin(theta) distribution over the
+    # lat-long texel grid (row-major [H*W]); imp_h/imp_w static dims.
+    flat_cdf: jnp.ndarray = None  # [H*W] inclusive cumsum, or None
+    flat_pdf: jnp.ndarray = None  # [H*W] texel probabilities, or None
+    importance: int = flax.struct.field(pytree_node=False, default=0)
+    imp_h: int = flax.struct.field(pytree_node=False, default=0)
+    imp_w: int = flax.struct.field(pytree_node=False, default=0)
 
 
 @flax.struct.dataclass
