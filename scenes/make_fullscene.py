@@ -273,6 +273,7 @@ ENV_LIGHT
 TYPE TEXTURE
 COLOR fullscene_env.exr
 INTENSITY 1.0
+IMPORTANCE yes
 
 OBJECT MESH
 FILE_NAME fullscene.obj
