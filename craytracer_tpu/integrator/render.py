@@ -34,6 +34,8 @@ class RenderConfig:
     # count is paid per dispatch, so batching spp amortizes it
     # (profiling/README.md). B=1 is bit-identical to the sequential loop;
     # B>1 changes only fp accumulation order and NaN-recovery substitutes.
+    # 0 = AUTO: TPU + accel-backed triangle scene batches up to ~2M lanes
+    # per dispatch (measured +26%, REF_PERF.json); else 1.
     spp_batch: int = 1
     log_every: int = 0  # print progress every k passes (0 = silent)
     estimator: str = "reference"
@@ -140,6 +142,19 @@ class Renderer:
         s = self.spp_done
         end = self.spp_done + cfg.num_samples
         B = max(1, cfg.spp_batch)
+        if cfg.spp_batch == 0:
+            # auto: on the TPU backend with an accel-backed triangle
+            # scene, batch spp until ~2M lanes per dispatch — measured
+            # +26% end-to-end on the 327k-tri bench (REF_PERF.json
+            # matrix: dispatch count amortizes per-dispatch overhead and
+            # fills the packet-kernel grid). CPU and brute-force scenes
+            # keep B=1 (lane count there IS the cost).
+            import jax as _jax
+
+            n_tris = self.scene.triangles.mat_id.shape[0]
+            if (_jax.default_backend() == "tpu"
+                    and self.scene.accel != "none" and n_tris >= 4096):
+                B = max(1, min(16, 2_000_000 // max(n, 1)))
         perm = self._pixel_perm()
         perm_j = None if perm is None else jnp.asarray(perm)
         inv = None
