@@ -151,17 +151,79 @@ def parts_any_hit(parts, o, d, max_dist):
     return best_t
 
 
+def _part_entry(p, o, d):
+    """Packet-min entry distance of rays into part p's root children
+    boxes (TMAX when the ray misses all of them): 4 slab tests against
+    row 0 — the same test the kernel's early-exit runs."""
+    from craytracer_tpu.accel.bvh4 import _FAT_TRI0  # noqa: F401
+
+    row0 = p.fat[0]
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+
+    def safe(v):
+        return jnp.where(jnp.abs(v) < 1e-12,
+                         jnp.where(v < 0, -1e-12, 1e-12), v)
+
+    ivx, ivy, ivz = 1.0 / safe(d[:, 0]), 1.0 / safe(d[:, 1]), 1.0 / safe(d[:, 2])
+    best = jnp.full((o.shape[0],), TMAX, jnp.float32)
+    for c in range(WIDTH):
+        t0x = (row0[c * 3 + 0] - ox) * ivx
+        t1x = (row0[12 + c * 3 + 0] - ox) * ivx
+        t0y = (row0[c * 3 + 1] - oy) * ivy
+        t1y = (row0[12 + c * 3 + 1] - oy) * ivy
+        t0z = (row0[c * 3 + 2] - oz) * ivz
+        t1z = (row0[12 + c * 3 + 2] - oz) * ivz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        hit = (tn <= tf) & (tf > 0.0)
+        best = jnp.minimum(best, jnp.where(hit, jnp.maximum(tn, 0.0), TMAX))
+    return best
+
+
 def pallas_parts_closest_hit(parts, o, d, interpret: bool = False,
-                             block: int = None):
-    """Packet-kernel traversal across parts with carried (t, tri)."""
+                             block: int = None, part_sort: bool = None):
+    """Packet-kernel traversal across parts with carried (t, tri).
+
+    part_sort (default on for >2 parts; CRAY_PARTS_SORT=0 disables):
+    rays are grouped by the part they ENTER FIRST before the part loop,
+    so each block becomes nearly part-pure — blocks whose lanes all miss
+    a part (or already beat its entry) take the kernel's whole-block
+    early-exit instead of a full walk. Order/grouping cannot change the
+    result: every part is still walked for every ray block that needs
+    it, with the carried best hit pruning as before."""
+    import os
+
     from craytracer_tpu.accel.pallas_bvh4 import (
         RAY_BLOCK, pallas_bvh4_closest_hit_init)
 
     n = o.shape[0]
+    if part_sort is None:
+        part_sort = (len(parts) > 2
+                     and os.environ.get("CRAY_PARTS_SORT", "1") == "1")
+    if part_sort:
+        entries = jnp.stack([_part_entry(p, o, d) for p in parts], axis=0)
+        first = jnp.argmin(entries, axis=0).astype(jnp.uint32)
+        # secondary key: 8-bit Morton of the entry point keeps blocks
+        # spatially tight within a part group
+        from craytracer_tpu.ops.raysort import ray_key
+
+        key = (first << jnp.uint32(27)) | (ray_key(o, d) >> jnp.uint32(5))
+        perm = jnp.argsort(key)
+        o_s = jnp.take(o, perm, axis=0)
+        d_s = jnp.take(d, perm, axis=0)
+    else:
+        o_s, d_s = o, d
     t = jnp.full((n,), TMAX, jnp.float32)
     tri = jnp.full((n,), -1, jnp.int32)
     for p in parts:
         t, tri = pallas_bvh4_closest_hit_init(
-            p, o, d, t, tri, interpret=interpret,
+            p, o_s, d_s, t, tri, interpret=interpret,
             block=RAY_BLOCK if block is None else block)
+    if part_sort:
+        t = jnp.zeros((n,), t.dtype).at[perm].set(t)
+        tri = jnp.zeros((n,), tri.dtype).at[perm].set(tri)
     return t, tri
