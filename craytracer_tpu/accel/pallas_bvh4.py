@@ -641,3 +641,260 @@ def pallas_bvh4_closest_hit(bvh: BVH4Arrays, o, d, interpret: bool = False,
         interpret=interpret,
     )(o.T, d.T, bvh.fat)
     return t.reshape(-1)[:n], tri.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# SPLIT-TABLE traversal: topology resident in VMEM, leaf data DMA'd from
+# HBM per pop — a DESIGN STUDY, measured NEGATIVE on hardware
+# (2026-08-20): at 7M tris, 5 topology-parts ran 97k rays/s vs 139k for
+# 17 resident full-fat parts on the same ray set, and at 327k (single
+# part either way) the split walk is 0.70x the resident walk. Two
+# lessons the numbers teach: (a) total pops are dominated by the DEEP
+# tree levels, which are visited once regardless of how the tree is cut
+# — extra parts only duplicate the cheap upper levels, so cutting part
+# count 4x saves little; (b) the per-pop aligned 8-row DMA
+# (HBM->VMEM, Mosaic tiling) costs ~44% even with its latency hidden
+# behind the box tests. Kept compiled-tested as the reference
+# implementation of per-pop HBM streaming (make_async_copy with dynamic
+# row index, packed 4-nodes-per-128-col topology with branchless
+# sub-row selects); the production >VMEM path remains resident parts
+# (accel/bvh4_parts.py). Sorted pushes only.
+
+
+def _make_traversal_kernel_split(k_slots, with_init):
+    def kernel_init(o_ref, d_ref, t0_ref, tri0_ref, topo_ref, fat_hbm,
+                    t_ref, tri_ref, stack_ref, row_ref, sem_ref):
+        return _traversal_kernel_split(o_ref, d_ref, topo_ref, fat_hbm,
+                                       t_ref, tri_ref, stack_ref, row_ref,
+                                       sem_ref, k_slots,
+                                       t0_ref=t0_ref, tri0_ref=tri0_ref)
+
+    def kernel(o_ref, d_ref, topo_ref, fat_hbm, t_ref, tri_ref,
+               stack_ref, row_ref, sem_ref):
+        return _traversal_kernel_split(o_ref, d_ref, topo_ref, fat_hbm,
+                                       t_ref, tri_ref, stack_ref, row_ref,
+                                       sem_ref, k_slots)
+
+    return kernel_init if with_init else kernel
+
+
+def _traversal_kernel_split(o_ref, d_ref, topo_ref, fat_hbm, t_ref,
+                            tri_ref, stack_ref, row_ref, sem_ref,
+                            k_slots, t0_ref=None, tri0_ref=None):
+    stack_cap = stack_ref.shape[0]
+    ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+
+    def safe(v, eps):
+        return jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
+
+    ivx = 1.0 / safe(dx, 1e-12)
+    ivy = 1.0 / safe(dy, 1e-12)
+    ivz = 1.0 / safe(dz, 1e-12)
+
+    stack_ref[0] = 0  # root
+
+    def cond(state):
+        sp, *_ = state
+        return sp > 0
+
+    def body(state):
+        sp, best_t, best_tri = state
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        # leaf-data DMA first: the fetch rides behind the box tests
+        # below. Mosaic requires HBM slices aligned to the (8,128)
+        # tiling, so fetch the aligned 8-row tile containing the node
+        # (4 KB at 128 cols) and select the row in VMEM.
+        base = (node // 8) * 8
+        dma = pltpu.make_async_copy(fat_hbm.at[pl.ds(base, 8), :],
+                                    row_ref, sem_ref)
+        dma.start()
+        # topo is PACKED 4 nodes per 128-col row (a [M,32] VMEM window
+        # would lane-pad to 128 and burn 4x the budget). Mosaic cannot
+        # dynamic-slice a loaded row, so each column is a branchless
+        # 4-way select over the packed sub-segments (scalar loads with
+        # STATIC offsets + 3 selects — ~100ns of a ~2us pop).
+        trow = topo_ref[node // 4, :]
+        sub = node % 4
+
+        def tcol(j):
+            v = trow[96 + j]
+            v = jnp.where(sub == 2, trow[64 + j], v)
+            v = jnp.where(sub == 1, trow[32 + j], v)
+            return jnp.where(sub == 0, trow[j], v)
+
+        tn_c, hit_any_c, child_c = [], [], []
+        for c in range(WIDTH):
+            t0x = (tcol(c * 3 + 0) - ox) * ivx
+            t1x = (tcol(12 + c * 3 + 0) - ox) * ivx
+            t0y = (tcol(c * 3 + 1) - oy) * ivy
+            t1y = (tcol(12 + c * 3 + 1) - oy) * ivy
+            t0z = (tcol(c * 3 + 2) - oz) * ivz
+            t1z = (tcol(12 + c * 3 + 2) - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            lane_hit = (tn <= tf) & (tf > 0.0) & (tn < best_t)
+            tn_c.append(jnp.min(jnp.where(lane_hit, tn, _BIG)))
+            hit_any_c.append(jnp.any(lane_hit))
+            child_c.append(tcol(24 + c).astype(jnp.int32))
+
+        dma.wait()
+        row = row_ref[node - base, :]
+        col = lambda j: row[j]  # noqa: E731
+        for k in range(k_slots):
+            b = _FAT_TRI0 + k * _TRI_COLS
+            v0x, v0y, v0z = col(b + 0), col(b + 1), col(b + 2)
+            e1x, e1y, e1z = col(b + 3), col(b + 4), col(b + 5)
+            e2x, e2y, e2z = col(b + 6), col(b + 7), col(b + 8)
+            tid = col(b + 9).astype(jnp.int32)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / safe(det, 1e-20)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            beta = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            gamma = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((tid >= 0) & (beta >= 0.0) & (gamma >= 0.0)
+                  & (beta + gamma <= 1.0) & (tt > K_EPSILON)
+                  & (tt < best_t))
+            best_tri = jnp.where(ok, tid, best_tri)
+            best_t = jnp.where(ok, tt, best_t)
+
+        # sorted far-to-near pushes (the production push mode)
+        key = [jnp.where(hit_any_c[c] & (child_c[c] >= 0), tn_c[c], -_BIG)
+               for c in range(WIDTH)]
+        cval = [jnp.where(hit_any_c[c] & (child_c[c] >= 0), child_c[c], -1)
+                for c in range(WIDTH)]
+        for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            do = key[i] < key[j]
+            ki = jnp.where(do, key[j], key[i])
+            kj = jnp.where(do, key[i], key[j])
+            vi = jnp.where(do, cval[j], cval[i])
+            vj = jnp.where(do, cval[i], cval[j])
+            key = [ki if s2 == i else kj if s2 == j else key[s2]
+                   for s2 in range(WIDTH)]
+            cval = [vi if s2 == i else vj if s2 == j else cval[s2]
+                    for s2 in range(WIDTH)]
+        for k in range(WIDTH):
+            push = (cval[k] >= 0) & (sp < stack_cap)
+            stack_ref[jnp.where(push, sp, 0)] = jnp.where(
+                push, cval[k], stack_ref[0])
+            sp = sp + push.astype(jnp.int32)
+        return sp, best_t, best_tri
+
+    n = ox.shape[0]
+    if t0_ref is None:
+        best_t0 = jnp.full((n,), TMAX, jnp.float32)
+        best_tri0 = jnp.full((n,), -1, jnp.int32)
+    else:
+        best_t0 = t0_ref[0, :]
+        best_tri0 = tri0_ref[0, :]
+    if t0_ref is not None:
+        # same whole-block early-exit as the resident-table init kernel
+        live = False
+        trow0 = topo_ref[0, :]  # node 0 sits at packed offset 0
+        for c in range(WIDTH):
+            t0x = (trow0[c * 3 + 0] - ox) * ivx
+            t1x = (trow0[12 + c * 3 + 0] - ox) * ivx
+            t0y = (trow0[c * 3 + 1] - oy) * ivy
+            t1y = (trow0[12 + c * 3 + 1] - oy) * ivy
+            t0z = (trow0[c * 3 + 2] - oz) * ivz
+            t1z = (trow0[12 + c * 3 + 2] - oz) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            live = live | jnp.any((tn <= tf) & (tf > 0.0) & (tn < best_t0))
+
+        def run(carry):
+            return jax.lax.while_loop(cond, body, carry)
+
+        sp, best_t, best_tri = jax.lax.cond(
+            live, run, lambda c: c, (jnp.int32(1), best_t0, best_tri0))
+    else:
+        sp, best_t, best_tri = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), best_t0, best_tri0))
+    t_ref[0, :] = best_t
+    tri_ref[0, :] = best_tri
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block",
+                                             "with_init"))
+def pallas_bvh4_closest_hit_hbm(bvh: BVH4Arrays, o, d, t0=None, tri0=None,
+                                interpret: bool = False,
+                                block: int = RAY_BLOCK,
+                                with_init: bool = False):
+    """Split-table packet traversal: `bvh.fat[:, :32]` (boxes+children,
+    padded with 4 junk tri columns the box test never reads) rides VMEM;
+    the full fat table stays in HBM and each pop DMAs its 128-col row.
+    Supported table size is bounded by TOPOLOGY bytes — 4x the monolithic
+    kernel's reach per VMEM part. Pass t0/tri0 (with_init=True) for the
+    parts variant's carried best hit."""
+    n = o.shape[0]
+    pad = (-n) % block
+    if with_init and t0 is None:
+        raise ValueError("with_init requires t0/tri0")
+    if not with_init:
+        t0 = jnp.full((n,), TMAX, jnp.float32)
+        tri0 = jnp.full((n,), -1, jnp.int32)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t0 = jnp.concatenate([t0, jnp.full((pad,), -1.0, t0.dtype)])
+        tri0 = jnp.concatenate([tri0, jnp.full((pad,), -1, tri0.dtype)])
+    blocks = (n + pad) // block
+    stack_cap = min(int(bvh.stack_size), MAX_STACK)
+    topo = bvh.fat[:, :32]
+    # Mosaic constrains HBM DMA slices to the (8,128) tiling: rows are
+    # padded to a multiple of 8 here (one cheap pad per dispatch), and
+    # the column width must already be a 128 multiple — true for the
+    # production leaf2 layout (exactly 128 cols); other leaf sizes keep
+    # the resident-table kernels.
+    if bvh.fat.shape[1] % 128 != 0:
+        raise ValueError(
+            f"split kernel needs fat width %128==0, got {bvh.fat.shape[1]} "
+            f"(leaf_size={bvh.leaf_size}); use leaf_size=2")
+    rpad = (-bvh.fat.shape[0]) % 8
+    fat_p = (jnp.pad(bvh.fat, ((0, rpad), (0, 0))) if rpad else bvh.fat)
+    # pack topology 4 nodes per 128-col row (see kernel comment)
+    topo = jnp.pad(topo, ((0, (-topo.shape[0]) % 4), (0, 0))).reshape(-1, 128)
+
+    t, tri = pl.pallas_call(
+        _make_traversal_kernel_split(WIDTH * bvh.leaf_size, True),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((3, block), lambda i: (0, i)),
+            pl.BlockSpec((3, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec(topo.shape, lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, blocks * block), jnp.float32),
+            jax.ShapeDtypeStruct((1, blocks * block), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((stack_cap,), jnp.int32),
+                        pltpu.VMEM((8, bvh.fat.shape[1]), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(o.T, d.T, t0.reshape(1, -1), tri0.reshape(1, -1), topo, fat_p)
+    return t.reshape(-1)[:n], tri.reshape(-1)[:n]

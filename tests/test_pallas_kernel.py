@@ -134,3 +134,45 @@ def test_pallas_bvh4_any_hit_matches_xla():
     occ1 = np.asarray(t1) < np.asarray(md)
     np.testing.assert_array_equal(occ0, occ1)
     assert occ0.sum() > 50 and (~occ0).sum() > 50  # both verdicts exercised
+
+
+def test_pallas_split_table_matches_xla():
+    """Split-table kernel (topology VMEM + per-pop HBM DMA of leaf rows;
+    measured-negative design study, kept as the per-pop-streaming
+    reference): interpret-mode t/id equivalence, plain and with carried
+    best hit."""
+    import sys
+
+    sys.path.insert(0, "scenes")
+    import numpy as np
+    import jax.numpy as jnp
+    from make_fixtures import icosphere
+
+    from craytracer_tpu.accel.bvh4 import build_bvh4, bvh4_closest_hit
+    from craytracer_tpu.accel.pallas_bvh4 import pallas_bvh4_closest_hit_hbm
+
+    v, f = icosphere(2)
+    bvh = build_bvh4(v[f[:, 0]] * 3, v[f[:, 1]] * 3, v[f[:, 2]] * 3,
+                     leaf_size=2)
+    rng = np.random.default_rng(1)
+    n = 500
+    o = jnp.asarray(np.tile([[0.0, 0.5, 8.0]], (n, 1)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] -= 1.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t0, i0 = bvh4_closest_hit(bvh, o, d)
+    t1, i1 = pallas_bvh4_closest_hit_hbm(bvh, o, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    tc = jnp.where(jnp.arange(n) % 2 == 0, t0 * 0.5, jnp.full((n,), 3.0e38))
+    ic = jnp.where(jnp.arange(n) % 2 == 0, 7777, -1)
+    t2, i2 = pallas_bvh4_closest_hit_hbm(bvh, o, d, tc, ic, interpret=True,
+                                         with_init=True)
+    keep = np.asarray(tc) <= np.asarray(t0)
+    np.testing.assert_allclose(np.asarray(t2),
+                               np.minimum(np.asarray(tc), np.asarray(t0)),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2),
+                                  np.where(keep, np.asarray(ic),
+                                           np.asarray(i0)))
