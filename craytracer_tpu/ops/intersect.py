@@ -613,7 +613,11 @@ def intersect_scene(scene: T.Scene, o, d, camera_coherent: bool = False) -> Hit:
                     # (ops/raysort.py module docstring)
                     from craytracer_tpu.ops.raysort import sorted_traversal
 
-                    gmin, gidx = sorted_traversal(fn, o_s, d_s)
+                    pb = int(os.environ.get("CRAYTRACER_SORT_BITS", "6"))
+                    dm = os.environ.get("CRAYTRACER_SORT_DIRMAJOR",
+                                        "0") == "1"
+                    gmin, gidx = sorted_traversal(fn, o_s, d_s,
+                                                  pos_bits=pb, dir_major=dm)
                 else:
                     gmin, gidx = fn(o_s, d_s)
             else:
