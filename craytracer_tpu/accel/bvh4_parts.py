@@ -151,6 +151,24 @@ def parts_any_hit(parts, o, d, max_dist):
     return best_t
 
 
+def pallas_parts_any_hit(parts, o, d, max_dist, interpret: bool = False,
+                         block: int = None):
+    """Packet-kernel any-hit across parts: each part runs the occlusion
+    walk; lanes already occluded by an earlier part carry max_dist 0, so
+    their packet slots retire at that part's first pop."""
+    from craytracer_tpu.accel.pallas_bvh4 import (RAY_BLOCK,
+                                                  pallas_bvh4_any_hit)
+
+    best_t = jnp.full((o.shape[0],), TMAX, jnp.float32)
+    md = max_dist
+    for p in parts:
+        t = pallas_bvh4_any_hit(p, o, d, md, interpret=interpret,
+                                block=RAY_BLOCK if block is None else block)
+        best_t = jnp.minimum(best_t, t)
+        md = jnp.where(best_t < max_dist, 0.0, max_dist)
+    return best_t
+
+
 def _part_entry(p, o, d):
     """Packet-min entry distance of rays into part p's root children
     boxes (TMAX when the ray misses all of them): 4 slab tests against

@@ -749,6 +749,24 @@ def shadow_distance(scene: T.Scene, o, d, max_dist=None) -> jnp.ndarray:
                     t_pal = pallas_bvh4_any_hit(scene.tri_bvh, o, d, md,
                                                 interpret=interp_ah)
                 best_t = jnp.minimum(best_t, t_pal)
+            elif (gate != "0" and jax.default_backend() == "tpu"
+                    and scene.tri_parts is not None):
+                # >VMEM tables: packet any-hit across the parts (lanes
+                # occluded by an earlier part carry md=0 and retire at
+                # the next part's first pop)
+                from craytracer_tpu.accel.bvh4_parts import (
+                    pallas_parts_any_hit)
+                from craytracer_tpu.ops.raysort import ray_key
+
+                interp_ah = os.environ.get(
+                    "CRAYTRACER_PALLAS_INTERPRET", "0") == "1"
+                perm = jnp.argsort(ray_key(o, d))
+                t_s = pallas_parts_any_hit(
+                    scene.tri_parts, jnp.take(o, perm, axis=0),
+                    jnp.take(d, perm, axis=0), jnp.take(md, perm),
+                    interpret=interp_ah)
+                t_pal = jnp.zeros((n,), t_s.dtype).at[perm].set(t_s)
+                best_t = jnp.minimum(best_t, t_pal)
             else:
                 from craytracer_tpu.accel.bvh4 import bvh4_any_hit
 

@@ -96,3 +96,39 @@ def test_parts_any_hit_matches():
     occ1 = np.asarray(t1) < 15.0
     np.testing.assert_array_equal(occ0, occ1)
     assert occ0.sum() > 20
+
+
+def test_pallas_parts_any_hit_matches_monolithic():
+    """Parts packet any-hit (occluded lanes carry md=0 into later parts)
+    equals the monolithic any-hit occlusion verdict."""
+    import sys
+
+    sys.path.insert(0, "scenes")
+    import numpy as np
+    import jax.numpy as jnp
+    from make_fixtures import icosphere
+
+    from craytracer_tpu.accel.bvh4 import build_bvh4, bvh4_any_hit
+    from craytracer_tpu.accel.bvh4_parts import (pallas_parts_any_hit,
+                                                 partition_bvh4)
+    from craytracer_tpu.constants import TMAX
+
+    v, f = icosphere(2)
+    bvh = build_bvh4(v[f[:, 0]] * 3, v[f[:, 1]] * 3, v[f[:, 2]] * 3,
+                     leaf_size=2)
+    parts = partition_bvh4(bvh, budget_bytes=bvh.fat.size)  # force a cut
+    assert len(parts) > 1
+    rng = np.random.default_rng(5)
+    n = 400
+    o = jnp.asarray(np.tile([[0.0, 0.5, 8.0]], (n, 1)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] -= 1.5
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    md = jnp.full((n,), 12.0)
+    t_ref = bvh4_any_hit(bvh, o, d, md)
+    t_parts = pallas_parts_any_hit(parts, o, d, md, interpret=True)
+    # any-hit may find a DIFFERENT occluder (any t < md is a valid
+    # verdict) — occlusion VERDICTS must match exactly
+    np.testing.assert_array_equal(np.asarray(t_ref) < np.asarray(md),
+                                  np.asarray(t_parts) < np.asarray(md))
+    assert (np.asarray(t_ref) < TMAX).sum() > 30
