@@ -111,6 +111,9 @@ def main():
                 rps_best = rps
                 best = (dt3, r3, s3)
     assert not bool(jnp.isnan(acc).any())
+    if best is None:
+        print("# timing degenerate (relay noise): rerun", file=sys.stderr)
+        sys.exit(2)
     dt3, r3, s3 = best
     print(json.dumps({
         "binary": "craytracer_tpu", "scene": args.scene, "tris": n_tris,

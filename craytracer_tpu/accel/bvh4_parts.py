@@ -173,8 +173,6 @@ def _part_entry(p, o, d):
     """Packet-min entry distance of rays into part p's root children
     boxes (TMAX when the ray misses all of them): 4 slab tests against
     row 0 — the same test the kernel's early-exit runs."""
-    from craytracer_tpu.accel.bvh4 import _FAT_TRI0  # noqa: F401
-
     row0 = p.fat[0]
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
 
