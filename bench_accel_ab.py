@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--accels", default="bvh,bvh4,bvh4q,grid")
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--spp-batch", type=int, default=8)
     ap.add_argument("--out", default="ACCEL_AB_TPU.json")
     args = ap.parse_args()
 
@@ -34,7 +35,7 @@ def main():
     for accel in args.accels.split(","):
         cmd = [sys.executable, "bench_mesh.py", "--tris", str(args.tris),
                "--size", str(args.size), "--depth", str(args.depth),
-               "--accel", accel]
+               "--accel", accel, "--spp-batch", str(args.spp_batch)]
         if args.cpu:
             cmd.append("--cpu")
         t0 = time.time()
