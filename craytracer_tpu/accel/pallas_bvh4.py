@@ -107,8 +107,10 @@ if _PUSH_MODE not in PUSH_MODES:
     # chain and benchmark the wrong variant (e.g. the simulator-only
     # 'cnearb'); fail loudly at import instead.
     raise ValueError(f"CRAY_PALLAS_PUSH={_PUSH_MODE!r} not in {PUSH_MODES}")
-# CRAY_PALLAS_MTSKIP: "1" = whole-section cond (default), "child" =
-# per-child cond + box-vote gating (exact; see kernel body), "0" = dense
+# CRAY_PALLAS_MTSKIP: "0" = dense (default since the round-4 re-tune:
+# every cond variant loses to dense vector work at block 2048), "1" =
+# whole-section cond, "child" = per-child cond + box-vote gating (exact;
+# see kernel body)
 _MT_SKIP_ENV = os.environ.get("CRAY_PALLAS_MTSKIP", "0")
 _MT_SKIP = "child" if _MT_SKIP_ENV == "child" else _MT_SKIP_ENV == "1"
 

@@ -154,7 +154,10 @@ class Renderer:
             n_tris = self.scene.triangles.mat_id.shape[0]
             if (_jax.default_backend() == "tpu"
                     and self.scene.accel != "none" and n_tris >= 4096):
-                B = max(1, min(16, 2_000_000 // max(n, 1)))
+                # Lanes per dispatch is min(tile, n) when tile_pixels
+                # splits the pass — size B off that, not the full film,
+                # or tiled renders under-fill the ~2M-lane target.
+                B = max(1, min(16, 2_000_000 // max(min(tile, n), 1)))
         perm = self._pixel_perm()
         perm_j = None if perm is None else jnp.asarray(perm)
         inv = None

@@ -147,7 +147,11 @@ def env_pdf(scene: T.Scene, wi, prev_normal):
         y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
         p_tex = jnp.take(scene.env.flat_pdf, y * W + x)
         omega = (TWO_PI / W) * (PI / H) * jnp.maximum(jnp.sin(theta), 1e-6)
-        return p_tex / omega * env_pick
+        # The NEE sampler rejects below-horizon draws (reject_env), so the
+        # strategy never contributes there — report zero density to match,
+        # or MIS down-weights escape rays by a strategy that can't fire.
+        facing = vm.dot(wi, prev_normal) >= 0.0
+        return jnp.where(facing, p_tex / omega * env_pick, 0.0)
     wi_local = jnp.einsum("ji,nj->ni", scene.env.transform, wi)
     cos_t = jnp.maximum(vm.dot(wi_local, prev_normal), 0.0)
     return cos_t * INV_PI * env_pick
@@ -262,16 +266,18 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
             # direction maps to world through transform^T.
             H, W = scene.env.imp_h, scene.env.imp_w
             u_cdf = u2[:, 0]
-            idx = jnp.clip(jnp.searchsorted(scene.env.flat_cdf, u_cdf,
+            # `tix` = sampled env texel index (NOT the per-lane light
+            # index `idx` this function was called with — keep distinct).
+            tix = jnp.clip(jnp.searchsorted(scene.env.flat_cdf, u_cdf,
                                             side="right"), 0, H * W - 1)
-            p_tex = jnp.take(scene.env.flat_pdf, idx)
-            prev_cdf = jnp.where(idx > 0,
+            p_tex = jnp.take(scene.env.flat_pdf, tix)
+            prev_cdf = jnp.where(tix > 0,
                                  jnp.take(scene.env.flat_cdf,
-                                          jnp.maximum(idx - 1, 0)), 0.0)
+                                          jnp.maximum(tix - 1, 0)), 0.0)
             ju = jnp.clip((u_cdf - prev_cdf)
                           / jnp.maximum(p_tex, 1e-12), 0.0, 1.0)
-            r = (idx // W).astype(u_cdf.dtype)
-            c = (idx % W).astype(u_cdf.dtype)
+            r = (tix // W).astype(u_cdf.dtype)
+            c = (tix % W).astype(u_cdf.dtype)
             u_ll = (c + ju) / W
             v_ll = (r + u2[:, 1]) / H
             theta = v_ll * PI

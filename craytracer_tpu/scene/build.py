@@ -794,7 +794,10 @@ class SceneBuilder:
                 tex = np.asarray(self._textures[env_cfg["tex_id"]],
                                  np.float64)
                 h, w = tex.shape[0], tex.shape[1]
-                lum = tex.mean(axis=-1)
+                # EXR texels may be negative (legal); clamp before the
+                # luminance mean or the CDF goes non-monotone and
+                # searchsorted sampling breaks.
+                lum = np.maximum(tex, 0.0).mean(axis=-1)
                 lum = lum * np.sin((np.arange(h) + 0.5) * np.pi / h)[:, None]
                 p = (lum / max(lum.sum(), 1e-30)).reshape(-1)
                 imp = dict(flat_cdf=jnp.asarray(np.cumsum(p), jnp.float32),

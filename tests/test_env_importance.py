@@ -51,11 +51,18 @@ def test_importance_sampler_integrates_the_map():
     exact = (tex * omega[:, None, None]).sum((0, 1))
     np.testing.assert_allclose(est, exact, rtol=0.05)
 
-    # MIS density equals the sampler's own pdf at its samples (rtol
-    # covers f32 rounding at texel boundaries: the re-derived texel index
-    # for a jittered direction can land one texel over)
+    # MIS density equals the sampler's own pdf at its accepted samples
+    # (rtol covers f32 rounding at texel boundaries: the re-derived texel
+    # index for a jittered direction can land one texel over). Where the
+    # sampler REJECTED the draw (below-horizon), env_pdf must report 0 —
+    # the strategy never contributes there, so MIS must not weight by it.
     pdf2 = np.asarray(env_pdf(scene, ls.wi, nrm))
-    np.testing.assert_allclose(pdf2, np.asarray(ls.pdf), rtol=5e-3)
+    valid = np.asarray(ls.valid)
+    np.testing.assert_allclose(pdf2[valid], np.asarray(ls.pdf)[valid],
+                               rtol=5e-3)
+    below = np.asarray((ls.wi * nrm).sum(-1)) < 0.0
+    assert below.any()  # the scene produces some below-horizon draws
+    np.testing.assert_array_equal(pdf2[below], 0.0)
 
 
 def test_importance_render_matches_cosine_in_expectation():
