@@ -97,13 +97,23 @@ def main():
                 acc, rays = step(scene, camera, film, pixel_ids,
                                  base + 99 * iters)
                 float(acc)
-        for rep in range(3):
+        # Median of 5 independently-dispatched runs (distinct spp offsets
+        # -> distinct RNG -> nothing cacheable), spread recorded: a single
+        # noisy dispatch must not set the record either way (round-4's
+        # driver record landed 13% under the same-day in-session number
+        # on one bad session; median + spread makes the variance visible).
+        reps = 5
+        for rep in range(reps):
             t0 = time.time()
             acc, rays = step(scene, camera, film, pixel_ids,
                              base + (rep + 1) * iters)
             float(acc)  # forced readback: includes one tunnel RTT
             times.append(time.time() - t0)
-        return int(rays) / min(times)
+        med = sorted(times)[len(times) // 2]
+        r = int(rays)
+        return r / med, {"reps": reps,
+                         "rays_per_sec_min": round(r / max(times), 1),
+                         "rays_per_sec_max": round(r / min(times), 1)}
 
     # HEADLINE: the reference's own scene file through the production
     # pipeline (parser -> build -> accel -> wavefront).
@@ -112,11 +122,11 @@ def main():
     scene_p, cam_p, film_p = load_scene_file(
         os.environ.get("CRAY_BENCH_SCENE", "/root/reference/cornell_box.txt"))
     film_p = film_p.replace(width=size, height=size)
-    rps = measure(scene_p, cam_p, film_p, args.profile)
+    rps, spread = measure(scene_p, cam_p, film_p, args.profile)
 
     # secondary: hand-built scene, no parser — the integrator ceiling
     scene_c, cam_c, film_c = _cornell(size, size)
-    rps_ceiling = measure(scene_c, cam_c, film_c)
+    rps_ceiling, _ = measure(scene_c, cam_c, film_c)
 
     signal.alarm(0)
     print(json.dumps({
@@ -125,6 +135,8 @@ def main():
         "unit": "rays/s",
         "pipeline": "load_scene_file(cornell_box.txt) -> build -> wavefront",
         "integrator_ceiling_rays_per_sec": round(rps_ceiling, 1),
+        "timing": "median of %d dispatches" % spread["reps"],
+        "spread": spread,
         "vs_baseline": round(rps / TARGET_RAYS_PER_SEC, 4),
     }))
 
