@@ -139,12 +139,16 @@ def env_pdf(scene: T.Scene, wi, prev_normal):
     if scene.env.importance:
         # importance mode: density of the texel-CDF strategy for wi —
         # lookup direction = transform @ wi (the escape-path convention)
+        from craytracer_tpu.bsdf.texture import nearest_texel_xy
+
         H, W = scene.env.imp_h, scene.env.imp_w
         d_look = jnp.einsum("ij,nj->ni", scene.env.transform, wi)
         theta, phi = vm.cartesian_to_spherical(d_look)
         u, v = vm.spherical_to_uv(theta, phi)
-        x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
-        y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+        # SAME texel addressing as the radiance lookup/sampler (reference
+        # getTexColor round-half + v flip), so the density follows the
+        # texel whose radiance the direction actually sees.
+        x, y = nearest_texel_xy(jnp.int32(W), jnp.int32(H), u, v)
         p_tex = jnp.take(scene.env.flat_pdf, y * W + x)
         omega = (TWO_PI / W) * (PI / H) * jnp.maximum(jnp.sin(theta), 1e-6)
         # The NEE sampler rejects below-horizon draws (reject_env), so the
@@ -278,8 +282,22 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
                           / jnp.maximum(p_tex, 1e-12), 0.0, 1.0)
             r = (tix // W).astype(u_cdf.dtype)
             c = (tix % W).astype(u_cdf.dtype)
-            u_ll = (c + ju) / W
-            v_ll = (r + u2[:, 1]) / H
+            # Jitter inside texel (r, c)'s uv cell under the REFERENCE
+            # texel addressing (getTexColor round-half + v flip,
+            # bsdf/texture.py nearest_texel_xy): col c covers
+            # u in [(c-.5)/W, (c+.5)/W) (phi periodic, mod 1), row r
+            # covers v in [1-(r+.5)/H, 1-(r-.5)/H) (clipped at poles) —
+            # so the sampled direction's radiance lookup lands on the
+            # texel whose luminance drove the CDF.
+            u_ll = jnp.mod((c - 0.5 + ju) / W, 1.0)
+            # Row 0 is the wrap row: v_raw < 0 (its jv < 0.5 half) lands
+            # the TOP pole sliver (v = -v_raw), the rest the bottom one —
+            # together exactly row 0's footprint under the reference
+            # addressing, so the whole sphere is tiled and the lookup
+            # roundtrips to the texel that drove the CDF.
+            v_raw = (r - 0.5 + u2[:, 1]) / H
+            v_ll = jnp.clip(jnp.where(v_raw < 0.0, -v_raw, 1.0 - v_raw),
+                            0.0, 1.0)
             theta = v_ll * PI
             phi = u_ll * TWO_PI
             st = jnp.sin(theta)

@@ -798,7 +798,18 @@ class SceneBuilder:
                 # luminance mean or the CDF goes non-monotone and
                 # searchsorted sampling breaks.
                 lum = np.maximum(tex, 0.0).mean(axis=-1)
-                lum = lum * np.sin((np.arange(h) + 0.5) * np.pi / h)[:, None]
+                # Row solid-angle weight under the REFERENCE texel
+                # addressing (getTexColor round-half + v flip): image row
+                # r's footprint is theta in pi*[1-(r+.5)/h, 1-(r-.5)/h],
+                # whose integral of sin is cos(pi(r-.5)/h)-cos(pi(r+.5)/h)
+                # — a band centered at pi*r/h, NOT (r+.5)/h. Row 0 is the
+                # wrap row (vf % h): it owns BOTH pole slivers, each
+                # 1-cos(.5pi/h).
+                r = np.arange(h)
+                dcos = (np.cos(np.pi * (r - 0.5) / h)
+                        - np.cos(np.pi * (r + 0.5) / h))
+                dcos[0] = 2.0 * (1.0 - np.cos(0.5 * np.pi / h))
+                lum = lum * dcos[:, None]
                 p = (lum / max(lum.sum(), 1e-30)).reshape(-1)
                 imp = dict(flat_cdf=jnp.asarray(np.cumsum(p), jnp.float32),
                            flat_pdf=jnp.asarray(p, jnp.float32),

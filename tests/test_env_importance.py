@@ -18,10 +18,13 @@ def _scene(importance):
     b.add_matte("w", (0.7, 0.7, 0.7))
     b.add_rect((-8, 0, -8), (16, 0, 0), (0, 0, 16), "w")
     b.add_sphere((0.0, 1.0, 0.0), 1.0, "w")
-    # env: dark sky + one hot texel band (a "sun")
+    # env: dark sky + one hot texel band (a "sun"). Under the reference
+    # texel addressing (v flip, bsdf/texture.py), image row r sits at
+    # theta ~= pi*(1 - r/H): row 6 of 8 -> theta ~= pi/4, well above the
+    # horizon so the importance draws at the sun are accepted.
     H, W = 8, 16
     tex = np.full((H, W, 3), 0.05, np.float32)
-    tex[2, 5] = (40.0, 30.0, 20.0)
+    tex[6, 5] = (40.0, 30.0, 20.0)
     tid = b.add_texture("env", tex)
     b.set_env_light("texture", intensity=1.0, tex_id=tid,
                     rotate_y_angle=-0.3, importance=importance)
@@ -45,9 +48,14 @@ def test_importance_sampler_integrates_the_map():
     # only the env light exists -> pick_p == 1
     est = np.asarray((ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None])).mean(0)
 
+    # exact texel-sum integral under the REFERENCE texel addressing
+    # (getTexColor round-half + v flip): image row r's footprint is the
+    # theta band centered at pi*r/H; row 0 owns both pole slivers.
     H, W = tex.shape[0], tex.shape[1]
-    th = (np.arange(H) + 0.5) * np.pi / H
-    omega = (2 * np.pi / W) * (np.pi / H) * np.sin(th)
+    r = np.arange(H)
+    dcos = np.cos(np.pi * (r - 0.5) / H) - np.cos(np.pi * (r + 0.5) / H)
+    dcos[0] = 2.0 * (1.0 - np.cos(0.5 * np.pi / H))
+    omega = (2 * np.pi / W) * dcos
     exact = (tex * omega[:, None, None]).sum((0, 1))
     np.testing.assert_allclose(est, exact, rtol=0.05)
 

@@ -27,14 +27,18 @@ def test_diffuse_texture_drives_albedo():
     b.set_env_light("constant", (1, 1, 1), 1.0)
     scene = b.build()
 
-    # two lanes: one at uv ~ (0.25, 0.25) [white texel], one at (0.75, 0.25) [black]
+    # two lanes at uv (0.25, 0.25) and (0.75, 0.25). Reference texel
+    # addressing (getTexColor: v flipped, round-half — texture.cpp:27-73):
+    # uv (0.25,0.25) -> col round(0.5)=0, row round((1-0.25)*2)=1 ->
+    # checker[1,0] = BLACK; uv (0.75,0.25) -> col 1, row 1 ->
+    # checker[1,1] = WHITE.
     o = jnp.asarray([[-0.5, -0.5, 5.0], [0.5, -0.5, 5.0]], jnp.float32)
     d = jnp.asarray([[0, 0, -1], [0, 0, -1]], jnp.float32)
     ids = jnp.arange(2, dtype=jnp.uint32)
     L, good = trace_paths(scene, o, d, 0, ids, 0, 1)
     L = np.asarray(L)
-    assert L[0].mean() > 0.4  # white texel -> albedo 1 -> ~1.0
-    assert L[1].mean() < 0.05  # black texel
+    assert L[0].mean() < 0.05  # black texel
+    assert L[1].mean() > 0.4  # white texel -> albedo 1 -> ~1.0
 
 
 def test_env_map_texture_directional():
