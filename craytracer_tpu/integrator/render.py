@@ -43,6 +43,15 @@ class RenderConfig:
     # NaN recovery (main.cpp:127-136): substitute the running average for
     # NaN samples and report the count.
     nan_recovery: bool = True
+    # NaN diagnosis (main.cpp:127-136 + pathTraceLogging/SampleLog,
+    # trace.h:535-684): when a pass produces NaN samples, re-trace the
+    # offending pixels under the logging integrator and append their
+    # per-bounce t/beta/contribution records here before substituting.
+    # The counter RNG makes the retrace bit-exact: the offending path is
+    # keyed by (seed, pixel, spp) alone. "" disables; the reference
+    # writes trace_log.txt in the working directory unconditionally.
+    nan_log_path: str = "trace_log.txt"
+    nan_log_max: int = 8  # samples logged per pass (the retrace is 1-lane)
     # Live preview (the GLFW window's stand-in, gl/glcode.h:108-151):
     # write a PNG of the running image every `preview_every` passes.
     preview_path: str = ""
@@ -205,11 +214,18 @@ class Renderer:
             if cfg.nan_recovery:
                 # replace NaN samples with the running mean (or 0 on pass 1)
                 nan_px = jnp.isnan(pass_val).any(axis=-1)  # [b, n]
+                n_nan = int(nan_px.sum())
+                if (n_nan and cfg.nan_log_path
+                        and cfg.trace_type == "PATHTRACE"):
+                    # reference behavior: retrace the bad sample under the
+                    # logging integrator BEFORE substituting (main.cpp:
+                    # 127-136); columns are pixel ids (inv already applied)
+                    self._write_nan_log(np.asarray(nan_px), s)
                 mean_so_far = self.accum / max(self._accum_passes, 1)
                 pass_val = jnp.where(nan_px[..., None],
                                      jnp.nan_to_num(mean_so_far)[None],
                                      pass_val)
-                self.nan_count += int(nan_px.sum())
+                self.nan_count += n_nan
             self.accum = self.accum + pass_val.sum(axis=0)
             s += b
             self._accum_passes = s
@@ -231,6 +247,57 @@ class Renderer:
                 return self.image()
         self.spp_done += cfg.num_samples
         return self.image()
+
+    def _write_nan_log(self, nan_px: np.ndarray, spp0: int):
+        """Re-trace NaN samples under the logging integrator and append
+        their per-bounce records — the wavefront form of the reference's
+        NaN handler (main.cpp:127-136: detect -> pathTraceLogging ->
+        trace_log.txt -> substitute; SampleLog fields trace.h:176-219).
+        The retrace replays the EXACT offending path: the counter RNG keys
+        every decision off (seed, pixel, spp, bounce, dim) alone."""
+        cfg = self.config
+        from craytracer_tpu.camera import generate_rays
+        from craytracer_tpu.integrator.wavefront import (CAMERA_BOUNCE,
+                                                         trace_paths_logged)
+        from craytracer_tpu.sampling import uniforms
+        from craytracer_tpu.sampling.multijitter import stratified_jitter
+
+        rows, cols = np.nonzero(nan_px)
+        with open(cfg.nan_log_path, "a") as f:
+            for r, p in list(zip(rows, cols))[:max(1, cfg.nan_log_max)]:
+                spp = int(spp0 + r)
+                pid = jnp.asarray([int(p)], jnp.int32)
+                if cfg.sampler is not None:
+                    from craytracer_tpu.sampling.tables import table_sample
+
+                    jitter = table_sample(cfg.sampler, cfg.seed, pid, spp,
+                                          dim=0)
+                else:
+                    jitter = stratified_jitter(cfg.seed, pid, spp)
+                lens_u = uniforms(cfg.seed, pid, spp, CAMERA_BOUNCE, 2, 2)
+                o, d = generate_rays(self.camera, self.film, pid, jitter,
+                                     lens_u)
+                L, good, log = trace_paths_logged(
+                    self.scene, o, d, cfg.seed, pid, spp, cfg.max_depth)
+                x, y = int(p) % self.film.width, int(p) // self.film.width
+                f.write(f"NaN/Inf sample: pixel ({x},{y}) id {int(p)} "
+                        f"spp {spp} seed {cfg.seed}\n")
+                for bo in range(cfg.max_depth + 1):
+                    be = np.asarray(log["beta"][bo, 0])
+                    dc = np.asarray(log["direct_contrib"][bo, 0])
+                    em = np.asarray(log["emissive_indirect_contrib"][bo, 0])
+                    ev = np.asarray(log["env_indirect_contrib"][bo, 0])
+                    f.write(
+                        f"  bounce {bo}: alive={int(log['alive'][bo, 0])} "
+                        f"t={float(log['t'][bo, 0]):.6g} "
+                        f"beta=({be[0]:.6g} {be[1]:.6g} {be[2]:.6g}) "
+                        f"direct=({dc[0]:.6g} {dc[1]:.6g} {dc[2]:.6g}) "
+                        f"emit=({em[0]:.6g} {em[1]:.6g} {em[2]:.6g}) "
+                        f"env=({ev[0]:.6g} {ev[1]:.6g} {ev[2]:.6g}) "
+                        f"new_pdf={float(log['new_sample_pdf'][bo, 0]):.6g}\n")
+                Lr = np.asarray(L[0])
+                f.write(f"  L=({Lr[0]:.6g} {Lr[1]:.6g} {Lr[2]:.6g}) "
+                        f"good={int(good[0])}\n")
 
     def _probe(self, x: int, y: int, spp: int):
         i = y * self.film.width + x

@@ -138,6 +138,13 @@ def _parse_material(builder: SceneBuilder, mat_type: str, kv: dict, search_dirs)
     if "TEXTURE" in kv or "KD_TEXTURE" in kv:
         tex_file = (kv.get("TEXTURE") or kv.get("KD_TEXTURE"))[0]
         diffuse_tex = _load_texture(builder, tex_file, search_dirs)
+    # reference matte grammar: `COLOR TEXTURE <file>` (parseMatteEntry,
+    # scene/scenefile.h:141-148) — the filename rides as COLOR's 2nd value
+    cvals = kv.get("COLOR")
+    if diffuse_tex < 0 and cvals and cvals[0] == "TEXTURE" and len(cvals) > 1:
+        diffuse_tex = _load_texture(builder, cvals[1], search_dirs)
+        kv = dict(kv)
+        kv["COLOR"] = ["0.5", "0.5", "0.5"]  # table color unused when textured
 
     if mat_type == "MATTE":
         color = _color_from(kv.get("COLOR") or kv.get("DIFF_COLOR"), (0.5, 0.5, 0.5))

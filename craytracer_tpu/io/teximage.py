@@ -7,9 +7,13 @@ not in the image.
 
 Reference quirk intentionally NOT copied: getTexColor divides float texels
 by 255 (texture.cpp:78); HDR texels here stay in radiance units.
+CRAY_TEX_FLOAT_DIV255=1 opts back into the reference behavior — used by
+the textured golden-parity test so both renderers see the same EXR scale.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -22,7 +26,10 @@ def load_texture_image(path: str):
         from craytracer_tpu.io.exr import read_exr
 
         try:
-            return read_exr(path)
+            img = read_exr(path)
+            if os.environ.get("CRAY_TEX_FLOAT_DIV255", "0") == "1":
+                img = img / 255.0  # getTexColor float quirk (texture.cpp:78)
+            return img
         except Exception:
             return None
     try:
