@@ -217,18 +217,23 @@ def spherical_direction(sin_t, cos_t, phi):
 
 
 def cartesian_to_spherical(d):
-    """World direction -> (theta, phi) with y-up convention used by env maps
-    (lights.cpp:233-248 via util/math.h)."""
+    """World direction -> (theta, phi), the reference's exact convention
+    (cartesianToSpherical, util/math.h:95-101): phi = atan2(z, x) + pi
+    (so phi in [0, 2pi]), theta = acos(y). The azimuth ORIGIN and WINDING
+    are image-visible in env-map orientation — anchored by
+    tests/goldens/golden_textured.is."""
     # strictly-interior clip: arccos'(+-1) = inf while clip' = 0 there, and
     # inf * 0 = NaN poisons reverse-mode batches (see ops/intersect.py)
     theta = jnp.arccos(jnp.clip(d[..., 1], -1.0 + 1e-6, 1.0 - 1e-6))
-    phi = jnp.arctan2(d[..., 0], d[..., 2])
-    phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
+    phi = jnp.arctan2(d[..., 2], d[..., 0]) + PI
     return theta, phi
 
 
 def spherical_to_uv(theta, phi):
-    return phi * (1.0 / TWO_PI), theta * INV_PI
+    """sphericalToUV (util/math.h:103-107): v = 1 - theta/pi. The flip
+    cancels getTexColor's own v flip (bsdf/texture.py nearest_texel_xy),
+    so the NET env mapping puts image row 0 at theta ~ 0 (the zenith)."""
+    return phi * (1.0 / TWO_PI), 1.0 - theta * INV_PI
 
 
 def rotate_y(angle):

@@ -138,8 +138,10 @@ def _parse_material(builder: SceneBuilder, mat_type: str, kv: dict, search_dirs)
     if "TEXTURE" in kv or "KD_TEXTURE" in kv:
         tex_file = (kv.get("TEXTURE") or kv.get("KD_TEXTURE"))[0]
         diffuse_tex = _load_texture(builder, tex_file, search_dirs)
-    # reference matte grammar: `COLOR TEXTURE <file>` (parseMatteEntry,
-    # scene/scenefile.h:141-148) — the filename rides as COLOR's 2nd value
+    # tolerance: `COLOR TEXTURE <file>` (the reference grammar is a bare
+    # `TEXTURE <file>` REPLACING the COLOR line — parseMatteEntry reads
+    # the token in COLOR's position and compares it to "TEXTURE",
+    # scene/scenefile.h:140-151; both forms are accepted here)
     cvals = kv.get("COLOR")
     if diffuse_tex < 0 and cvals and cvals[0] == "TEXTURE" and len(cvals) > 1:
         diffuse_tex = _load_texture(builder, cvals[1], search_dirs)

@@ -289,20 +289,22 @@ def sample_light_index(scene: T.Scene, idx, u2, hit_point, shading_normal,
             # covers v in [1-(r+.5)/H, 1-(r-.5)/H) (clipped at poles) —
             # so the sampled direction's radiance lookup lands on the
             # texel whose luminance drove the CDF.
+            # Jitter inside texel (r, c)'s cell under the NET reference
+            # mapping (sphericalToUV's v flip cancels getTexColor's:
+            # image row r covers theta/pi * H in (r-.5, r+.5], col c
+            # covers phi_ref/2pi * W in (c-.5, c+.5] mod W). Row 0 is the
+            # round-mod wrap row owning slivers at BOTH poles: its
+            # negative half wraps to theta near pi.
             u_ll = jnp.mod((c - 0.5 + ju) / W, 1.0)
-            # Row 0 is the wrap row: v_raw < 0 (its jv < 0.5 half) lands
-            # the TOP pole sliver (v = -v_raw), the rest the bottom one —
-            # together exactly row 0's footprint under the reference
-            # addressing, so the whole sphere is tiled and the lookup
-            # roundtrips to the texel that drove the CDF.
             v_raw = (r - 0.5 + u2[:, 1]) / H
-            v_ll = jnp.clip(jnp.where(v_raw < 0.0, -v_raw, 1.0 - v_raw),
+            v_ll = jnp.clip(jnp.where(v_raw < 0.0, 1.0 + v_raw, v_raw),
                             0.0, 1.0)
             theta = v_ll * PI
-            phi = u_ll * TWO_PI
+            # invert cartesian_to_spherical: phi_ref = atan2(z, x) + pi
+            phi = u_ll * TWO_PI - PI
             st = jnp.sin(theta)
-            d_look = jnp.stack([st * jnp.sin(phi), jnp.cos(theta),
-                                st * jnp.cos(phi)], axis=-1)
+            d_look = jnp.stack([st * jnp.cos(phi), jnp.cos(theta),
+                                st * jnp.sin(phi)], axis=-1)
             wi_env = jnp.einsum("ji,nj->ni", scene.env.transform, d_look)
             li_env = env_radiance(scene.env, scene.textures, d_look)
             omega = (TWO_PI / W) * (PI / H) * jnp.maximum(st, 1e-6)

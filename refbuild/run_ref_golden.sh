@@ -18,7 +18,7 @@ WORK=$(mktemp -d)
 trap 'rm -rf "$WORK"' EXIT
 cp "$SCENE" "$WORK/scene.txt"
 # OBJ meshes resolve relative to cwd
-for f in "$(dirname "$SCENE")"/*.obj "$(dirname "$SCENE")"/*.png "$(dirname "$SCENE")"/*.exr; do
+for f in "$(dirname "$SCENE")"/*.obj "$(dirname "$SCENE")"/*.png "$(dirname "$SCENE")"/*.ppm "$(dirname "$SCENE")"/*.exr; do
     [ -e "$f" ] && ln -s "$f" "$WORK/" 2>/dev/null
 done
 cat > "$WORK/config.txt" <<CFG

@@ -18,7 +18,9 @@ the normal map. Our implementation follows the intended-but-unreachable
 math with a documented remap deviation (integrator/wavefront.py).
 
 Emits into scenes/:
-  parity_tex_checker.png   8x8 u8 color checker
+  parity_tex_checker.ppm   8x8 u8 color checker (P6: the refbuild stb stub
+                           reads PPM, the one format stb_image supports that
+                           needs no vendored decoder)
   parity_tex_env.exr       16x32 HDR sky gradient + sun patch
   parity_tex_quad.obj      5x5-vertex gently-bumped quad grid, vt in [0,1]
   parity_textured.txt      the scene (lamp LAST: see tests/test_reference_
@@ -104,7 +106,7 @@ END
 
 MATERIAL MATTE
 NAME checker
-COLOR TEXTURE parity_tex_checker.png
+TEXTURE parity_tex_checker.ppm
 SIGMA 0.0
 END
 
@@ -150,12 +152,12 @@ MATERIAL lamp
 
 
 def main():
-    make_checker(os.path.join(HERE, "parity_tex_checker.png"))
+    make_checker(os.path.join(HERE, "parity_tex_checker.ppm"))
     make_env(os.path.join(HERE, "parity_tex_env.exr"))
     make_quad(os.path.join(HERE, "parity_tex_quad.obj"))
     with open(os.path.join(HERE, "parity_textured.txt"), "w") as f:
         f.write(SCENE)
-    print("wrote parity_tex_{checker.png,env.exr,quad.obj} + parity_textured.txt")
+    print("wrote parity_tex_{checker.ppm,env.exr,quad.obj} + parity_textured.txt")
 
 
 if __name__ == "__main__":

@@ -46,8 +46,10 @@ def test_env_map_texture_directional():
     rays reflecting toward +z see the bright texel."""
     b = SceneBuilder()
     env = np.zeros((8, 16, 3), np.float32)
-    # theta ~ pi/2 (row 4), phi = atan2(x=0, z=1) = 0 -> u = 0 (col 0)
-    env[4, 0] = (5.0, 5.0, 5.0)
+    # +z: theta = pi/2 -> row round(0.5*8) = 4; phi_ref = atan2(z=1, x=0)
+    # + pi = 3pi/2 -> u = 0.75 -> col round(0.75*16) = 12
+    # (reference conventions: util/math.h:95-107 + texture.cpp:27-73)
+    env[4, 12] = (5.0, 5.0, 5.0)
     tid = b.add_texture("env", env)
     b.set_env_light("texture", intensity=1.0, tex_id=tid)
     b.add_matte("m", (0.5, 0.5, 0.5))

@@ -29,6 +29,23 @@ accel NONE, PATHTRACE:
   too dim), while our bvh4 render matches its GRID image to 0.0096 —
   i.e. the reference BVH4 accel, not our traversal, is the outlier
   (same bug family as its BVH4 dropping the cornell back wall).
+* scenes/parity_textured.txt — the TEXTURE pipeline golden (VERDICT r4
+  item 4; scenes/make_parity_textured.py): u8 checker on a rect AND on a
+  smooth bumped quad mesh (getTexColor addressing texture.cpp:27-86, uv
+  interpolation), plus an EXR texture env light (readRgba1, the radiance
+  lookup chain util/math.h:95-107 -> texture.cpp, the hardcoded
+  rotate_y(-0.76), and the float-/255 quirk — matched via
+  CRAY_TEX_FLOAT_DIV255=1 at load). Captured with GRID, 144 spp: with
+  accel NONE the reference never initializes env world_radius
+  (preprocessLights only sets it in the BVH/GRID/BVH4 branches,
+  buildscene.h:840-873), the fresh-heap zero makes env power 0 and its
+  env light silently drops out of NEE — verified empirically: zeroing
+  OUR env pick power reproduced the accel-NONE capture to block dev
+  0.005. GRID initializes it, so this golden anchors env NEE too.
+  Rendered at 160 spp here: the hot env texels put firefly variance on
+  top of the usual MC noise. Normal mapping is deliberately absent: the
+  reference's normal-map application is dead code (its only caller sits
+  in the commented-out SIMD block, intersect.h:15-21).
 * scenes/parity_mesh.txt — flat-shaded icosphere_small.obj (320 tris)
   over a matte floor, 128x128 @ 144 spp (the sampler requires a perfect
   square; 256^2 x 256 would overrun the capture timeout single-threaded
@@ -102,8 +119,8 @@ def _render_ours(scene_path: str, size: int = 128, spp: int = 64,
 
 
 @pytest.mark.parametrize("name", ["cornell", "mix", "prims", "mesh",
-                                  "mesh_mid"])
-def test_reference_image_parity(name):
+                                  "mesh_mid", "textured"])
+def test_reference_image_parity(name, monkeypatch):
     golden_path = os.path.join(HERE, "goldens", f"golden_{name}.is")
     accum, spp, w, h = read_reference_is(golden_path)
     ref = (accum / spp).reshape(h, w, 3)
@@ -114,8 +131,14 @@ def test_reference_image_parity(name):
     # here through bvh4 — accelerated-path image evidence on BOTH sides
     # (the other goldens are accel NONE).
     accel = "bvh4" if name == "mesh_mid" else "auto"
+    spp_ours = 64
+    if name == "textured":
+        # match the reference's float-texel /255 (texture.cpp:78) so both
+        # renderers see the same EXR scale; 160 spp tames env fireflies
+        monkeypatch.setenv("CRAY_TEX_FLOAT_DIV255", "1")
+        spp_ours = 160
     ours = _render_ours(os.path.join(REPO, "scenes", f"parity_{name}.txt"),
-                        accel=accel)
+                        accel=accel, spp=spp_ours)
 
     rb = _block_means(ref)
     ob = _block_means(ours)
