@@ -789,7 +789,13 @@ class SceneBuilder:
             )
             imp = dict(flat_cdf=None, flat_pdf=None, importance=0,
                        imp_h=0, imp_w=0)
-            if (env_cfg.get("importance") and kind == 2
+            # The CDF is built for EVERY texture env (cheap, host-side):
+            # the Renderer defaults importance ON for the principled
+            # estimators (physical/mis) even when the scene didn't ask —
+            # see integrator/render.py — so the tables must exist.
+            # env.importance itself stays as authored (the reference
+            # estimator keeps the reference's cosine strategy for parity).
+            if (kind == 2
                     and 0 <= env_cfg["tex_id"] < len(self._textures)):
                 tex = np.asarray(self._textures[env_cfg["tex_id"]],
                                  np.float64)
@@ -813,7 +819,8 @@ class SceneBuilder:
                 p = (lum / max(lum.sum(), 1e-30)).reshape(-1)
                 imp = dict(flat_cdf=jnp.asarray(np.cumsum(p), jnp.float32),
                            flat_pdf=jnp.asarray(p, jnp.float32),
-                           importance=1, imp_h=h, imp_w=w)
+                           importance=1 if env_cfg.get("importance") else 0,
+                           imp_h=h, imp_w=w)
             env = T.EnvLight(
                 color=jnp.asarray(env_cfg["color"], jnp.float32),
                 intensity=jnp.float32(env_cfg["intensity"]),

@@ -114,3 +114,26 @@ def test_importance_render_matches_cosine_in_expectation():
     v0 = np.var(imgs[False], axis=0).mean()
     v1 = np.var(imgs[True], axis=0).mean()
     assert v1 < v0 * 1.5  # sanity: no variance explosion
+
+
+def test_importance_default_policy():
+    """Texture envs flip importance ON under physical/mis (the CDF is now
+    always built), and keep the reference's cosine strategy under the
+    reference estimator (ENV_IMPORTANCE_AB.json: the L/good ratio is not
+    strategy-invariant)."""
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator import Renderer, RenderConfig
+
+    scene, _ = _scene(False)  # authored WITHOUT importance
+    assert scene.env.importance == 0
+    assert scene.env.flat_cdf is not None  # CDF built regardless
+    cam = make_camera((0, 3, 7), (0, 1, 0))
+    film = Film(fov=jnp.float32(0.7), width=8, height=8)
+    r_ref = Renderer(scene, cam, film, RenderConfig(num_samples=1))
+    assert r_ref.scene.env.importance == 0
+    r_phy = Renderer(scene, cam, film,
+                     RenderConfig(num_samples=1, estimator="physical"))
+    assert r_phy.scene.env.importance == 1
+    r_mis = Renderer(scene, cam, film,
+                     RenderConfig(num_samples=1, estimator="mis"))
+    assert r_mis.scene.env.importance == 1
