@@ -153,9 +153,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spheres", type=int, default=380)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--xl", action="store_true",
+                    help="San-Miguel-scale variant (VERDICT r4 item 3): "
+                         "~2.7M triangles WITH the full material/texture "
+                         "complement — sphere field at icosphere level 4 "
+                         "(5120 tris each), boulders at level 6 (81920), "
+                         "450 spheres; emits fullscene_xl.{obj,txt} "
+                         "sharing fullscene.mtl + textures + env")
     args = ap.parse_args()
 
     from make_fixtures import icosphere
+
+    prefix = "fullscene_xl" if args.xl else "fullscene"
+    sph_level, bld_level = (4, 6) if args.xl else (3, 5)
+    if args.xl and args.spheres == 380:
+        args.spheres = 450
 
     make_textures()
     make_env()
@@ -209,8 +221,8 @@ def main():
     emit(fverts, ffaces, fuv, None, "floor", "floor")
 
     # ---- sphere field
-    v3, f3 = icosphere(3)   # 1280 tris
-    v5, f5 = icosphere(5)   # 20480 tris (boulders)
+    v3, f3 = icosphere(sph_level)   # 1280 tris (5120 in --xl)
+    v5, f5 = icosphere(bld_level)   # 20480 tris (81920 in --xl boulders)
     uv3 = np.stack([0.5 + np.arctan2(v3[:, 2], v3[:, 0]) / (2 * np.pi),
                     0.5 - np.arcsin(np.clip(v3[:, 1], -1, 1)) / np.pi], axis=-1)
     groups = ["blotch", "GOLD", "SILVER", "COPPER", "glass", "plastic_blue"]
@@ -249,7 +261,7 @@ def main():
         c = np.array([lx, 6.0, lz])
         emit(v3 * 1.8 + c, f3, None, None, f"lamp{li}", "lamp")
 
-    with open(os.path.join(HERE, "fullscene.obj"), "w") as f:
+    with open(os.path.join(HERE, f"{prefix}.obj"), "w") as f:
         f.write(buf.getvalue())
     ntris = buf.getvalue().count("\nf ") + 1
 
@@ -276,16 +288,16 @@ INTENSITY 1.0
 IMPORTANCE yes
 
 OBJECT MESH
-FILE_NAME fullscene.obj
+FILE_NAME {prefix}.obj
 SMOOTH yes
 SCALING 1 1 1
 LOCATION 0 0 0
 ORIENTATION 0 0 0
 MATERIAL FROM_MTL
 """
-    with open(os.path.join(HERE, "fullscene.txt"), "w") as f:
+    with open(os.path.join(HERE, f"{prefix}.txt"), "w") as f:
         f.write(scene)
-    print(f"wrote fullscene.obj (~{ntris} face rows), fullscene.txt, "
+    print(f"wrote {prefix}.obj (~{ntris} face rows), {prefix}.txt, "
           f"textures, env EXR")
 
 
