@@ -44,7 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from craytracer_tpu.constants import INV_PI, TWO_PI
+from craytracer_tpu.constants import INV_PI, K_EPSILON, TMAX, TWO_PI
 from craytracer_tpu.scene import types as T
 
 # Default lane block. Elementwise work wants wide blocks (the VPU's native
@@ -96,11 +96,9 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
                   d_ref, hp_ref, hn_ref, du_ref, be_ref, ii_ref,
                   fo_ref, io_ref,
                   n_mats, n_lights, max_depth, rr_start):
-    f32 = jnp.float32
-    seed = si_ref[0].astype(jnp.uint32)
-    bounce = si_ref[1]
-    bounce_u = bounce.astype(jnp.uint32)
-
+    """Shade-only kernel: the hit record arrives from an external
+    traversal (accel-backed scenes). See _bounce_kernel for the
+    whole-bounce brute-force variant."""
     dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
     px, py, pz = hp_ref[0, :], hp_ref[1, :], hp_ref[2, :]
     nx, ny, nz = hn_ref[0, :], hn_ref[1, :], hn_ref[2, :]
@@ -112,6 +110,188 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
     hitm = ii_ref[3, :] != 0
     alive = ii_ref[4, :] != 0
     prev_sg = ii_ref[5, :] != 0
+    _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
+                dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
+                bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
+                n_mats, n_lights, max_depth, rr_start, occl=None)
+
+
+def _safe_div(v):
+    # vm._safe: replace ~0 with +-1e-12, keeping sign
+    return jnp.where(jnp.abs(v) < 1e-12,
+                     jnp.where(v < 0.0, -1e-12, 1e-12), v)
+
+
+def _rect_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
+    """Exact rect_ts formula (ops/intersect.py:117-141) for SMEM row k."""
+    p0x, p0y, p0z = pt_ref[k, 0], pt_ref[k, 1], pt_ref[k, 2]
+    rwx, rwy, rwz = pt_ref[k, 3], pt_ref[k, 4], pt_ref[k, 5]
+    rhx, rhy, rhz = pt_ref[k, 6], pt_ref[k, 7], pt_ref[k, 8]
+    rnx, rny, rnz = pt_ref[k, 9], pt_ref[k, 10], pt_ref[k, 11]
+    denom = wx * rnx + wy * rny + wz * rnz
+    t = ((p0x - ox) * rnx + (p0y - oy) * rny + (p0z - oz) * rnz) \
+        / _safe_div(denom)
+    qx = ox + t * wx - p0x
+    qy = oy + t * wy - p0y
+    qz = oz + t * wz - p0z
+    uu = (qx * rwx + qy * rwy + qz * rwz) \
+        / (rwx * rwx + rwy * rwy + rwz * rwz)
+    vv = (qx * rhx + qy * rhy + qz * rhz) \
+        / (rhx * rhx + rhy * rhy + rhz * rhz)
+    ok = ((t > K_EPSILON) & (uu >= 0.0) & (uu <= 1.0)
+          & (vv >= 0.0) & (vv <= 1.0))
+    return jnp.where(ok, t, TMAX)
+
+
+def _tri_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
+    """Exact triangle_ts Moller-Trumbore (ops/intersect.py:163-197)."""
+    v0x, v0y, v0z = pt_ref[k, 0], pt_ref[k, 1], pt_ref[k, 2]
+    e1x, e1y, e1z = pt_ref[k, 3], pt_ref[k, 4], pt_ref[k, 5]
+    e2x, e2y, e2z = pt_ref[k, 6], pt_ref[k, 7], pt_ref[k, 8]
+    cpx = wy * e2z - wz * e2y
+    cpy = wz * e2x - wx * e2z
+    cpz = wx * e2y - wy * e2x
+    det = e1x * cpx + e1y * cpy + e1z * cpz
+    inv_det = 1.0 / _safe_div(det)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    beta = (tx * cpx + ty * cpy + tz * cpz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    gamma = (wx * qx + wy * qy + wz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = ((beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
+          & (t > K_EPSILON))
+    return jnp.where(ok, t, TMAX)
+
+
+def _brute_closest(pt_ref, n_rects, n_tris, ox, oy, oz, wx, wy, wz):
+    """Closest hit over the SMEM prim table as TWO fori_loops (rects,
+    then flat triangles) — Mosaic compiles the ~40-op loop bodies in
+    seconds where the fully unrolled form wedged the remote compiler.
+    Strict < keeps min/argmin's first-minimum tie-break."""
+    best_t = jnp.full_like(ox, TMAX)
+    best_k = jnp.zeros_like(ox, dtype=jnp.int32)
+
+    def rect_body(k, carry):
+        bt, bk = carry
+        t = _rect_t(pt_ref, k, ox, oy, oz, wx, wy, wz)
+        better = t < bt
+        return jnp.where(better, t, bt), jnp.where(better, k, bk)
+
+    def tri_body(k, carry):
+        bt, bk = carry
+        t = _tri_t(pt_ref, k, ox, oy, oz, wx, wy, wz)
+        better = t < bt
+        return jnp.where(better, t, bt), jnp.where(better, k, bk)
+
+    if n_rects:
+        best_t, best_k = jax.lax.fori_loop(0, n_rects, rect_body,
+                                           (best_t, best_k))
+    if n_tris:
+        best_t, best_k = jax.lax.fori_loop(n_rects, n_rects + n_tris,
+                                           tri_body, (best_t, best_k))
+    return best_t, best_k
+
+
+def _brute_any(pt_ref, n_rects, n_tris, ox, oy, oz, wx, wy, wz):
+    """shadow_distance brute path: min t over every prim, no early out."""
+    t_sh = jnp.full_like(ox, TMAX)
+
+    def rect_body(k, bt):
+        return jnp.minimum(bt, _rect_t(pt_ref, k, ox, oy, oz, wx, wy, wz))
+
+    def tri_body(k, bt):
+        return jnp.minimum(bt, _tri_t(pt_ref, k, ox, oy, oz, wx, wy, wz))
+
+    if n_rects:
+        t_sh = jax.lax.fori_loop(0, n_rects, rect_body, t_sh)
+    if n_tris:
+        t_sh = jax.lax.fori_loop(n_rects, n_rects + n_tris, tri_body, t_sh)
+    return t_sh
+
+
+def _bounce_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
+                   o_ref, d_ref, be_ref, ii_ref,
+                   fo_ref, io_ref,
+                   n_mats, n_lights, n_rects, n_tris, max_depth, rr_start):
+    """Whole-bounce brute-force kernel: closest-hit intersect over the
+    SMEM prim table (rects + flat triangles, the exact ops/intersect.py
+    formulas), shade, and the shadow any-hit — ONE launch per bounce for
+    Cornell-class scenes, replacing intersect_scene + fused_shade +
+    shadow_distance (three launches and two HBM round-trips)."""
+    ox_, oy_, oz_ = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+    bx, by, bz = be_ref[0, :], be_ref[1, :], be_ref[2, :]
+    pix = ii_ref[0, :].astype(jnp.uint32)
+    spp = ii_ref[1, :].astype(jnp.uint32)
+    alive = ii_ref[2, :] != 0
+    prev_sg = ii_ref[3, :] != 0
+
+    # ---- closest hit (intersect_scene brute path: rects before
+    # triangles, strict < so the first minimum wins — same tie-break as
+    # min/argmin over the [N, M] test matrix)
+    best_t, best_k = _brute_closest(pt_ref, n_rects, n_tris,
+                                    ox_, oy_, oz_, dx, dy, dz)
+    hitm = best_t < TMAX
+
+    # ---- fill (exact _fill_rect / _fill_triangle flat math): select the
+    # winner's constants, then flip normals toward the ray
+    zero = jnp.zeros_like(ox_)
+
+    def fill_body(k, carry):
+        fnx, fny, fnz, dux, duy, duz, mat_f, ds_f = carry
+        sel = hitm & (best_k == k)
+        # cols 9-11: rect normal / triangle face normal; cols 3-5: rect
+        # width / triangle e1 (the dpdu source). Accumulated as f32
+        # (material ids are small ints, exact in f32) — one vector
+        # convert at the end.
+        return (jnp.where(sel, pt_ref[k, 9], fnx),
+                jnp.where(sel, pt_ref[k, 10], fny),
+                jnp.where(sel, pt_ref[k, 11], fnz),
+                jnp.where(sel, pt_ref[k, 3], dux),
+                jnp.where(sel, pt_ref[k, 4], duy),
+                jnp.where(sel, pt_ref[k, 5], duz),
+                jnp.where(sel, pt_ref[k, 12], mat_f),
+                jnp.where(sel, pt_ref[k, 13], ds_f))
+
+    (fnx, fny, fnz, dux, duy, duz, mat_f, ds_f) = jax.lax.fori_loop(
+        0, n_rects + n_tris, fill_body, (zero,) * 8)
+    mat_id = mat_f.astype(jnp.int32)
+    ds_flag = ds_f != 0.0
+    # rects always face the ray (_fill_rect flip, rect.cpp:36-46), and
+    # flip dpdu with the normal; flat triangles flip only when
+    # double-sided (_fill_triangle, triangle.cpp:160-166) and keep dpdu
+    flip = (-dx * fnx - dy * fny - dz * fnz) < 0.0
+    is_rect_hit = best_k < n_rects
+    do_flip = flip & (is_rect_hit | ds_flag)
+    sgn = jnp.where(do_flip, -1.0, 1.0)
+    fnx = fnx * sgn
+    fny = fny * sgn
+    fnz = fnz * sgn
+    du_sgn = jnp.where(do_flip & is_rect_hit, -1.0, 1.0)
+    ndx, ndy, ndz, _ = _normalize3(dux * du_sgn, duy * du_sgn, duz * du_sgn)
+    px = jnp.where(hitm, ox_ + best_t * dx, 0.0)
+    py = jnp.where(hitm, oy_ + best_t * dy, 0.0)
+    pz = jnp.where(hitm, oz_ + best_t * dz, 0.0)
+
+    def occl(sx, sy, sz, wx, wy, wz):
+        return _brute_any(pt_ref, n_rects, n_tris, sx, sy, sz, wx, wy, wz)
+
+    _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
+                dx, dy, dz, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz,
+                bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
+                n_mats, n_lights, max_depth, rr_start, occl=occl)
+
+
+def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
+                dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
+                bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
+                n_mats, n_lights, max_depth, rr_start, occl=None):
+    f32 = jnp.float32
+    seed = si_ref[0].astype(jnp.uint32)
+    bounce = si_ref[1]
+    bounce_u = bounce.astype(jnp.uint32)
 
     # ---- material row select (gather_params over a tiny static table)
     zero = jnp.zeros_like(px)
@@ -138,13 +318,13 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
     add_emit = add_cond & emissive_hit
     add_env = add_cond & ~hitm
     er, eg, eb = cr * inten, cg * inten, cb * inten
-    fo_ref[_RO_LADD + 0, :] = jnp.where(add_emit, bx * er, 0.0) + jnp.where(
+    l_add_r = jnp.where(add_emit, bx * er, 0.0) + jnp.where(
         add_env, bx * sf_ref[0], 0.0)
-    fo_ref[_RO_LADD + 1, :] = jnp.where(add_emit, by * eg, 0.0) + jnp.where(
+    l_add_g = jnp.where(add_emit, by * eg, 0.0) + jnp.where(
         add_env, by * sf_ref[1], 0.0)
-    fo_ref[_RO_LADD + 2, :] = jnp.where(add_emit, bz * eb, 0.0) + jnp.where(
+    l_add_b = jnp.where(add_emit, bz * eb, 0.0) + jnp.where(
         add_env, bz * sf_ref[2], 0.0)
-    io_ref[_IO_GOOD, :] = (add_emit | add_env).astype(jnp.int32)
+    good_inc = (add_emit | add_env).astype(jnp.int32)
 
     cont = alive & hitm & ~emissive_hit & (bounce < max_depth)
 
@@ -281,9 +461,12 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
     shoz = pz + nz * eps * side
     dist_adj = dist - ((shox - px) * wix + (shoy - py) * wiy
                        + (shoz - pz) * wiz)
-    fo_ref[_RO_SHO + 0, :] = jnp.where(want_shadow, shox, 3.0e18)
-    fo_ref[_RO_SHO + 1, :] = jnp.where(want_shadow, shoy, 3.0e18)
-    fo_ref[_RO_SHO + 2, :] = jnp.where(want_shadow, shoz, 3.0e18)
+    sho_mx = jnp.where(want_shadow, shox, 3.0e18)
+    sho_my = jnp.where(want_shadow, shoy, 3.0e18)
+    sho_mz = jnp.where(want_shadow, shoz, 3.0e18)
+    fo_ref[_RO_SHO + 0, :] = sho_mx
+    fo_ref[_RO_SHO + 1, :] = sho_my
+    fo_ref[_RO_SHO + 2, :] = sho_mz
     fo_ref[_RO_SHD + 0, :] = wix
     fo_ref[_RO_SHD + 1, :] = wiy
     fo_ref[_RO_SHD + 2, :] = wiz
@@ -291,12 +474,31 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
     fo_ref[_RO_DADJT, :] = jnp.where(want_shadow, dist_adj, 0.0)
     io_ref[_IO_WSH, :] = want_shadow.astype(jnp.int32)
     inv_pdf = 1.0 / jnp.maximum(pdf_nee, 1e-12)
-    fo_ref[_RO_CONTRIB + 0, :] = jnp.where(
-        want_shadow, bx * (f_r * lir * inv_pdf), 0.0)
-    fo_ref[_RO_CONTRIB + 1, :] = jnp.where(
-        want_shadow, by * (f_g * lig * inv_pdf), 0.0)
-    fo_ref[_RO_CONTRIB + 2, :] = jnp.where(
-        want_shadow, bz * (f_b * lib * inv_pdf), 0.0)
+    ctr = jnp.where(want_shadow, bx * (f_r * lir * inv_pdf), 0.0)
+    ctg = jnp.where(want_shadow, by * (f_g * lig * inv_pdf), 0.0)
+    ctb = jnp.where(want_shadow, bz * (f_b * lib * inv_pdf), 0.0)
+    fo_ref[_RO_CONTRIB + 0, :] = ctr
+    fo_ref[_RO_CONTRIB + 1, :] = ctg
+    fo_ref[_RO_CONTRIB + 2, :] = ctb
+    if occl is not None:
+        # ---- in-kernel shadow any-hit + visibility-masked NEE add (the
+        # wavefront step's lit test, trace.h:478 semantics)
+        t_shadow = occl(sho_mx, sho_my, sho_mz, wix, wiy, wiz)
+        lit = t_shadow >= dist_adj - jnp.maximum(K_EPSILON,
+                                                 1e-3 * dist_adj)
+        add_nee = want_shadow & lit
+        ctr = jnp.where(add_nee, ctr, 0.0)
+        ctg = jnp.where(add_nee, ctg, 0.0)
+        ctb = jnp.where(add_nee, ctb, 0.0)
+        l_add_r = l_add_r + ctr
+        l_add_g = l_add_g + ctg
+        l_add_b = l_add_b + ctb
+        good_inc = good_inc + ((ctr != 0.0) | (ctg != 0.0)
+                               | (ctb != 0.0)).astype(jnp.int32)
+    fo_ref[_RO_LADD + 0, :] = l_add_r
+    fo_ref[_RO_LADD + 1, :] = l_add_g
+    fo_ref[_RO_LADD + 2, :] = l_add_b
+    io_ref[_IO_GOOD, :] = good_inc
 
     # ---- BSDF sample: cosine hemisphere (map_to_hemisphere_cosine over
     # dims 5,6), matte-only (bsdf_sample's MATTE block)
@@ -353,6 +555,29 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
     io_ref[_IO_PSG, :] = (prev_sg & ~cont).astype(jnp.int32)
 
 
+def fast_shade_mode(scene: T.Scene):
+    """Host-side (outside jit): False, "shade" (fused shade kernel with
+    external traversal), or "bounce" (whole-bounce kernel: in-kernel
+    brute-force intersect + shade + shadow — Cornell-class scenes whose
+    geometry is a handful of rects and flat triangles)."""
+    if not fast_shade_ok(scene):
+        return False
+    try:
+        n_rects = scene.rects.mat_id.shape[0]
+        n_tris = scene.triangles.mat_id.shape[0]
+        others = (scene.spheres.mat_id.shape[0] + scene.planes.mat_id.shape[0]
+                  + scene.disks.mat_id.shape[0]
+                  + scene.instanced.mat_id.shape[0])
+        if (others == 0 and n_rects + n_tris <= 64
+                and scene.tri_bvh is None and scene.sph_bvh is None
+                and scene.tri_cam is None
+                and not np.asarray(scene.triangles.smooth).any()):
+            return "bounce"
+    except Exception:
+        pass
+    return "shade"
+
+
 def fast_shade_ok(scene: T.Scene) -> bool:
     """Static host-side gate for the fused shade kernel. Must be called
     OUTSIDE jit (reads concrete light powers)."""
@@ -383,6 +608,117 @@ def fast_shade_ok(scene: T.Scene) -> bool:
     return True
 
 
+def _meta_operands(scene: T.Scene, seed, bounce):
+    si = jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
+                    jnp.asarray(bounce, jnp.int32).reshape(())])
+    env_li = (scene.env.color * scene.env.intensity
+              if scene.env.kind == 1 else jnp.zeros((3,), jnp.float32))
+    sf = jnp.concatenate([env_li.astype(jnp.float32),
+                          jnp.zeros((1,), jnp.float32)])
+    m = scene.materials
+    mt = jnp.stack([m.mat_type.astype(jnp.float32), m.color[:, 0],
+                    m.color[:, 1], m.color[:, 2], m.on_a, m.intensity],
+                   axis=-1)
+    li_tab = scene.lights
+    n_lights = li_tab.light_type.shape[0]
+    li_rgb = li_tab.color * li_tab.intensity[:, None]
+    lt = jnp.concatenate([
+        li_tab.p0, li_tab.v1, li_tab.v2, li_tab.normal, li_rgb,
+        jnp.zeros((n_lights, 1), jnp.float32),      # 15: pad
+        li_tab.power_cdf[:, None], li_tab.power[:, None],
+    ], axis=-1)
+    return si, sf, mt, lt
+
+
+def _unpack_outputs(fo, io, n):
+    def v3(base):
+        return fo[base:base + 3, :n].T
+
+    return {
+        "L_add": v3(_RO_LADD),
+        "shadow_o": v3(_RO_SHO),
+        "shadow_d": v3(_RO_SHD),
+        "dist_adj": fo[_RO_DADJ, :n],
+        "dist_adj_t": fo[_RO_DADJT, :n],
+        "contrib_cand": v3(_RO_CONTRIB),
+        "new_o": v3(_RO_NEWO),
+        "new_d": v3(_RO_NEWD),
+        "new_beta": v3(_RO_NEWB),
+        "good_inc": io[_IO_GOOD, :n],
+        "want_shadow": io[_IO_WSH, :n] != 0,
+        "new_alive": io[_IO_ALIVE, :n] != 0,
+        "new_prev_sg": io[_IO_PSG, :n] != 0,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "rr_start",
+                                             "interpret", "block"))
+def fused_bounce(scene: T.Scene, o, d, beta, alive, prev_sg, pix, spp,
+                 seed, bounce, max_depth: int, rr_start: int = 3,
+                 interpret: bool = False, block: int = 0):
+    """Whole-bounce kernel (see _bounce_kernel): intersect + shade +
+    shadow in one launch for rect/flat-triangle brute-force scenes.
+    Returns the fused_shade output dict with L_add already including the
+    visibility-masked NEE contribution and good_inc the NEE goods."""
+    block = block or SHADE_BLOCK
+    n = o.shape[0]
+    n_mats = scene.materials.mat_type.shape[0]
+    n_lights = scene.lights.light_type.shape[0]
+    n_rects = scene.rects.mat_id.shape[0]
+    n_tris = scene.triangles.mat_id.shape[0]
+
+    si, sf, mt, lt = _meta_operands(scene, seed, bounce)
+    zero_r = jnp.zeros((n_rects, 1), jnp.float32)
+    r = scene.rects
+    pt_rect = jnp.concatenate([
+        r.point, r.width, r.height, r.normal,
+        r.mat_id[:, None].astype(jnp.float32), zero_r, zero_r, zero_r,
+    ], axis=-1)
+    tr = scene.triangles
+    zero_t = jnp.zeros((n_tris, 1), jnp.float32)
+    pt_tri = jnp.concatenate([
+        tr.v0, tr.v1 - tr.v0, tr.v2 - tr.v0, tr.face_normal,
+        tr.mat_id[:, None].astype(jnp.float32),
+        tr.double_sided[:, None].astype(jnp.float32), zero_t, zero_t,
+    ], axis=-1)
+    pt = jnp.concatenate([pt_rect, pt_tri], axis=0)
+
+    spp_row = jnp.broadcast_to(jnp.asarray(spp, jnp.int32), (n,))
+    ii = jnp.stack([pix.astype(jnp.int32), spp_row,
+                    alive.astype(jnp.int32), prev_sg.astype(jnp.int32)])
+
+    pad = (-n) % block
+    fin = [o.T, d.T, beta.T]
+    if pad:
+        fin = [jnp.pad(x, ((0, 0), (0, pad))) for x in fin]
+        ii = jnp.pad(ii, ((0, 0), (0, pad)))
+    npad = n + pad
+    blocks = npad // block
+
+    kernel = functools.partial(_bounce_kernel, n_mats=n_mats,
+                               n_lights=n_lights, n_rects=n_rects,
+                               n_tris=n_tris, max_depth=max_depth,
+                               rr_start=rr_start)
+    lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
+    fo, io = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  lane_spec(3), lane_spec(3), lane_spec(3), lane_spec(4)],
+        out_specs=[lane_spec(_FO_ROWS), lane_spec(_IO_ROWS)],
+        out_shape=[jax.ShapeDtypeStruct((_FO_ROWS, npad), jnp.float32),
+                   jax.ShapeDtypeStruct((_IO_ROWS, npad), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(si, sf, mt, lt, pt, *fin, ii)
+    return _unpack_outputs(fo, io, n)
+
+
 @functools.partial(jax.jit, static_argnames=("max_depth", "rr_start",
                                              "interpret", "block"))
 def fused_shade(scene: T.Scene, d, hit, beta, alive, prev_sg, pix, spp,
@@ -395,24 +731,7 @@ def fused_shade(scene: T.Scene, d, hit, beta, alive, prev_sg, pix, spp,
     n_mats = scene.materials.mat_type.shape[0]
     n_lights = scene.lights.light_type.shape[0]
 
-    # scalar/meta operands (SMEM)
-    si = jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
-                    jnp.asarray(bounce, jnp.int32).reshape(())])
-    env_li = (scene.env.color * scene.env.intensity
-              if scene.env.kind == 1 else jnp.zeros((3,), jnp.float32))
-    sf = jnp.concatenate([env_li.astype(jnp.float32),
-                          jnp.zeros((1,), jnp.float32)])
-    m = scene.materials
-    mt = jnp.stack([m.mat_type.astype(jnp.float32), m.color[:, 0],
-                    m.color[:, 1], m.color[:, 2], m.on_a, m.intensity],
-                   axis=-1)
-    li_tab = scene.lights
-    li_rgb = li_tab.color * li_tab.intensity[:, None]
-    lt = jnp.concatenate([
-        li_tab.p0, li_tab.v1, li_tab.v2, li_tab.normal, li_rgb,
-        jnp.zeros((n_lights, 1), jnp.float32),      # 15: pad
-        li_tab.power_cdf[:, None], li_tab.power[:, None],
-    ], axis=-1)
+    si, sf, mt, lt = _meta_operands(scene, seed, bounce)
 
     spp_row = jnp.broadcast_to(jnp.asarray(spp, jnp.int32), (n,))
     ii = jnp.stack([pix.astype(jnp.int32), spp_row,
@@ -448,22 +767,4 @@ def fused_shade(scene: T.Scene, d, hit, beta, alive, prev_sg, pix, spp,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(si, sf, mt, lt, *fin, ii)
-
-    def v3(base):
-        return fo[base:base + 3, :n].T
-
-    return {
-        "L_add": v3(_RO_LADD),
-        "shadow_o": v3(_RO_SHO),
-        "shadow_d": v3(_RO_SHD),
-        "dist_adj": fo[_RO_DADJ, :n],
-        "dist_adj_t": fo[_RO_DADJT, :n],
-        "contrib_cand": v3(_RO_CONTRIB),
-        "new_o": v3(_RO_NEWO),
-        "new_d": v3(_RO_NEWD),
-        "new_beta": v3(_RO_NEWB),
-        "good_inc": io[_IO_GOOD, :n],
-        "want_shadow": io[_IO_WSH, :n] != 0,
-        "new_alive": io[_IO_ALIVE, :n] != 0,
-        "new_prev_sg": io[_IO_PSG, :n] != 0,
-    }
+    return _unpack_outputs(fo, io, n)

@@ -192,15 +192,18 @@ class Renderer:
         # CPU — for debugging only).
         import os as _os
 
-        from craytracer_tpu.integrator.pallas_shade import fast_shade_ok
+        from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
         import jax as _jax2
 
         _shade_env = _os.environ.get("CRAYTRACER_PALLAS_SHADE", "auto")
-        fast_shade = (cfg.estimator in ("reference", "physical")
-                      and cfg.trace_type == "PATHTRACE"
-                      and fast_shade_ok(self.scene)
-                      and (_jax2.default_backend() == "tpu"
-                           or _shade_env == "1"))
+        fast_shade = False
+        if (cfg.estimator in ("reference", "physical")
+                and cfg.trace_type == "PATHTRACE"
+                and (_jax2.default_backend() == "tpu"
+                     or _shade_env == "1")):
+            # "bounce" = whole-bounce kernel (brute-force scenes),
+            # "shade" = shade kernel + external traversal, False = XLA
+            fast_shade = fast_shade_mode(self.scene)
         perm = self._pixel_perm()
         perm_j = None if perm is None else jnp.asarray(perm)
         inv = None

@@ -36,8 +36,18 @@ def test_fast_shade_gate():
     assert not fast_shade_ok(b.build())
 
 
+def test_bounce_mode_gate():
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+
+    scene, _, _ = _cornell()
+    # cornell: 9 rects + 20 flat triangles, no accel tables -> the
+    # whole-bounce kernel applies
+    assert fast_shade_mode(scene) == "bounce"
+
+
 @pytest.mark.parametrize("depth", [0, 2, 5])
-def test_fast_shade_matches_xla(depth):
+@pytest.mark.parametrize("mode", ["shade", "bounce"])
+def test_fast_shade_matches_xla(depth, mode):
     scene, cam, film = _cornell()
     n = film.num_pixels
     pix = jnp.arange(n, dtype=jnp.int32)
@@ -48,7 +58,7 @@ def test_fast_shade_matches_xla(depth):
                                          with_metrics=True)
     L_fast, good_fast, m_fast = trace_paths(scene, o, d, 0, pix, 0, depth,
                                             with_metrics=True,
-                                            fast_shade=True)
+                                            fast_shade=mode)
     np.testing.assert_allclose(np.asarray(L_fast), np.asarray(L_ref),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(good_fast),
