@@ -38,10 +38,15 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (RAY_AXIS,))
 
 
-def sharded_render_pass(mesh: Mesh, max_depth: int, estimator: str = "reference"):
+def sharded_render_pass(mesh: Mesh, max_depth: int,
+                        estimator: str = "reference",
+                        fast_shade=False):
     """Build a jitted pass: (scene, camera, film, pixel_ids, seed, spp) ->
     per-pixel radiance, with pixel_ids sharded over the ray axis and the
-    scene/camera replicated."""
+    scene/camera replicated. `fast_shade` forwards the Pallas fast-path
+    mode (False / "shade" / "bounce", integrator/pallas_shade.py) — the
+    kernels are shard-local (no collectives), so they compose with the
+    ray sharding unchanged."""
 
     @partial(
         jax.shard_map,
@@ -52,7 +57,7 @@ def sharded_render_pass(mesh: Mesh, max_depth: int, estimator: str = "reference"
     )
     def _shard(scene, camera, film, pixel_ids, seed, spp_index):
         return render_sample(scene, camera, film, pixel_ids, seed, spp_index,
-                             max_depth, estimator)
+                             max_depth, estimator, fast_shade=fast_shade)
 
     return jax.jit(_shard)
 
