@@ -130,7 +130,11 @@ def main():
     film_p = film_p.replace(width=size, height=size)
     rps, spread = measure(scene_p, cam_p, film_p, args.profile)
 
-    # secondary: hand-built scene, no parser — the integrator ceiling
+    # secondary: the round-1/2 hand-built scene, kept for cross-round
+    # continuity. NOTE since round 5 this is no longer a "ceiling": it
+    # carries a sphere, so it takes the fused-SHADE path while the
+    # production scene (rects+tris only) takes the faster whole-BOUNCE
+    # kernel — the production number can legitimately exceed it.
     scene_c, cam_c, film_c = _cornell(size, size)
     rps_ceiling, _ = measure(scene_c, cam_c, film_c)
 

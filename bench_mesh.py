@@ -276,6 +276,15 @@ def main():
     npix = film.num_pixels
     ids_b = jnp.tile(ids, B)
 
+    # same fast-path decision the production Renderer takes (round-5
+    # fused shade kernel; this scene is matte + one rect lamp -> "shade")
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+
+    fast = (fast_shade_mode(scene)
+            if (not args.cpu and jax.default_backend() == "tpu") else False)
+    if fast:
+        print(f"# fast_shade mode: {fast}", file=sys.stderr)
+
     @jax.jit
     def passes(scene, s0, iters):
         def body(s, carry):
@@ -286,7 +295,8 @@ def main():
             jitter = uniforms(0, ids_b, spp_lane, CAMERA_BOUNCE, 2, 0)
             o, d = generate_rays(cam, film, ids_b, jitter)
             L, good, m = trace_paths(scene, o, d, 0, ids_b, spp_lane,
-                                     args.depth, with_metrics=True)
+                                     args.depth, with_metrics=True,
+                                     fast_shade=fast)
             acc = acc + L.reshape(B, npix, 3).sum(axis=0)
             return acc, rays + m["rays"] + m["shadow_rays"]
 
