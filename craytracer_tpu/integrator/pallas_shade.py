@@ -95,7 +95,8 @@ def _normalize3(x, y, z):
 def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
                   d_ref, hp_ref, hn_ref, du_ref, be_ref, ii_ref,
                   fo_ref, io_ref,
-                  n_mats, n_lights, max_depth, rr_start):
+                  n_mats, n_lights, max_depth, rr_start,
+                  has_mirror=False):
     """Shade-only kernel: the hit record arrives from an external
     traversal (accel-backed scenes). See _bounce_kernel for the
     whole-bounce brute-force variant."""
@@ -113,7 +114,8 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
     _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
                 dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
                 bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
-                n_mats, n_lights, max_depth, rr_start, occl=None)
+                n_mats, n_lights, max_depth, rr_start, occl=None,
+                has_mirror=has_mirror)
 
 
 def _safe_div(v):
@@ -165,61 +167,121 @@ def _tri_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
     return jnp.where(ok, t, TMAX)
 
 
-def _brute_closest(pt_ref, n_rects, n_tris, ox, oy, oz, wx, wy, wz):
-    """Closest hit over the SMEM prim table as TWO fori_loops (rects,
-    then flat triangles) — Mosaic compiles the ~40-op loop bodies in
-    seconds where the fully unrolled form wedged the remote compiler.
-    Strict < keeps min/argmin's first-minimum tie-break."""
+def _sphere_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
+    """Exact sphere_ts (ops/intersect.py:61-100): stable quadratic
+    (core/solvers.py solve_quadratic) + the phi/theta clip window,
+    including the unclamped-acos rejection quirk (|cos| > 1 misses).
+
+    Mosaic has no atan2/acos; the window is tested in COSINE space —
+    algebraically identical on the reals (|atan2(x,z)| <= p equals
+    z/sqrt(x^2+z^2) >= cos p, and theta-in-[mn,mx] equals cos_raw in
+    [cos mx, cos mn] since cos is decreasing on [0,pi]); boundary lanes
+    can differ by an f32 ulp (measure zero under MC)."""
+    cx, cy, cz = pt_ref[k, 0], pt_ref[k, 1], pt_ref[k, 2]
+    r = pt_ref[k, 3]
+    # cols 4-6: cos(phi), cos(min_theta), cos(max_theta) (host-computed)
+    cphi_s, cmn, cmx = pt_ref[k, 4], pt_ref[k, 5], pt_ref[k, 6]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    a = wx * wx + wy * wy + wz * wz
+    b = 2.0 * (ocx * wx + ocy * wy + ocz * wz)
+    c = (ocx * ocx + ocy * ocy + ocz * ocz) - r * r
+    disc = b * b - 4.0 * a * c
+    ok_d = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = -0.5 * (b + jnp.where(b >= 0.0, sq, -sq))
+    safe_a = jnp.where(a == 0.0, 1.0, a)
+    safe_q = jnp.where(q == 0.0, 1.0, q)
+    r0 = q / safe_a
+    r1 = c / safe_q
+    lin = a == 0.0
+    bl = jnp.where(b == 0.0, 1.0, b)
+    r_lin = -c / bl
+    r0 = jnp.where(lin, r_lin, r0)
+    r1 = jnp.where(lin, r_lin, r1)
+    t0 = jnp.where(ok_d, jnp.minimum(r0, r1), TMAX)
+    t1 = jnp.where(ok_d, jnp.maximum(r0, r1), TMAX)
+
+    def accept(t):
+        hx = ox + t * wx - cx
+        hy = oy + t * wy - cy
+        hz = oz + t * wz - cz
+        # |atan2(hx, hz)| <= phi  <=>  hz/|xz| >= cos(phi); atan2(0,0)=0
+        # always passes, matched by the max() guard making the ratio 0
+        xz = jnp.sqrt(jnp.maximum(hx * hx + hz * hz, 1e-30))
+        cos_raw = hy / r
+        ok = ((t > K_EPSILON) & (t < TMAX) & (hz / xz >= cphi_s)
+              & (cos_raw <= cmn) & (cos_raw >= cmx)
+              & (jnp.abs(cos_raw) <= 1.0))
+        return jnp.where(ok, t, TMAX)
+
+    return jnp.minimum(accept(t0), accept(t1))
+
+
+def _brute_closest(pt_ref, n_sph, n_rects, n_tris,
+                   ox, oy, oz, wx, wy, wz):
+    """Closest hit over the SMEM prim table as fori_loops per type
+    (spheres, rects, flat triangles — intersect_scene's group order) —
+    Mosaic compiles the ~40-op loop bodies in seconds where the fully
+    unrolled form wedged the remote compiler. Strict < keeps min/argmin's
+    first-minimum tie-break."""
     best_t = jnp.full_like(ox, TMAX)
     best_k = jnp.zeros_like(ox, dtype=jnp.int32)
 
-    def rect_body(k, carry):
-        bt, bk = carry
-        t = _rect_t(pt_ref, k, ox, oy, oz, wx, wy, wz)
-        better = t < bt
-        return jnp.where(better, t, bt), jnp.where(better, k, bk)
+    def mk(body_t):
+        def body(k, carry):
+            bt, bk = carry
+            t = body_t(pt_ref, k, ox, oy, oz, wx, wy, wz)
+            better = t < bt
+            return jnp.where(better, t, bt), jnp.where(better, k, bk)
 
-    def tri_body(k, carry):
-        bt, bk = carry
-        t = _tri_t(pt_ref, k, ox, oy, oz, wx, wy, wz)
-        better = t < bt
-        return jnp.where(better, t, bt), jnp.where(better, k, bk)
+        return body
 
+    carry = (best_t, best_k)
+    if n_sph:
+        carry = jax.lax.fori_loop(0, n_sph, mk(_sphere_t), carry)
     if n_rects:
-        best_t, best_k = jax.lax.fori_loop(0, n_rects, rect_body,
-                                           (best_t, best_k))
+        carry = jax.lax.fori_loop(n_sph, n_sph + n_rects, mk(_rect_t),
+                                  carry)
     if n_tris:
-        best_t, best_k = jax.lax.fori_loop(n_rects, n_rects + n_tris,
-                                           tri_body, (best_t, best_k))
-    return best_t, best_k
+        carry = jax.lax.fori_loop(n_sph + n_rects,
+                                  n_sph + n_rects + n_tris, mk(_tri_t),
+                                  carry)
+    return carry
 
 
-def _brute_any(pt_ref, n_rects, n_tris, ox, oy, oz, wx, wy, wz):
+def _brute_any(pt_ref, n_sph, n_rects, n_tris, ox, oy, oz, wx, wy, wz):
     """shadow_distance brute path: min t over every prim, no early out."""
     t_sh = jnp.full_like(ox, TMAX)
 
-    def rect_body(k, bt):
-        return jnp.minimum(bt, _rect_t(pt_ref, k, ox, oy, oz, wx, wy, wz))
+    def mk(body_t):
+        def body(k, bt):
+            return jnp.minimum(bt, body_t(pt_ref, k, ox, oy, oz,
+                                          wx, wy, wz))
 
-    def tri_body(k, bt):
-        return jnp.minimum(bt, _tri_t(pt_ref, k, ox, oy, oz, wx, wy, wz))
+        return body
 
+    if n_sph:
+        t_sh = jax.lax.fori_loop(0, n_sph, mk(_sphere_t), t_sh)
     if n_rects:
-        t_sh = jax.lax.fori_loop(0, n_rects, rect_body, t_sh)
+        t_sh = jax.lax.fori_loop(n_sph, n_sph + n_rects, mk(_rect_t), t_sh)
     if n_tris:
-        t_sh = jax.lax.fori_loop(n_rects, n_rects + n_tris, tri_body, t_sh)
+        t_sh = jax.lax.fori_loop(n_sph + n_rects,
+                                 n_sph + n_rects + n_tris, mk(_tri_t),
+                                 t_sh)
     return t_sh
 
 
 def _bounce_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                    o_ref, d_ref, be_ref, ii_ref,
                    fo_ref, io_ref,
-                   n_mats, n_lights, n_rects, n_tris, max_depth, rr_start):
+                   n_mats, n_lights, n_sph, n_rects, n_tris, max_depth,
+                   rr_start, has_mirror=False):
     """Whole-bounce brute-force kernel: closest-hit intersect over the
-    SMEM prim table (rects + flat triangles, the exact ops/intersect.py
-    formulas), shade, and the shadow any-hit — ONE launch per bounce for
-    Cornell-class scenes, replacing intersect_scene + fused_shade +
-    shadow_distance (three launches and two HBM round-trips)."""
+    SMEM prim table (spheres + rects + flat triangles, the exact
+    ops/intersect.py formulas), shade, and the shadow any-hit — ONE
+    launch per bounce for Cornell-class scenes, replacing
+    intersect_scene + fused_shade + shadow_distance (three launches and
+    two HBM round-trips)."""
     ox_, oy_, oz_ = o_ref[0, :], o_ref[1, :], o_ref[2, :]
     dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
     bx, by, bz = be_ref[0, :], be_ref[1, :], be_ref[2, :]
@@ -228,66 +290,99 @@ def _bounce_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
     alive = ii_ref[2, :] != 0
     prev_sg = ii_ref[3, :] != 0
 
-    # ---- closest hit (intersect_scene brute path: rects before
-    # triangles, strict < so the first minimum wins — same tie-break as
-    # min/argmin over the [N, M] test matrix)
-    best_t, best_k = _brute_closest(pt_ref, n_rects, n_tris,
+    # ---- closest hit (intersect_scene brute path: spheres, rects,
+    # triangles in group order; strict < so the first minimum wins —
+    # same tie-break as min/argmin over the [N, M] test matrix)
+    best_t, best_k = _brute_closest(pt_ref, n_sph, n_rects, n_tris,
                                     ox_, oy_, oz_, dx, dy, dz)
     hitm = best_t < TMAX
 
-    # ---- fill (exact _fill_rect / _fill_triangle flat math): select the
-    # winner's constants, then flip normals toward the ray
+    # ---- fill: select the winner's row constants (A = cols 0-2,
+    # B = cols 3-5, N = cols 9-11), then per-type attribute math
     zero = jnp.zeros_like(ox_)
 
     def fill_body(k, carry):
-        fnx, fny, fnz, dux, duy, duz, mat_f, ds_f = carry
+        ax, ay, az, bx2, by2, bz2, nxx, nyy, nzz, mat_f, ds_f = carry
         sel = hitm & (best_k == k)
-        # cols 9-11: rect normal / triangle face normal; cols 3-5: rect
-        # width / triangle e1 (the dpdu source). Accumulated as f32
-        # (material ids are small ints, exact in f32) — one vector
-        # convert at the end.
-        return (jnp.where(sel, pt_ref[k, 9], fnx),
-                jnp.where(sel, pt_ref[k, 10], fny),
-                jnp.where(sel, pt_ref[k, 11], fnz),
-                jnp.where(sel, pt_ref[k, 3], dux),
-                jnp.where(sel, pt_ref[k, 4], duy),
-                jnp.where(sel, pt_ref[k, 5], duz),
+        # Accumulated as f32 (material ids are small ints, exact in
+        # f32) — one vector convert at the end.
+        return (jnp.where(sel, pt_ref[k, 0], ax),
+                jnp.where(sel, pt_ref[k, 1], ay),
+                jnp.where(sel, pt_ref[k, 2], az),
+                jnp.where(sel, pt_ref[k, 3], bx2),
+                jnp.where(sel, pt_ref[k, 4], by2),
+                jnp.where(sel, pt_ref[k, 5], bz2),
+                jnp.where(sel, pt_ref[k, 9], nxx),
+                jnp.where(sel, pt_ref[k, 10], nyy),
+                jnp.where(sel, pt_ref[k, 11], nzz),
                 jnp.where(sel, pt_ref[k, 12], mat_f),
                 jnp.where(sel, pt_ref[k, 13], ds_f))
 
-    (fnx, fny, fnz, dux, duy, duz, mat_f, ds_f) = jax.lax.fori_loop(
-        0, n_rects + n_tris, fill_body, (zero,) * 8)
+    (ax, ay, az, bx2, by2, bz2, fnx, fny, fnz, mat_f, ds_f) = \
+        jax.lax.fori_loop(0, n_sph + n_rects + n_tris, fill_body,
+                          (zero,) * 11)
     mat_id = mat_f.astype(jnp.int32)
     ds_flag = ds_f != 0.0
+    is_sph_hit = best_k < n_sph
+    is_rect_hit = (best_k >= n_sph) & (best_k < n_sph + n_rects)
     # rects always face the ray (_fill_rect flip, rect.cpp:36-46), and
     # flip dpdu with the normal; flat triangles flip only when
-    # double-sided (_fill_triangle, triangle.cpp:160-166) and keep dpdu
+    # double-sided (_fill_triangle, triangle.cpp:160-166) and keep dpdu;
+    # spheres never flip (_fill_sphere)
     flip = (-dx * fnx - dy * fny - dz * fnz) < 0.0
-    is_rect_hit = best_k < n_rects
-    do_flip = flip & (is_rect_hit | ds_flag)
+    do_flip = flip & (is_rect_hit | (~is_sph_hit & ds_flag))
     sgn = jnp.where(do_flip, -1.0, 1.0)
     fnx = fnx * sgn
     fny = fny * sgn
     fnz = fnz * sgn
     du_sgn = jnp.where(do_flip & is_rect_hit, -1.0, 1.0)
-    ndx, ndy, ndz, _ = _normalize3(dux * du_sgn, duy * du_sgn, duz * du_sgn)
-    px = jnp.where(hitm, ox_ + best_t * dx, 0.0)
-    py = jnp.where(hitm, oy_ + best_t * dy, 0.0)
-    pz = jnp.where(hitm, oz_ + best_t * dz, 0.0)
+    ndx, ndy, ndz, _ = _normalize3(bx2 * du_sgn, by2 * du_sgn,
+                                   bz2 * du_sgn)
+    t_out = best_t
+    if n_sph:
+        # sphere attribute fill (_fill_sphere): one detached-Newton step
+        # on F(t) = |o + t d - c|^2 - r^2 (the differentiable-fill value
+        # the XLA path produces), normal from the refined point, dpdu ~
+        # (-(z-cz), 0, (x-cx)) (fillShadeRecSphere, sphere.cpp:4-31)
+        r_s = bx2  # col 3 holds the radius for sphere rows
+        socx = ox_ + best_t * dx - ax
+        socy = oy_ + best_t * dy - ay
+        socz = oz_ + best_t * dz - az
+        F = socx * socx + socy * socy + socz * socz - r_s * r_s
+        Fp = 2.0 * (socx * dx + socy * dy + socz * dz)
+        t_n = best_t - F / _safe_div(Fp)
+        relx = ox_ + t_n * dx - ax
+        rely = oy_ + t_n * dy - ay
+        relz = oz_ + t_n * dz - az
+        snx_s, sny_s, snz_s, _ = _normalize3(relx, rely, relz)
+        sdx, sdy, sdz, _ = _normalize3(-relz, jnp.zeros_like(relz), relx)
+        t_out = jnp.where(is_sph_hit, t_n, t_out)
+        fnx = jnp.where(is_sph_hit, snx_s, fnx)
+        fny = jnp.where(is_sph_hit, sny_s, fny)
+        fnz = jnp.where(is_sph_hit, snz_s, fnz)
+        ndx = jnp.where(is_sph_hit, sdx, ndx)
+        ndy = jnp.where(is_sph_hit, sdy, ndy)
+        ndz = jnp.where(is_sph_hit, sdz, ndz)
+    px = jnp.where(hitm, ox_ + t_out * dx, 0.0)
+    py = jnp.where(hitm, oy_ + t_out * dy, 0.0)
+    pz = jnp.where(hitm, oz_ + t_out * dz, 0.0)
 
     def occl(sx, sy, sz, wx, wy, wz):
-        return _brute_any(pt_ref, n_rects, n_tris, sx, sy, sz, wx, wy, wz)
+        return _brute_any(pt_ref, n_sph, n_rects, n_tris,
+                          sx, sy, sz, wx, wy, wz)
 
     _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
                 dx, dy, dz, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz,
                 bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
-                n_mats, n_lights, max_depth, rr_start, occl=occl)
+                n_mats, n_lights, max_depth, rr_start, occl=occl,
+                has_mirror=has_mirror)
 
 
 def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
                 dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
                 bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
-                n_mats, n_lights, max_depth, rr_start, occl=None):
+                n_mats, n_lights, max_depth, rr_start, occl=None,
+                has_mirror=False):
     f32 = jnp.float32
     seed = si_ref[0].astype(jnp.uint32)
     bounce = si_ref[1]
@@ -444,11 +539,16 @@ def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
     pdf_nee = pdf_sa * jnp.maximum(pick_p, 1e-12)
 
     # Lambertian NEE eval (bsdf_f_direct, lambertian_only): f = color*a/pi
-    # times |cos| against the shading normal (world-space quirk constant)
+    # times |cos| against the shading normal (world-space quirk constant).
+    # Non-matte lanes get f = 0 (bsdf_f_direct's MATTE-only survivor in
+    # this material family; MIRROR is also excluded from NEE by nee_mat,
+    # trace.h:471)
+    is_matte = mtype == T.MAT_MATTE
     abs_cos_nee = jnp.abs(fnx * wix + fny * wiy + fnz * wiz)
-    f_r = cr * (on_a * INV_PI) * abs_cos_nee
-    f_g = cg * (on_a * INV_PI) * abs_cos_nee
-    f_b = cb * (on_a * INV_PI) * abs_cos_nee
+    f_nee_base = jnp.where(is_matte, on_a * INV_PI, 0.0) * abs_cos_nee
+    f_r = cr * f_nee_base
+    f_g = cg * f_nee_base
+    f_b = cb * f_nee_base
     want_shadow = (cont & valid
                    & ((f_r > 0.0) | (f_g > 0.0) | (f_b > 0.0)))
 
@@ -500,14 +600,13 @@ def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
     fo_ref[_RO_LADD + 2, :] = l_add_b
     io_ref[_IO_GOOD, :] = good_inc
 
-    # ---- BSDF sample: cosine hemisphere (map_to_hemisphere_cosine over
-    # dims 5,6), matte-only (bsdf_sample's MATTE block)
+    # ---- BSDF sample (bsdf_sample's MATTE cosine-hemisphere and MIRROR
+    # specular-reflection blocks over dims 5,6)
     phi = TWO_PI * u_b0
     r = jnp.sqrt(u_b1)
     wlx = r * jnp.cos(phi)
     wly = r * jnp.sin(phi)
     wlz = jnp.sqrt(jnp.maximum(1.0 - wlx * wlx - wly * wly, 1e-12))
-    is_matte = mtype == T.MAT_MATTE
     pdf_s = jnp.where(is_matte, wlz * INV_PI, 0.0)
     fs_r = jnp.where(is_matte, cr * (on_a * INV_PI), 0.0)
     fs_g = jnp.where(is_matte, cg * (on_a * INV_PI), 0.0)
@@ -515,6 +614,25 @@ def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
     wlx = jnp.where(is_matte, wlx, 0.0)
     wly = jnp.where(is_matte, wly, 0.0)
     wlz = jnp.where(is_matte, wlz, 1.0)
+    # always-false via compare (a splat of an i1 literal hits Mosaic's
+    # "unsupported target bitwidth for truncation")
+    is_spec = mtype < 0
+    if has_mirror:
+        # MIRROR (SpecularReflection_sample_f, reflection.cpp:240-247):
+        # wi = (-wo.x, -wo.y, wo.z) in the shading frame, f = color/|cos|
+        is_mir = mtype == T.MAT_MIRROR
+        wo_lx = -(dx * ftx + dy * fty + dz * ftz)
+        wo_ly = -(dx * fbx + dy * fby + dz * fbz)
+        wo_lz = -(dx * fnx + dy * fny + dz * fnz)
+        inv_cos = 1.0 / jnp.maximum(jnp.abs(wo_lz), 1e-7)
+        wlx = jnp.where(is_mir, -wo_lx, wlx)
+        wly = jnp.where(is_mir, -wo_ly, wly)
+        wlz = jnp.where(is_mir, wo_lz, wlz)
+        fs_r = jnp.where(is_mir, cr * inv_cos, fs_r)
+        fs_g = jnp.where(is_mir, cg * inv_cos, fs_g)
+        fs_b = jnp.where(is_mir, cb * inv_cos, fs_b)
+        pdf_s = jnp.where(is_mir, 1.0, pdf_s)
+        is_spec = is_mir
     dead = (pdf_s <= 0.0) | ((fs_r == 0.0) & (fs_g == 0.0) & (fs_b == 0.0))
     wwx = wlx * ftx + wly * fbx + wlz * fnx
     wwy = wlx * fty + wly * fby + wlz * fny
@@ -551,8 +669,11 @@ def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
     fo_ref[_RO_NEWD + 1, :] = jnp.where(new_alive, wwy, 0.0)
     fo_ref[_RO_NEWD + 2, :] = jnp.where(new_alive, wwz, 0.0)
     io_ref[_IO_ALIVE, :] = new_alive.astype(jnp.int32)
-    # matte samples are never specular/glossy: new_prev_sg = prev_sg & ~cont
-    io_ref[_IO_PSG, :] = (prev_sg & ~cont).astype(jnp.int32)
+    # new_prev_sg = where(cont, is_spec, prev_sg), written as boolean
+    # algebra: Mosaic rejects select over i1 vectors ("unsupported target
+    # bitwidth for truncation")
+    io_ref[_IO_PSG, :] = ((cont & is_spec)
+                          | (~cont & prev_sg)).astype(jnp.int32)
 
 
 def fast_shade_mode(scene: T.Scene):
@@ -563,12 +684,13 @@ def fast_shade_mode(scene: T.Scene):
     if not fast_shade_ok(scene):
         return False
     try:
+        n_sph = scene.spheres.mat_id.shape[0]
         n_rects = scene.rects.mat_id.shape[0]
         n_tris = scene.triangles.mat_id.shape[0]
-        others = (scene.spheres.mat_id.shape[0] + scene.planes.mat_id.shape[0]
+        others = (scene.planes.mat_id.shape[0]
                   + scene.disks.mat_id.shape[0]
                   + scene.instanced.mat_id.shape[0])
-        if (others == 0 and n_rects + n_tris <= 64
+        if (others == 0 and n_sph + n_rects + n_tris <= 64
                 and scene.tri_bvh is None and scene.sph_bvh is None
                 and scene.tri_cam is None
                 and not np.asarray(scene.triangles.smooth).any()):
@@ -584,7 +706,7 @@ def fast_shade_ok(scene: T.Scene) -> bool:
     if os.environ.get("CRAYTRACER_PALLAS_SHADE", "auto") == "0":
         return False
     mats = set(scene.mat_types_present)
-    if not mats <= {T.MAT_MATTE, T.MAT_EMISSIVE}:
+    if not mats <= {T.MAT_MATTE, T.MAT_EMISSIVE, T.MAT_MIRROR}:
         return False
     if not scene.matte_lambertian:
         return False
@@ -664,10 +786,24 @@ def fused_bounce(scene: T.Scene, o, d, beta, alive, prev_sg, pix, spp,
     n = o.shape[0]
     n_mats = scene.materials.mat_type.shape[0]
     n_lights = scene.lights.light_type.shape[0]
+    n_sph = scene.spheres.mat_id.shape[0]
     n_rects = scene.rects.mat_id.shape[0]
     n_tris = scene.triangles.mat_id.shape[0]
 
     si, sf, mt, lt = _meta_operands(scene, seed, bounce)
+    # prim rows, 16 cols: A = cols 0-2 (sphere center / rect point /
+    # tri v0), B = cols 3-5 (radius+clip / rect width / tri e1),
+    # cols 6-8 (clip / rect height / tri e2), N = cols 9-11 (normal),
+    # 12 mat_id, 13 double_sided
+    s = scene.spheres
+    zero_s = jnp.zeros((n_sph, 1), jnp.float32)
+    pt_sph = jnp.concatenate([
+        s.center, s.radius[:, None], jnp.cos(s.phi)[:, None],
+        jnp.cos(s.min_theta)[:, None], jnp.cos(s.max_theta)[:, None],
+        zero_s, zero_s,
+        jnp.zeros((n_sph, 3), jnp.float32),
+        s.mat_id[:, None].astype(jnp.float32), zero_s, zero_s, zero_s,
+    ], axis=-1)
     zero_r = jnp.zeros((n_rects, 1), jnp.float32)
     r = scene.rects
     pt_rect = jnp.concatenate([
@@ -681,7 +817,7 @@ def fused_bounce(scene: T.Scene, o, d, beta, alive, prev_sg, pix, spp,
         tr.mat_id[:, None].astype(jnp.float32),
         tr.double_sided[:, None].astype(jnp.float32), zero_t, zero_t,
     ], axis=-1)
-    pt = jnp.concatenate([pt_rect, pt_tri], axis=0)
+    pt = jnp.concatenate([pt_sph, pt_rect, pt_tri], axis=0)
 
     spp_row = jnp.broadcast_to(jnp.asarray(spp, jnp.int32), (n,))
     ii = jnp.stack([pix.astype(jnp.int32), spp_row,
@@ -696,9 +832,11 @@ def fused_bounce(scene: T.Scene, o, d, beta, alive, prev_sg, pix, spp,
     blocks = npad // block
 
     kernel = functools.partial(_bounce_kernel, n_mats=n_mats,
-                               n_lights=n_lights, n_rects=n_rects,
-                               n_tris=n_tris, max_depth=max_depth,
-                               rr_start=rr_start)
+                               n_lights=n_lights, n_sph=n_sph,
+                               n_rects=n_rects, n_tris=n_tris,
+                               max_depth=max_depth, rr_start=rr_start,
+                               has_mirror=T.MAT_MIRROR
+                               in scene.mat_types_present)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     fo, io = pl.pallas_call(
         kernel,
@@ -749,7 +887,9 @@ def fused_shade(scene: T.Scene, d, hit, beta, alive, prev_sg, pix, spp,
 
     kernel = functools.partial(_shade_kernel, n_mats=n_mats,
                                n_lights=n_lights, max_depth=max_depth,
-                               rr_start=rr_start)
+                               rr_start=rr_start,
+                               has_mirror=T.MAT_MIRROR
+                               in scene.mat_types_present)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     fo, io = pl.pallas_call(
         kernel,

@@ -67,6 +67,51 @@ def test_fast_shade_matches_xla(depth, mode):
     assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
 
 
+@pytest.mark.parametrize("mode", ["shade", "bounce"])
+def test_fast_shade_mirror_sphere_matches_xla(mode):
+    """Round-5 extensions: MIRROR lobe + sphere primitives (incl. the
+    clipped-sphere window and the unclamped-acos quirk) in the fused
+    path, against the XLA step on the same rays."""
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+    from craytracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_matte("w", (0.7, 0.7, 0.7))
+    b.add_matte("r", (0.6, 0.1, 0.1))
+    b.add_mirror("m", (0.9, 0.9, 0.9))
+    b.add_emissive("lamp", (1.0, 0.9, 0.8), 20.0)
+    b.add_rect((-4, 0, -4), (8, 0, 0), (0, 0, 8), "w")      # floor
+    b.add_rect((-4, 0, -4), (8, 0, 0), (0, 4, 0), "r")      # back wall
+    b.add_sphere((0.8, 1.0, 0.5), 1.0, "m")                  # mirror ball
+    b.add_sphere((-1.4, 0.7, -0.5), 0.7, "w")                # matte ball
+    # clipped sphere (phi/theta window + unclamped-acos quirk coverage)
+    b.add_sphere((0.0, 0.4, 1.8), 0.4, "r", phi=2.0,
+                 min_theta=0.5, max_theta=2.5)
+    b.add_rect((-1, 3.5, -1), (2, 0, 0), (0, 0, 2), "lamp")
+    scene = b.build()
+    assert fast_shade_mode(scene) == "bounce"
+
+    cam = make_camera((0, 2.2, 6.0), (0, 1.0, 0))
+    film = Film(fov=jnp.float32(0.8), width=32, height=32)
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    jit = uniforms(0, pix, 0, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(cam, film, pix, jit)
+
+    L_ref, good_ref, m_ref = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                         with_metrics=True)
+    L_fast, good_fast, m_fast = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                            with_metrics=True,
+                                            fast_shade=mode)
+    np.testing.assert_allclose(np.asarray(L_fast), np.asarray(L_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(good_fast),
+                                  np.asarray(good_ref))
+    assert int(m_fast["rays"]) == int(m_ref["rays"])
+    assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
+
+
 def test_fast_shade_full_pass_per_lane_spp():
     # per-lane spp indices (the spp-batched dispatch path) through
     # render_sample, deep enough to exercise Russian roulette
