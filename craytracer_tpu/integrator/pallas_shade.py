@@ -111,11 +111,26 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
     hitm = ii_ref[3, :] != 0
     alive = ii_ref[4, :] != 0
     prev_sg = ii_ref[5, :] != 0
-    _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
-                dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
-                bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
-                n_mats, n_lights, max_depth, rr_start, occl=None,
-                has_mirror=has_mirror)
+    out = _shade_core(si_ref[0].astype(jnp.uint32), si_ref[1],
+                      sf_ref, mt_ref, lt_ref,
+                      dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
+                      bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
+                      n_mats, n_lights, max_depth, rr_start, occl=None,
+                      has_mirror=has_mirror)
+    for i in range(3):
+        fo_ref[_RO_LADD + i, :] = out["l_add"][i]
+        fo_ref[_RO_SHO + i, :] = out["sho"][i]
+        fo_ref[_RO_SHD + i, :] = out["wi"][i]
+        fo_ref[_RO_CONTRIB + i, :] = out["contrib"][i]
+        fo_ref[_RO_NEWO + i, :] = out["new_o"][i]
+        fo_ref[_RO_NEWD + i, :] = out["new_d"][i]
+        fo_ref[_RO_NEWB + i, :] = out["new_beta"][i]
+    fo_ref[_RO_DADJ, :] = out["dist_adj"]
+    fo_ref[_RO_DADJT, :] = out["dadj_t"]
+    io_ref[_IO_GOOD, :] = out["good_inc"]
+    io_ref[_IO_WSH, :] = out["want_shadow"].astype(jnp.int32)
+    io_ref[_IO_ALIVE, :] = out["new_alive"].astype(jnp.int32)
+    io_ref[_IO_PSG, :] = out["new_prev_sg"].astype(jnp.int32)
 
 
 def _safe_div(v):
@@ -271,28 +286,11 @@ def _brute_any(pt_ref, n_sph, n_rects, n_tris, ox, oy, oz, wx, wy, wz):
     return t_sh
 
 
-def _bounce_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
-                   o_ref, d_ref, be_ref, ii_ref,
-                   fo_ref, io_ref,
-                   n_mats, n_lights, n_sph, n_rects, n_tris, max_depth,
-                   rr_start, has_mirror=False):
-    """Whole-bounce brute-force kernel: closest-hit intersect over the
-    SMEM prim table (spheres + rects + flat triangles, the exact
-    ops/intersect.py formulas), shade, and the shadow any-hit — ONE
-    launch per bounce for Cornell-class scenes, replacing
-    intersect_scene + fused_shade + shadow_distance (three launches and
-    two HBM round-trips)."""
-    ox_, oy_, oz_ = o_ref[0, :], o_ref[1, :], o_ref[2, :]
-    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
-    bx, by, bz = be_ref[0, :], be_ref[1, :], be_ref[2, :]
-    pix = ii_ref[0, :].astype(jnp.uint32)
-    spp = ii_ref[1, :].astype(jnp.uint32)
-    alive = ii_ref[2, :] != 0
-    prev_sg = ii_ref[3, :] != 0
-
-    # ---- closest hit (intersect_scene brute path: spheres, rects,
-    # triangles in group order; strict < so the first minimum wins —
-    # same tie-break as min/argmin over the [N, M] test matrix)
+def _brute_hit(pt_ref, n_sph, n_rects, n_tris, ox_, oy_, oz_, dx, dy, dz):
+    """Closest hit + attribute fill over the SMEM prim table — the
+    intersect_scene brute path (spheres, rects, triangles in group
+    order; strict < keeps the first-minimum tie-break) with the exact
+    _fill_* attribute math. Returns (hitm, px..pz, fn.., dpdu.., mat_id)."""
     best_t, best_k = _brute_closest(pt_ref, n_sph, n_rects, n_tris,
                                     ox_, oy_, oz_, dx, dy, dz)
     hitm = best_t < TMAX
@@ -366,26 +364,95 @@ def _bounce_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
     px = jnp.where(hitm, ox_ + t_out * dx, 0.0)
     py = jnp.where(hitm, oy_ + t_out * dy, 0.0)
     pz = jnp.where(hitm, oz_ + t_out * dz, 0.0)
+    return hitm, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz, mat_id
+
+
+def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
+                 o_ref, d_ref, ii_ref,
+                 lo_ref, go_ref,
+                 n_mats, n_lights, n_sph, n_rects, n_tris, max_depth,
+                 rr_start, has_mirror=False):
+    """Whole-PASS megakernel: the ENTIRE bounce loop runs inside one
+    launch for brute-force scenes — per-lane path state (ray, beta, L,
+    liveness) lives in VMEM/vregs across all bounces instead of round-
+    tripping HBM between per-bounce kernels. Per bounce: closest hit
+    over the SMEM prim table, shade, shadow any-hit, throughput/RR.
+
+    Outputs: lo_ref rows 0-2 = L, go_ref rows = [good, rays (live-lane
+    count summed over bounces), shadow_rays, alive-per-bounce bitmask
+    (bit b = lane alive entering bounce b — popcounted outside into the
+    reference's live histogram)]."""
+    ox0, oy0, oz0 = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    dx0, dy0, dz0 = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+    pix = ii_ref[0, :].astype(jnp.uint32)
+    spp = ii_ref[1, :].astype(jnp.uint32)
+    seed = si_ref[0].astype(jnp.uint32)
+    # Loop-carry inits must be REAL vectors (arithmetic on the VMEM
+    # load), not constant splats: jnp.zeros_like lowers to a replicated-
+    # layout constant and Mosaic rejects the carry relayout against the
+    # body's tiled outputs ("invalid relayout ... replicated in
+    # destination but not in source").
+    zero = ox0 * 0.0
+    one = zero + 1.0
+    izero = zero.astype(jnp.int32)
+    true0 = izero == 0
+    false0 = izero != 0
 
     def occl(sx, sy, sz, wx, wy, wz):
         return _brute_any(pt_ref, n_sph, n_rects, n_tris,
                           sx, sy, sz, wx, wy, wz)
 
-    _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
-                dx, dy, dz, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz,
-                bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
-                n_mats, n_lights, max_depth, rr_start, occl=occl,
-                has_mirror=has_mirror)
+    def bounce_body(b, carry):
+        # liveness legs ride as i32 0/1 — i1 (bool) loop carries fail
+        # Mosaic's scf.for legalization
+        (ox, oy, oz, dx, dy, dz, bx, by, bz, lr, lg, lb,
+         good, alive_i, psg_i, rays_c, shad_c, hist) = carry
+        alive = alive_i != 0
+        prev_sg = psg_i != 0
+        (hitm, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz,
+         mat_id) = _brute_hit(pt_ref, n_sph, n_rects, n_tris,
+                              ox, oy, oz, dx, dy, dz)
+        out = _shade_core(seed, b, sf_ref, mt_ref, lt_ref,
+                          dx, dy, dz, px, py, pz, fnx, fny, fnz,
+                          ndx, ndy, ndz, bx, by, bz, pix, spp, mat_id,
+                          hitm, alive, prev_sg,
+                          n_mats, n_lights, max_depth, rr_start,
+                          occl=occl, has_mirror=has_mirror)
+        return (out["new_o"][0], out["new_o"][1], out["new_o"][2],
+                out["new_d"][0], out["new_d"][1], out["new_d"][2],
+                out["new_beta"][0], out["new_beta"][1],
+                out["new_beta"][2],
+                lr + out["l_add"][0], lg + out["l_add"][1],
+                lb + out["l_add"][2],
+                good + out["good_inc"],
+                out["new_alive"].astype(jnp.int32),
+                out["new_prev_sg"].astype(jnp.int32),
+                rays_c + alive_i,
+                shad_c + out["want_shadow"].astype(jnp.int32),
+                hist | (alive_i << b))
+
+    init = (ox0, oy0, oz0, dx0, dy0, dz0, one, one, one,
+            zero, zero, zero, izero, izero + 1, izero, izero, izero,
+            izero)
+    final = jax.lax.fori_loop(0, max_depth + 1, bounce_body, init)
+    lo_ref[0, :] = final[9]
+    lo_ref[1, :] = final[10]
+    lo_ref[2, :] = final[11]
+    go_ref[0, :] = final[12]
+    go_ref[1, :] = final[15]
+    go_ref[2, :] = final[16]
+    go_ref[3, :] = final[17]
 
 
-def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
+def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
                 dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
                 bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
                 n_mats, n_lights, max_depth, rr_start, occl=None,
                 has_mirror=False):
+    """Pure shade math (no ref writes): returns the per-lane output dict.
+    `seed` is a u32 scalar, `bounce` an i32 scalar (possibly a loop
+    carry — the pass kernel iterates this body over bounces)."""
     f32 = jnp.float32
-    seed = si_ref[0].astype(jnp.uint32)
-    bounce = si_ref[1]
     bounce_u = bounce.astype(jnp.uint32)
 
     # ---- material row select (gather_params over a tiny static table)
@@ -564,22 +631,11 @@ def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
     sho_mx = jnp.where(want_shadow, shox, 3.0e18)
     sho_my = jnp.where(want_shadow, shoy, 3.0e18)
     sho_mz = jnp.where(want_shadow, shoz, 3.0e18)
-    fo_ref[_RO_SHO + 0, :] = sho_mx
-    fo_ref[_RO_SHO + 1, :] = sho_my
-    fo_ref[_RO_SHO + 2, :] = sho_mz
-    fo_ref[_RO_SHD + 0, :] = wix
-    fo_ref[_RO_SHD + 1, :] = wiy
-    fo_ref[_RO_SHD + 2, :] = wiz
-    fo_ref[_RO_DADJ, :] = dist_adj
-    fo_ref[_RO_DADJT, :] = jnp.where(want_shadow, dist_adj, 0.0)
-    io_ref[_IO_WSH, :] = want_shadow.astype(jnp.int32)
+    dadj_t = jnp.where(want_shadow, dist_adj, 0.0)
     inv_pdf = 1.0 / jnp.maximum(pdf_nee, 1e-12)
     ctr = jnp.where(want_shadow, bx * (f_r * lir * inv_pdf), 0.0)
     ctg = jnp.where(want_shadow, by * (f_g * lig * inv_pdf), 0.0)
     ctb = jnp.where(want_shadow, bz * (f_b * lib * inv_pdf), 0.0)
-    fo_ref[_RO_CONTRIB + 0, :] = ctr
-    fo_ref[_RO_CONTRIB + 1, :] = ctg
-    fo_ref[_RO_CONTRIB + 2, :] = ctb
     if occl is not None:
         # ---- in-kernel shadow any-hit + visibility-masked NEE add (the
         # wavefront step's lit test, trace.h:478 semantics)
@@ -595,10 +651,6 @@ def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
         l_add_b = l_add_b + ctb
         good_inc = good_inc + ((ctr != 0.0) | (ctg != 0.0)
                                | (ctb != 0.0)).astype(jnp.int32)
-    fo_ref[_RO_LADD + 0, :] = l_add_r
-    fo_ref[_RO_LADD + 1, :] = l_add_g
-    fo_ref[_RO_LADD + 2, :] = l_add_b
-    io_ref[_IO_GOOD, :] = good_inc
 
     # ---- BSDF sample (bsdf_sample's MATTE cosine-hemisphere and MIRROR
     # specular-reflection blocks over dims 5,6)
@@ -653,27 +705,31 @@ def _shade_core(si_ref, sf_ref, mt_ref, lt_ref, fo_ref, io_ref,
     nbx = jnp.where(rr_boost, nbx * inv_q, nbx)
     nby = jnp.where(rr_boost, nby * inv_q, nby)
     nbz = jnp.where(rr_boost, nbz * inv_q, nbz)
-    fo_ref[_RO_NEWB + 0, :] = nbx
-    fo_ref[_RO_NEWB + 1, :] = nby
-    fo_ref[_RO_NEWB + 2, :] = nbz
 
     new_alive = cont & ~dead & ~rr_kill
     side2 = jnp.where((wwx * nx + wwy * ny + wwz * nz) >= 0.0, 1.0, -1.0)
-    fo_ref[_RO_NEWO + 0, :] = jnp.where(new_alive, px + nx * eps * side2,
-                                        3.0e18)
-    fo_ref[_RO_NEWO + 1, :] = jnp.where(new_alive, py + ny * eps * side2,
-                                        3.0e18)
-    fo_ref[_RO_NEWO + 2, :] = jnp.where(new_alive, pz + nz * eps * side2,
-                                        3.0e18)
-    fo_ref[_RO_NEWD + 0, :] = jnp.where(new_alive, wwx, 1.0)
-    fo_ref[_RO_NEWD + 1, :] = jnp.where(new_alive, wwy, 0.0)
-    fo_ref[_RO_NEWD + 2, :] = jnp.where(new_alive, wwz, 0.0)
-    io_ref[_IO_ALIVE, :] = new_alive.astype(jnp.int32)
     # new_prev_sg = where(cont, is_spec, prev_sg), written as boolean
     # algebra: Mosaic rejects select over i1 vectors ("unsupported target
     # bitwidth for truncation")
-    io_ref[_IO_PSG, :] = ((cont & is_spec)
-                          | (~cont & prev_sg)).astype(jnp.int32)
+    return {
+        "l_add": (l_add_r, l_add_g, l_add_b),
+        "sho": (sho_mx, sho_my, sho_mz),
+        "wi": (wix, wiy, wiz),
+        "dist_adj": dist_adj,
+        "dadj_t": dadj_t,
+        "contrib": (ctr, ctg, ctb),
+        "good_inc": good_inc,
+        "want_shadow": want_shadow,
+        "new_o": (jnp.where(new_alive, px + nx * eps * side2, 3.0e18),
+                  jnp.where(new_alive, py + ny * eps * side2, 3.0e18),
+                  jnp.where(new_alive, pz + nz * eps * side2, 3.0e18)),
+        "new_d": (jnp.where(new_alive, wwx, 1.0),
+                  jnp.where(new_alive, wwy, 0.0),
+                  jnp.where(new_alive, wwz, 0.0)),
+        "new_beta": (nbx, nby, nbz),
+        "new_alive": new_alive,
+        "new_prev_sg": (cont & is_spec) | (~cont & prev_sg),
+    }
 
 
 def fast_shade_mode(scene: T.Scene):
@@ -775,13 +831,13 @@ def _unpack_outputs(fo, io, n):
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "rr_start",
                                              "interpret", "block"))
-def fused_bounce(scene: T.Scene, o, d, beta, alive, prev_sg, pix, spp,
-                 seed, bounce, max_depth: int, rr_start: int = 3,
-                 interpret: bool = False, block: int = 0):
-    """Whole-bounce kernel (see _bounce_kernel): intersect + shade +
-    shadow in one launch for rect/flat-triangle brute-force scenes.
-    Returns the fused_shade output dict with L_add already including the
-    visibility-masked NEE contribution and good_inc the NEE goods."""
+def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
+               max_depth: int, rr_start: int = 3,
+               interpret: bool = False, block: int = 0):
+    """Whole-pass megakernel (see _pass_kernel): the full bounce loop in
+    ONE launch for brute-force scenes. Returns (L[N,3], good[N],
+    metrics dict with rays/shadow_rays scalars and bounce_live
+    histogram) — the trace_paths contract."""
     block = block or SHADE_BLOCK
     n = o.shape[0]
     n_mats = scene.materials.mat_type.shape[0]
@@ -790,7 +846,7 @@ def fused_bounce(scene: T.Scene, o, d, beta, alive, prev_sg, pix, spp,
     n_rects = scene.rects.mat_id.shape[0]
     n_tris = scene.triangles.mat_id.shape[0]
 
-    si, sf, mt, lt = _meta_operands(scene, seed, bounce)
+    si, sf, mt, lt = _meta_operands(scene, seed, jnp.int32(0))
     # prim rows, 16 cols: A = cols 0-2 (sphere center / rect point /
     # tri v0), B = cols 3-5 (radius+clip / rect width / tri e1),
     # cols 6-8 (clip / rect height / tri e2), N = cols 9-11 (normal),
@@ -820,25 +876,29 @@ def fused_bounce(scene: T.Scene, o, d, beta, alive, prev_sg, pix, spp,
     pt = jnp.concatenate([pt_sph, pt_rect, pt_tri], axis=0)
 
     spp_row = jnp.broadcast_to(jnp.asarray(spp, jnp.int32), (n,))
-    ii = jnp.stack([pix.astype(jnp.int32), spp_row,
-                    alive.astype(jnp.int32), prev_sg.astype(jnp.int32)])
+    ii = jnp.stack([pix.astype(jnp.int32), spp_row])
 
     pad = (-n) % block
-    fin = [o.T, d.T, beta.T]
+    fin = [o.T, d.T]
     if pad:
-        fin = [jnp.pad(x, ((0, 0), (0, pad))) for x in fin]
+        # padded lanes: origin far outside every box (+x escape ray) so
+        # the intersect misses; their alive flag starts True but every
+        # contribution requires a hit or counts an escape — sliced away
+        fin[0] = jnp.pad(fin[0], ((0, 0), (0, pad)),
+                         constant_values=3.0e18)
+        fin[1] = jnp.pad(fin[1], ((0, 0), (0, pad)))
         ii = jnp.pad(ii, ((0, 0), (0, pad)))
     npad = n + pad
     blocks = npad // block
 
-    kernel = functools.partial(_bounce_kernel, n_mats=n_mats,
+    kernel = functools.partial(_pass_kernel, n_mats=n_mats,
                                n_lights=n_lights, n_sph=n_sph,
                                n_rects=n_rects, n_tris=n_tris,
                                max_depth=max_depth, rr_start=rr_start,
                                has_mirror=T.MAT_MIRROR
                                in scene.mat_types_present)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
-    fo, io = pl.pallas_call(
+    lo, go = pl.pallas_call(
         kernel,
         grid=(blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -846,15 +906,23 @@ def fused_bounce(scene: T.Scene, o, d, beta, alive, prev_sg, pix, spp,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  lane_spec(3), lane_spec(3), lane_spec(3), lane_spec(4)],
-        out_specs=[lane_spec(_FO_ROWS), lane_spec(_IO_ROWS)],
-        out_shape=[jax.ShapeDtypeStruct((_FO_ROWS, npad), jnp.float32),
-                   jax.ShapeDtypeStruct((_IO_ROWS, npad), jnp.int32)],
+                  lane_spec(3), lane_spec(3), lane_spec(2)],
+        out_specs=[lane_spec(3), lane_spec(4)],
+        out_shape=[jax.ShapeDtypeStruct((3, npad), jnp.float32),
+                   jax.ShapeDtypeStruct((4, npad), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(si, sf, mt, lt, pt, *fin, ii)
-    return _unpack_outputs(fo, io, n)
+    L = lo[:, :n].T
+    good = go[0, :n]
+    hist = go[3, :n]
+    bounce_live = jnp.stack([
+        jnp.sum((hist >> b) & 1) for b in range(max_depth + 1)])
+    metrics = {"rays": jnp.sum(go[1, :n]),
+               "shadow_rays": jnp.sum(go[2, :n]),
+               "bounce_live": bounce_live}
+    return L, good, metrics
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "rr_start",

@@ -85,10 +85,7 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
         # camera rays and scene geometry. `cam0` marks the peeled bounce-0
         # call: Morton-tiled camera rays may take the coherent-tile accel
         # (T.Scene.tri_cam).
-        if fast_shade == "bounce":
-            hit = None  # the fused bounce kernel intersects in-kernel
-        else:
-            hit = intersect_scene(scene, o, d, camera_coherent=cam0)
+        hit = intersect_scene(scene, o, d, camera_coherent=cam0)
         if geom_axis is not None and hit is not None:
             # Geometry sharding (SURVEY.md §5.7, the SP/CP analog): this
             # device only holds a triangle shard; argmin-reduce the per-
@@ -102,39 +99,30 @@ def _make_bounce_step(scene: T.Scene, seed, spp_index,
             # kernel replaces the ~300-op XLA shade stage (ROOFLINE.json
             # <5% VPU util, per-op-overhead bound). Same math, same RNG
             # bit stream; forward-only (no VJP) — callers opt in.
-            # mode "bounce": the kernel ALSO runs the brute-force
-            # intersect and the shadow any-hit in the same launch
-            # (rect/flat-tri scenes) — the whole bounce is one kernel.
-            from craytracer_tpu.integrator.pallas_shade import (fused_bounce,
-                                                                fused_shade)
+            # (mode "bounce" never reaches this step: trace_paths routes
+            # it to the whole-pass megakernel before building the loop.)
+            from craytracer_tpu.integrator.pallas_shade import fused_shade
 
             spp_l = (spp_index if jnp.ndim(spp_index) == 0
                      else jnp.take(spp_index, lane))
             interp = jax.default_backend() != "tpu"
-            if fast_shade == "bounce":
-                out = fused_bounce(scene, o, d, beta, alive, prev_sg, pix,
-                                   spp_l, seed, bounce, max_depth, rr_start,
-                                   interpret=interp)
-                L = L + out["L_add"]
-                good = good + out["good_inc"]
-            else:
-                out = fused_shade(scene, d, hit, beta, alive, prev_sg, pix,
-                                  spp_l, seed, bounce, max_depth, rr_start,
-                                  interpret=interp)
-                t_shadow = shadow_distance(scene, out["shadow_o"],
-                                           out["shadow_d"],
-                                           out["dist_adj_t"])
-                if geom_axis is not None:
-                    t_shadow = jax.lax.pmin(t_shadow, geom_axis)
-                dadj = out["dist_adj"]
-                lit = t_shadow >= dadj - jnp.maximum(K_EPSILON,
-                                                     1e-3 * dadj)
-                contrib = jnp.where((out["want_shadow"] & lit)[:, None],
-                                    out["contrib_cand"], 0.0)
-                L = L + out["L_add"] + contrib
-                good = (good + out["good_inc"]
-                        + ((contrib[:, 0] != 0.0) | (contrib[:, 1] != 0.0)
-                           | (contrib[:, 2] != 0.0)).astype(jnp.int32))
+            out = fused_shade(scene, d, hit, beta, alive, prev_sg, pix,
+                              spp_l, seed, bounce, max_depth, rr_start,
+                              interpret=interp)
+            t_shadow = shadow_distance(scene, out["shadow_o"],
+                                       out["shadow_d"],
+                                       out["dist_adj_t"])
+            if geom_axis is not None:
+                t_shadow = jax.lax.pmin(t_shadow, geom_axis)
+            dadj = out["dist_adj"]
+            lit = t_shadow >= dadj - jnp.maximum(K_EPSILON,
+                                                 1e-3 * dadj)
+            contrib = jnp.where((out["want_shadow"] & lit)[:, None],
+                                out["contrib_cand"], 0.0)
+            L = L + out["L_add"] + contrib
+            good = (good + out["good_inc"]
+                    + ((contrib[:, 0] != 0.0) | (contrib[:, 1] != 0.0)
+                       | (contrib[:, 2] != 0.0)).astype(jnp.int32))
             n_live = jnp.sum(alive.astype(jnp.int32))
             rays = rays + n_live
             shadows = shadows + jnp.sum(out["want_shadow"].astype(jnp.int32))
@@ -454,6 +442,21 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         fast_shade = "shade"
     if fast_shade == "bounce" and geom_axis is not None:
         fast_shade = "shade"  # sharded hits need the external reduce
+    if fast_shade == "bounce" and scene.tri_cam is None and not remat:
+        # ---- whole-PASS megakernel (integrator/pallas_shade.py
+        # _pass_kernel): for brute-force scenes the ENTIRE bounce loop is
+        # one kernel launch — path state never round-trips HBM between
+        # bounces. Dense by construction, so compact_at is moot here.
+        from craytracer_tpu.integrator.pallas_shade import fused_pass
+
+        L, good, m = fused_pass(
+            scene, origin, direction,
+            jnp.asarray(pixel_ids, jnp.int32), spp_index, seed,
+            max_depth, rr_start,
+            interpret=jax.default_backend() != "tpu")
+        if with_metrics:
+            return L, good, m
+        return L, good
     step = _make_bounce_step(scene, seed, spp_index, max_depth,
                              rr_start, mis=mis, geom_axis=geom_axis,
                              tri_base=tri_base, fast_shade=fast_shade)
