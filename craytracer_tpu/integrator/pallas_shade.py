@@ -1,36 +1,54 @@
-"""Fused Pallas shade kernel — the matte/emissive + rect-area-light fast
-path of the per-bounce wavefront step.
+"""Fused Pallas fast paths for the wavefront integrator — round 5.
 
-Re-implements, in ONE kernel launch, everything the XLA shade stage does
-between the closest-hit traversal and the shadow traversal: the emitted/env
-radiance add (trace.h:419-455), the shading frame (computeLocalBasis,
-trace.h:132-146), the per-bounce counter RNG (sampling/rng.py), NEE light
-pick + rect-area sampling (uniformSampleOneLight/estimateDirect,
-trace.h:221-397), the Lambertian BSDF NEE eval and cosine-hemisphere BSDF
-sample (OrenNayar_sample_f, reflection.cpp:550-562), throughput update and
-Russian roulette (trace.h:484-525), and the next-ray/escape-lane bookkeeping.
+Two tiers, auto-selected by `fast_shade_mode` (bounce > shade > XLA):
+
+* "shade" (`fused_shade` / `_shade_kernel`): ONE launch replaces the XLA
+  shade stage between the closest-hit traversal and the shadow traversal
+  — emitted/env add (trace.h:419-455), shading frame (computeLocalBasis,
+  trace.h:132-146), counter RNG (sampling/rng.py), NEE pick + rect-area
+  sampling (trace.h:221-397), Lambertian NEE eval, cosine-hemisphere /
+  MIRROR BSDF sample (reflection.cpp:240-247, 550-562), throughput + RR
+  (trace.h:484-525). For accel-backed scenes: the packet traversal stays
+  external.
+* "bounce" → whole-PASS megakernel (`fused_pass` / `_pass_kernel`): for
+  brute-force scenes (spheres + rects + flat triangles ≤ 64 prims, no
+  accel tables) the ENTIRE bounce loop runs inside one launch per
+  spp-pass — in-kernel closest hit over an SMEM prim table (the exact
+  ops/intersect.py sphere_ts/rect_ts/triangle_ts + _fill_* math), shade,
+  shadow any-hit, with the full path state carried in VMEM/vregs across
+  bounces instead of round-tripping HBM.
 
 Why: ROOFLINE.json measured the XLA shade stage at 2.85 ms per bounce at
 262k lanes across ~300 distinct jnp ops — per-op dispatch/fusion overhead,
-<5% VPU utilization. The math itself is ~100 flops/lane; fused into one
-kernel it is VPU-bound, not boundary-bound.
+<5% VPU utilization. Fused, Cornell 512^2 went 153-161M (round 4) ->
+223M (shade) -> 340M (per-bounce kernel) -> 383M rays/s (pass megakernel),
+measured median-of-5 on hardware.
 
-Scope (checked statically by `fast_shade_ok`, concrete host-side values):
-  * materials present ⊆ {MATTE, EMISSIVE} with every matte sigma == 0
-    (scene.matte_lambertian) and no textures;
+Scope (checked statically by `fast_shade_ok`/`fast_shade_mode`, concrete
+host-side values):
+  * materials present ⊆ {MATTE, EMISSIVE, MIRROR} with every matte
+    sigma == 0 (scene.matte_lambertian) and no textures;
   * lights: every row with nonzero power is LIGHT_AREA_RECT (a constant or
     absent env light is allowed — its escape radiance is a compile-time
     constant; zero-power rows reproduce the XLA path's pick semantics
     exactly, including the searchsorted clip edge);
-  * estimator: the reference estimator (non-MIS), no geometry sharding.
+  * estimator: the reference estimator (non-MIS); geometry sharding
+    downgrades "bounce" to "shade" (hits need the cross-shard reduce).
 
 Everything here mirrors the XLA path op-for-op (same formulas, same eps,
 same RNG bit stream), so images are bit-comparable; tests/test_pallas_shade.py
-asserts per-field agreement in interpret mode on CPU.
+asserts per-field agreement in interpret mode on CPU (L to 2e-5,
+good/ray/shadow counters exact).
 
-The kernel is FORWARD-ONLY (pallas_call has no VJP): callers opt in via
-trace_paths(fast_shade=True); the Renderer auto-enables it for forward
+The kernels are FORWARD-ONLY (pallas_call has no VJP): callers opt in via
+trace_paths(fast_shade=...); the Renderer auto-enables them for forward
 renders on TPU, inverse rendering keeps the differentiable XLA path.
+
+Mosaic facts this file encodes (each cost a failed remote compile):
+fully-unrolled straight-line prim tests wedge the compiler (loop them);
+u32->f32 converts, atan2/acos, i1-vector selects, i1 loop carries, and
+constant-splat carry inits are all unsupported — route via i32, cosine
+space, boolean algebra, i32 0/1 legs, and vector arithmetic inits.
 """
 
 from __future__ import annotations
