@@ -56,6 +56,11 @@ class RenderConfig:
     # write a PNG of the running image every `preview_every` passes.
     preview_path: str = ""
     preview_every: int = 0
+    # HTTP live view (integrator/live.py): a REAL continuously-updating
+    # window for headless hosts — serve the running render at
+    # http://host:port/ (auto-refreshing page + /frame.png + /status).
+    # 0 disables; render.py exposes --serve.
+    serve_port: int = 0
     # Terminal live view: print the running image as ANSI half-blocks
     # every `ansi_every` passes (the only "window" a headless host has).
     ansi_every: int = 0
@@ -204,6 +209,12 @@ class Renderer:
             # "bounce" = whole-bounce kernel (brute-force scenes),
             # "shade" = shade kernel + external traversal, False = XLA
             fast_shade = fast_shade_mode(self.scene)
+        self.live = None
+        if cfg.serve_port != 0:  # -1 = OS-assigned port (tests)
+            from craytracer_tpu.integrator.live import LiveView
+
+            self.live = LiveView(max(cfg.serve_port, 0)).start()
+            print(f"live view: http://localhost:{self.live.port}/")
         perm = self._pixel_perm()
         perm_j = None if perm is None else jnp.asarray(perm)
         inv = None
@@ -252,6 +263,10 @@ class Renderer:
                 dt = time.time() - start
                 nan_note = f" nan={self.nan_count}" if self.nan_count else ""
                 print(f"pass {s}: {done / dt:.2f} passes/s{nan_note}")
+            if self.live is not None:
+                self.live.publish(np.asarray(self.image()), s,
+                                  self.spp_done + cfg.num_samples,
+                                  self.nan_count)
             if cfg.preview_every and cfg.preview_path and (done % cfg.preview_every == 0):
                 self._write_preview()
             if cfg.ansi_every and done % cfg.ansi_every == 0:

@@ -42,6 +42,10 @@ def main(argv=None):
                    help="poll stdin between passes: 'p X,Y' probes the "
                         "RUNNING render, 'pause'/'resume', 'stop' ends "
                         "early (main.cpp:41-55,151-167 analog)")
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="HTTP live view of the RUNNING render (the GLFW "
+                        "window's headless analog): serves an auto-"
+                        "refreshing page at http://localhost:PORT/")
     p.add_argument("--live", type=int, default=0, metavar="K",
                    help="print the running image to the terminal as ANSI "
                         "half-blocks every K passes (headless live view)")
@@ -134,6 +138,7 @@ def main(argv=None):
         tile_pixels=args.tile,
         spp_batch=max(0, args.spp_batch),
         ansi_every=max(0, args.live),
+        serve_port=max(0, args.serve),
         interactive=args.interactive,
         log_every=1,
         estimator=args.estimator,
