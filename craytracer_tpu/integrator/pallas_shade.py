@@ -28,10 +28,10 @@ Scope (checked statically by `fast_shade_ok`/`fast_shade_mode`, concrete
 host-side values):
   * materials present ⊆ {MATTE, EMISSIVE, MIRROR} with every matte
     sigma == 0 (scene.matte_lambertian) and no textures;
-  * lights: every row with nonzero power is LIGHT_AREA_RECT (a constant or
-    absent env light is allowed — its escape radiance is a compile-time
-    constant; zero-power rows reproduce the XLA path's pick semantics
-    exactly, including the searchsorted clip edge);
+  * lights: every row with nonzero power is a RECT or SPHERE area light
+    (a constant or absent env light is allowed — its escape radiance is a
+    compile-time constant; zero-power rows reproduce the XLA path's pick
+    semantics exactly, including the searchsorted clip edge);
   * estimator: the reference estimator (non-MIS); geometry sharding
     downgrades "bounce" to "shade" (hits need the cross-shard reduce).
 
@@ -62,7 +62,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from craytracer_tpu.constants import INV_PI, K_EPSILON, TMAX, TWO_PI
+from craytracer_tpu.constants import INV_PI, K_EPSILON, PI, TMAX, TWO_PI
 from craytracer_tpu.scene import types as T
 
 # Default lane block. Elementwise work wants wide blocks (the VPU's native
@@ -114,10 +114,10 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
                   d_ref, hp_ref, hn_ref, du_ref, be_ref, ii_ref,
                   fo_ref, io_ref,
                   n_mats, n_lights, max_depth, rr_start,
-                  has_mirror=False):
+                  has_mirror=False, has_sphere_light=False):
     """Shade-only kernel: the hit record arrives from an external
-    traversal (accel-backed scenes). See _bounce_kernel for the
-    whole-bounce brute-force variant."""
+    traversal (accel-backed scenes). See _pass_kernel for the
+    whole-pass brute-force megakernel."""
     dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
     px, py, pz = hp_ref[0, :], hp_ref[1, :], hp_ref[2, :]
     nx, ny, nz = hn_ref[0, :], hn_ref[1, :], hn_ref[2, :]
@@ -134,7 +134,8 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
                       dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
                       bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
                       n_mats, n_lights, max_depth, rr_start, occl=None,
-                      has_mirror=has_mirror)
+                      has_mirror=has_mirror,
+                      has_sphere_light=has_sphere_light)
     for i in range(3):
         fo_ref[_RO_LADD + i, :] = out["l_add"][i]
         fo_ref[_RO_SHO + i, :] = out["sho"][i]
@@ -389,7 +390,7 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                  o_ref, d_ref, ii_ref,
                  lo_ref, go_ref,
                  n_mats, n_lights, n_sph, n_rects, n_tris, max_depth,
-                 rr_start, has_mirror=False):
+                 rr_start, has_mirror=False, has_sphere_light=False):
     """Whole-PASS megakernel: the ENTIRE bounce loop runs inside one
     launch for brute-force scenes — per-lane path state (ray, beta, L,
     liveness) lives in VMEM/vregs across all bounces instead of round-
@@ -435,7 +436,8 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                           ndx, ndy, ndz, bx, by, bz, pix, spp, mat_id,
                           hitm, alive, prev_sg,
                           n_mats, n_lights, max_depth, rr_start,
-                          occl=occl, has_mirror=has_mirror)
+                          occl=occl, has_mirror=has_mirror,
+                          has_sphere_light=has_sphere_light)
         return (out["new_o"][0], out["new_o"][1], out["new_o"][2],
                 out["new_d"][0], out["new_d"][1], out["new_d"][2],
                 out["new_beta"][0], out["new_beta"][1],
@@ -466,7 +468,7 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
                 dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
                 bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
                 n_mats, n_lights, max_depth, rr_start, occl=None,
-                has_mirror=False):
+                has_mirror=False, has_sphere_light=False):
     """Pure shade math (no ref writes): returns the per-lane output dict.
     `seed` is a u32 scalar, `bounce` an i32 scalar (possibly a loop
     carry — the pass kernel iterates this body over bounces)."""
@@ -608,6 +610,47 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
     len_v1 = jnp.sqrt(jnp.maximum(v1x * v1x + v1y * v1y + v1z * v1z, 1e-20))
     len_v2 = jnp.sqrt(jnp.maximum(v2x * v2x + v2y * v2y + v2z * v2z, 1e-20))
     pdf_area = 1.0 / jnp.maximum(len_v1 * len_v2, 1e-12)
+    lnx_s, lny_s, lnz_s = lnx, lny, lnz
+    if has_sphere_light:
+        # ---- SPHERE area light (trace.h:230-243 / lights.py): cosine
+        # hemisphere about the center->hit axis; pdf = |h.z|/(2 pi^2 r^2).
+        # Row select: col 15 radius, col 18 light type.
+        rad = zero
+        rtyp = zero
+        for k in range(n_lights):
+            sel = idx == k
+            rad = jnp.where(sel, lt_ref[k, 15], rad)
+            rtyp = jnp.where(sel, lt_ref[k, 18], rtyp)
+        zx, zy, zz, _ = _normalize3(px - p0x, py - p0y, pz - p0z)
+        # Duff basis about the light axis (vm.orthonormal_basis)
+        zsg = jnp.where(zz >= 0.0, 1.0, -1.0)
+        za = -1.0 / (zsg + zz)
+        zb_ = zx * zy * za
+        ztx = 1.0 + zsg * zx * zx * za
+        zty = zsg * zb_
+        ztz = -zsg * zx
+        zbx = zb_
+        zby = zsg + zy * zy * za
+        zbz = -zy
+        lphi = TWO_PI * u_l0
+        lrad = jnp.sqrt(u_l1)
+        hx_ = lrad * jnp.cos(lphi)
+        hy_ = lrad * jnp.sin(lphi)
+        hz_ = jnp.sqrt(jnp.maximum(1.0 - hx_ * hx_ - hy_ * hy_, 1e-12))
+        hwx = hx_ * ztx + hy_ * zbx + hz_ * zx
+        hwy = hx_ * zty + hy_ * zby + hz_ * zy
+        hwz = hx_ * ztz + hy_ * zbz + hz_ * zz
+        pdf_sphl = (1.0 / (2.0 * PI * jnp.maximum(rad * rad, 1e-12))
+                    * jnp.abs(hz_) * INV_PI)
+        is_sphl = rtyp == f32(T.LIGHT_AREA_SPHERE)
+        spx = jnp.where(is_sphl, p0x + hwx * rad, spx)
+        spy = jnp.where(is_sphl, p0y + hwy * rad, spy)
+        spz = jnp.where(is_sphl, p0z + hwz * rad, spz)
+        lnx_s = jnp.where(is_sphl, hwx, lnx)
+        lny_s = jnp.where(is_sphl, hwy, lny)
+        lnz_s = jnp.where(is_sphl, hwz, lnz)
+        pdf_area = jnp.where(is_sphl, pdf_sphl, pdf_area)
+    lnx, lny, lnz = lnx_s, lny_s, lnz_s
     tox = spx - px
     toy = spy - py
     toz = spz - pz
@@ -798,8 +841,11 @@ def fast_shade_ok(scene: T.Scene) -> bool:
         power = np.asarray(scene.lights.power)
     except Exception:
         return False  # traced values: can't check, fall back to XLA
-    # every row that can actually be picked must be a rect area light
-    if (power[ltype != T.LIGHT_AREA_RECT] > 0.0).any():
+    # every row that can actually be picked must be a rect or sphere
+    # area light (the two NEE samplers the kernels implement)
+    ok_rows = ((ltype == T.LIGHT_AREA_RECT)
+               | (ltype == T.LIGHT_AREA_SPHERE))
+    if (power[~ok_rows] > 0.0).any():
         return False
     return True
 
@@ -820,8 +866,9 @@ def _meta_operands(scene: T.Scene, seed, bounce):
     li_rgb = li_tab.color * li_tab.intensity[:, None]
     lt = jnp.concatenate([
         li_tab.p0, li_tab.v1, li_tab.v2, li_tab.normal, li_rgb,
-        jnp.zeros((n_lights, 1), jnp.float32),      # 15: pad
+        li_tab.radius[:, None],                     # 15: sphere radius
         li_tab.power_cdf[:, None], li_tab.power[:, None],
+        li_tab.light_type[:, None].astype(jnp.float32),  # 18: LIGHT_*
     ], axis=-1)
     return si, sf, mt, lt
 
@@ -914,7 +961,9 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
                                n_rects=n_rects, n_tris=n_tris,
                                max_depth=max_depth, rr_start=rr_start,
                                has_mirror=T.MAT_MIRROR
-                               in scene.mat_types_present)
+                               in scene.mat_types_present,
+                               has_sphere_light=T.LIGHT_AREA_SPHERE
+                               in scene.light_types_present)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     lo, go = pl.pallas_call(
         kernel,
@@ -975,7 +1024,9 @@ def fused_shade(scene: T.Scene, d, hit, beta, alive, prev_sg, pix, spp,
                                n_lights=n_lights, max_depth=max_depth,
                                rr_start=rr_start,
                                has_mirror=T.MAT_MIRROR
-                               in scene.mat_types_present)
+                               in scene.mat_types_present,
+                               has_sphere_light=T.LIGHT_AREA_SPHERE
+                               in scene.light_types_present)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     fo, io = pl.pallas_call(
         kernel,

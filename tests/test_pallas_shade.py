@@ -123,3 +123,40 @@ def test_fast_shade_full_pass_per_lane_spp():
     fast = render_sample(scene, cam, film, pix, 3, spp, 6, fast_shade=True)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["shade", "bounce"])
+def test_fast_shade_sphere_light_matches_xla(mode):
+    """Sphere AREA lights in the fused path (cosine hemisphere about the
+    center->hit axis, trace.h:230-243) vs the XLA step."""
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+    from craytracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_matte("w", (0.7, 0.7, 0.7))
+    b.add_emissive("lamp", (1.0, 0.9, 0.7), 25.0)
+    b.add_rect((-4, 0, -4), (8, 0, 0), (0, 0, 8), "w")
+    b.add_sphere((-1.0, 0.8, 0.0), 0.8, "w")
+    b.add_sphere((1.5, 2.5, 0.5), 0.5, "lamp")  # sphere AREA light
+    scene = b.build()
+    assert fast_shade_mode(scene) == "bounce"
+
+    cam = make_camera((0, 2.0, 5.5), (0, 0.8, 0))
+    film = Film(fov=jnp.float32(0.8), width=32, height=32)
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    jit = uniforms(0, pix, 0, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(cam, film, pix, jit)
+
+    L_ref, good_ref, m_ref = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                         with_metrics=True)
+    L_fast, good_fast, m_fast = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                            with_metrics=True,
+                                            fast_shade=mode)
+    np.testing.assert_allclose(np.asarray(L_fast), np.asarray(L_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(good_fast),
+                                  np.asarray(good_ref))
+    assert int(m_fast["rays"]) == int(m_ref["rays"])
+    assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
