@@ -73,11 +73,23 @@ def main():
         def many_passes(scene, camera, film, pixel_ids, spp0):
             def body(s, carry):
                 acc, total_rays = carry
-                jitter = uniforms(0, pixel_ids, spp0 + s, CAMERA_BOUNCE, 2, 0)
-                o, d = generate_rays(camera, film, pixel_ids, jitter)
-                L, good, m = trace_paths(scene, o, d, 0, pixel_ids, spp0 + s,
-                                         max_depth, with_metrics=True,
-                                         fast_shade=fast)
+                if fast == "bounce":
+                    # fully-fused pass: raygen joins the megakernel
+                    from craytracer_tpu.integrator.pallas_shade import \
+                        fused_pass
+
+                    L, good, m = fused_pass(
+                        scene, None, None, pixel_ids, spp0 + s, 0,
+                        max_depth, raygen="plain", camera=camera,
+                        film=film, width=int(film.width))
+                else:
+                    jitter = uniforms(0, pixel_ids, spp0 + s,
+                                      CAMERA_BOUNCE, 2, 0)
+                    o, d = generate_rays(camera, film, pixel_ids, jitter)
+                    L, good, m = trace_paths(scene, o, d, 0, pixel_ids,
+                                             spp0 + s, max_depth,
+                                             with_metrics=True,
+                                             fast_shade=fast)
                 return acc + L, total_rays + m["rays"] + m["shadow_rays"]
 
             init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.int32))

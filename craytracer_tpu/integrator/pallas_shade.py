@@ -386,11 +386,59 @@ def _brute_hit(pt_ref, n_sph, n_rects, n_tris, ox_, oy_, oz_, dx, dy, dz):
     return hitm, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz, mat_id
 
 
+def _camera_raygen(cam_ref, pix, spp, seed, width, raygen):
+    """In-kernel pinhole raygen: film jitter (plain CAMERA_BOUNCE uniforms
+    or the production stratified_jitter, sampling/multijitter.py:46-59)
+    + generate_rays' pinhole math (camera.py:118-144). cam_ref (SMEM f32):
+    0-2 position, 3-5 x_axis, 6-8 y_axis, 9-11 z_axis, 12 focal_dist,
+    13 frame_length, 14 frame_height, 15 pixel_length."""
+    f32 = jnp.float32
+    # col/row without integer div (exact in f32: pix < 2^24, +0.5 margin)
+    pix_f = pix.astype(jnp.int32).astype(f32)
+    inv_w = f32(1.0 / width)
+    rowf = jnp.floor((pix_f + 0.5) * inv_w)
+    colf = pix_f - rowf * f32(width)
+    # CAMERA_BOUNCE uniforms, dims 0,1 (sampling/rng.py)
+    h = _fmix(pix)
+    h = _fmix(h ^ _fmix(spp))
+    h = _fmix(h ^ (seed + _GOLDEN * jnp.uint32(0x7FFF)))
+
+    def uni(dim):
+        bits = _fmix(h + _GOLDEN * jnp.uint32(dim))
+        return ((bits >> jnp.uint32(8)).astype(jnp.int32).astype(f32)
+                * f32(1.0 / (1 << 24)))
+
+    u0, u1 = uni(0), uni(1)
+    if raygen == "strat":
+        # stratified_jitter: per-pixel rotated 4x4 stratum + in-stratum u
+        rot = _fmix(pix ^ (seed * jnp.uint32(977))) % jnp.uint32(16)
+        stratum = (spp + rot) % jnp.uint32(16)
+        st_i = stratum.astype(jnp.int32).astype(f32)
+        sy = jnp.floor((st_i + 0.5) * f32(0.25))
+        sx = st_i - sy * 4.0
+        j0 = (sx + u0) * 0.25
+        j1 = (sy + u1) * 0.25
+    else:
+        j0, j1 = u0, u1
+    ix = -cam_ref[13] * 0.5 + cam_ref[15] * (colf + j0)
+    iy = cam_ref[14] * 0.5 - cam_ref[15] * (rowf + j1)
+    fd = cam_ref[12]
+    dxr = ix * cam_ref[3] + iy * cam_ref[6] - fd * cam_ref[9]
+    dyr = ix * cam_ref[4] + iy * cam_ref[7] - fd * cam_ref[10]
+    dzr = ix * cam_ref[5] + iy * cam_ref[8] - fd * cam_ref[11]
+    ndx, ndy, ndz, _ = _normalize3(dxr, dyr, dzr)
+    ox = ix * cam_ref[3] + iy * cam_ref[6] + cam_ref[0]
+    oy = ix * cam_ref[4] + iy * cam_ref[7] + cam_ref[1]
+    oz = ix * cam_ref[5] + iy * cam_ref[8] + cam_ref[2]
+    return ox, oy, oz, ndx, ndy, ndz
+
+
 def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                  o_ref, d_ref, ii_ref,
                  lo_ref, go_ref,
                  n_mats, n_lights, n_sph, n_rects, n_tris, max_depth,
-                 rr_start, has_mirror=False, has_sphere_light=False):
+                 rr_start, has_mirror=False, has_sphere_light=False,
+                 raygen=None, width=0):
     """Whole-PASS megakernel: the ENTIRE bounce loop runs inside one
     launch for brute-force scenes — per-lane path state (ray, beta, L,
     liveness) lives in VMEM/vregs across all bounces instead of round-
@@ -400,12 +448,20 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
     Outputs: lo_ref rows 0-2 = L, go_ref rows = [good, rays (live-lane
     count summed over bounces), shadow_rays, alive-per-bounce bitmask
     (bit b = lane alive entering bounce b — popcounted outside into the
-    reference's live histogram)]."""
-    ox0, oy0, oz0 = o_ref[0, :], o_ref[1, :], o_ref[2, :]
-    dx0, dy0, dz0 = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+    reference's live histogram)].
+
+    `raygen` ("plain" | "strat") fuses the camera raygen too: o_ref is
+    then the SMEM camera array (see _camera_raygen) and d_ref is unused —
+    the pass consumes only pixel ids."""
     pix = ii_ref[0, :].astype(jnp.uint32)
     spp = ii_ref[1, :].astype(jnp.uint32)
     seed = si_ref[0].astype(jnp.uint32)
+    if raygen is not None:
+        ox0, oy0, oz0, dx0, dy0, dz0 = _camera_raygen(
+            o_ref, pix, spp, seed, width, raygen)
+    else:
+        ox0, oy0, oz0 = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+        dx0, dy0, dz0 = d_ref[0, :], d_ref[1, :], d_ref[2, :]
     # Loop-carry inits must be REAL vectors (arithmetic on the VMEM
     # load), not constant splats: jnp.zeros_like lowers to a replicated-
     # layout constant and Mosaic rejects the carry relayout against the
@@ -895,16 +951,24 @@ def _unpack_outputs(fo, io, n):
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "rr_start",
-                                             "interpret", "block"))
+                                             "interpret", "block",
+                                             "raygen", "width"))
 def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
                max_depth: int, rr_start: int = 3,
-               interpret: bool = False, block: int = 0):
+               interpret: bool = False, block: int = 0,
+               raygen: str | None = None, camera=None, film=None,
+               width: int = 0):
     """Whole-pass megakernel (see _pass_kernel): the full bounce loop in
     ONE launch for brute-force scenes. Returns (L[N,3], good[N],
     metrics dict with rays/shadow_rays scalars and bounce_live
-    histogram) — the trace_paths contract."""
+    histogram) — the trace_paths contract.
+
+    With `raygen` ("plain" = CAMERA_BOUNCE uniforms jitter, "strat" =
+    production stratified_jitter) + `camera`/`film` (+ static `width`),
+    the PINHOLE camera raygen also runs in-kernel and `o`/`d` are
+    ignored (pass None) — the launch consumes only pixel ids."""
     block = block or SHADE_BLOCK
-    n = o.shape[0]
+    n = pix.shape[0] if raygen is not None else o.shape[0]
     n_mats = scene.materials.mat_type.shape[0]
     n_lights = scene.lights.light_type.shape[0]
     n_sph = scene.spheres.mat_id.shape[0]
@@ -944,27 +1008,51 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
     ii = jnp.stack([pix.astype(jnp.int32), spp_row])
 
     pad = (-n) % block
-    fin = [o.T, d.T]
+    if raygen is None:
+        fin = [o.T, d.T]
+        if pad:
+            # padded lanes: origin far outside every box (+x escape ray)
+            # so the intersect misses; their alive flag starts True but
+            # every contribution needs a hit/escape count — sliced away
+            fin[0] = jnp.pad(fin[0], ((0, 0), (0, pad)),
+                             constant_values=3.0e18)
+            fin[1] = jnp.pad(fin[1], ((0, 0), (0, pad)))
+    else:
+        from craytracer_tpu.camera import film_dims
+
+        fl, fh, pxl = film_dims(film, camera)
+        cam = jnp.concatenate([
+            camera.position, camera.x_axis, camera.y_axis, camera.z_axis,
+            jnp.stack([jnp.asarray(camera.focal_dist, jnp.float32),
+                       jnp.asarray(fl, jnp.float32),
+                       jnp.asarray(fh, jnp.float32),
+                       jnp.asarray(pxl, jnp.float32)]),
+        ]).astype(jnp.float32)
+        fin = [cam]
+        # padded lanes: pixel id 0 re-traced (duplicate work, results
+        # sliced away; keeps the raygen math uniform)
     if pad:
-        # padded lanes: origin far outside every box (+x escape ray) so
-        # the intersect misses; their alive flag starts True but every
-        # contribution requires a hit or counts an escape — sliced away
-        fin[0] = jnp.pad(fin[0], ((0, 0), (0, pad)),
-                         constant_values=3.0e18)
-        fin[1] = jnp.pad(fin[1], ((0, 0), (0, pad)))
         ii = jnp.pad(ii, ((0, 0), (0, pad)))
     npad = n + pad
     blocks = npad // block
 
-    kernel = functools.partial(_pass_kernel, n_mats=n_mats,
-                               n_lights=n_lights, n_sph=n_sph,
-                               n_rects=n_rects, n_tris=n_tris,
-                               max_depth=max_depth, rr_start=rr_start,
-                               has_mirror=T.MAT_MIRROR
-                               in scene.mat_types_present,
-                               has_sphere_light=T.LIGHT_AREA_SPHERE
-                               in scene.light_types_present)
+    statics = dict(n_mats=n_mats, n_lights=n_lights, n_sph=n_sph,
+                   n_rects=n_rects, n_tris=n_tris,
+                   max_depth=max_depth, rr_start=rr_start,
+                   has_mirror=T.MAT_MIRROR in scene.mat_types_present,
+                   has_sphere_light=T.LIGHT_AREA_SPHERE
+                   in scene.light_types_present,
+                   raygen=raygen, width=width)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
+    if raygen is None:
+        kernel = functools.partial(_pass_kernel, **statics)
+        ray_specs = [lane_spec(3), lane_spec(3)]
+    else:
+        def kernel(si, sf, mt, lt, pt, cam_r, ii_r, lo_r, go_r):
+            _pass_kernel(si, sf, mt, lt, pt, cam_r, None, ii_r,
+                         lo_r, go_r, **statics)
+
+        ray_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     lo, go = pl.pallas_call(
         kernel,
         grid=(blocks,),
@@ -972,8 +1060,8 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  lane_spec(3), lane_spec(3), lane_spec(2)],
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + ray_specs + [lane_spec(2)],
         out_specs=[lane_spec(3), lane_spec(4)],
         out_shape=[jax.ShapeDtypeStruct((3, npad), jnp.float32),
                    jax.ShapeDtypeStruct((4, npad), jnp.int32)],

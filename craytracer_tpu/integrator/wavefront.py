@@ -586,6 +586,27 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
     from craytracer_tpu.camera import generate_rays
     from craytracer_tpu.sampling.multijitter import stratified_jitter
 
+    from craytracer_tpu.camera import PINHOLE
+
+    if (fast_shade == "bounce" and sampler is None
+            and trace_type == "PATHTRACE" and estimator != "mis"
+            and geom_axis is None and scene.tri_cam is None
+            and camera.camera_type == PINHOLE):
+        # Fully-fused pass: raygen (stratified jitter + pinhole math)
+        # joins the megakernel — the launch consumes only pixel ids.
+        from craytracer_tpu.integrator.pallas_shade import fused_pass
+
+        L, good, _m = fused_pass(
+            scene, None, None, jnp.asarray(pixel_ids, jnp.int32),
+            spp_index, seed, max_depth, raygen="strat", camera=camera,
+            film=film, width=int(film.width),
+            interpret=jax.default_backend() != "tpu")
+        if estimator == "physical":
+            return L
+        norm = jnp.where(good > 0,
+                         1.0 / jnp.maximum(good, 1).astype(L.dtype), 0.0)
+        return L * norm[:, None]
+
     if sampler is not None:
         from craytracer_tpu.sampling.tables import table_sample
 

@@ -160,3 +160,40 @@ def test_fast_shade_sphere_light_matches_xla(mode):
                                   np.asarray(good_ref))
     assert int(m_fast["rays"]) == int(m_ref["rays"])
     assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
+
+
+def test_fused_raygen_plain_matches_xla():
+    """raygen='plain' in the megakernel (CAMERA_BOUNCE jitter + pinhole
+    math in-kernel) vs generate_rays + the XLA step."""
+    from craytracer_tpu.integrator.pallas_shade import fused_pass
+
+    scene, cam, film = _cornell(24)
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    jit = uniforms(0, pix, 5, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(cam, film, pix, jit)
+    L_ref, good_ref, m_ref = trace_paths(scene, o, d, 0, pix, 5, 4,
+                                         with_metrics=True)
+    L_f, good_f, m_f = fused_pass(scene, None, None, pix, 5, 0, 4,
+                                  raygen="plain", camera=cam, film=film,
+                                  width=int(film.width), interpret=True)
+    np.testing.assert_allclose(np.asarray(L_f), np.asarray(L_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(good_f), np.asarray(good_ref))
+    assert int(m_f["rays"]) == int(m_ref["rays"])
+    assert int(m_f["shadow_rays"]) == int(m_ref["shadow_rays"])
+
+
+def test_fused_raygen_strat_through_render_sample():
+    """render_sample(fast_shade='bounce') takes the fully-fused pass
+    (stratified jitter + raygen in-kernel) and must match the XLA
+    render_sample, including per-lane spp batching."""
+    scene, cam, film = _cornell(16)
+    n = film.num_pixels
+    pix = jnp.tile(jnp.arange(n, dtype=jnp.int32), 2)
+    spp = jnp.repeat(jnp.arange(2, dtype=jnp.int32), n)
+    ref = render_sample(scene, cam, film, pix, 3, spp, 6)
+    fast = render_sample(scene, cam, film, pix, 3, spp, 6,
+                         fast_shade="bounce")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
