@@ -110,11 +110,127 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv, n2
 
 
+# ---------------------------------------------------------------------------
+# Local-frame BSDF math on component vectors — verbatim ports of
+# core/math.py trig and bsdf/{bxdf,microfacet,fresnel}.py formulas (same
+# expression trees, same eps) so the kernels match the XLA path per-lane.
+
+def _lf_sin_theta(z):
+    return jnp.sqrt(jnp.maximum(jnp.maximum(0.0, 1.0 - z * z), 1e-16))
+
+
+def _lf_cos_phi(x, z):
+    s = _lf_sin_theta(z)
+    return jnp.where(s < 1e-6, 1.0, jnp.clip(x / _safe_div(s), -1.0, 1.0))
+
+
+def _lf_sin_phi(y, z):
+    s = _lf_sin_theta(z)
+    return jnp.where(s < 1e-6, 0.0, jnp.clip(y / _safe_div(s), -1.0, 1.0))
+
+
+def _on_scale(wix, wiy, wiz, wox, woy, woz, a, b):
+    """Oren-Nayar scalar factor (a + b max_cos sin_a tan_b) / pi
+    (_oren_nayar_f, bxdf.py:123-144) on component vectors."""
+    sin_ti = _lf_sin_theta(wiz)
+    sin_to = _lf_sin_theta(woz)
+    d_cos = (_lf_cos_phi(wix, wiz) * _lf_cos_phi(wox, woz)
+             + _lf_sin_phi(wiy, wiz) * _lf_sin_phi(woy, woz))
+    max_cos = jnp.where((sin_ti > 1e-4) & (sin_to > 1e-4),
+                        jnp.maximum(0.0, d_cos), 0.0)
+    aci = jnp.abs(wiz)
+    aco = jnp.abs(woz)
+    wi_bigger = aci > aco
+    sin_alpha = jnp.where(wi_bigger, sin_to, sin_ti)
+    tan_beta = jnp.where(wi_bigger, sin_ti / jnp.maximum(aci, 1e-7),
+                         sin_to / jnp.maximum(aco, 1e-7))
+    return (a + b * max_cos * sin_alpha * tan_beta) * INV_PI
+
+
+def _fb_diffuse_scale(wiz, woz):
+    """FresnelBlendDiffuse_f's scalar factor (bxdf.py:151-159); multiply
+    by kd*(1-ks) per channel."""
+    p5 = lambda v: (v * v) * (v * v) * v
+    return ((28.0 / (23.0 * PI))
+            * (1.0 - p5(1.0 - 0.5 * jnp.abs(wiz)))
+            * (1.0 - p5(1.0 - 0.5 * jnp.abs(woz))))
+
+
+def _d_beckmann(whx, why, whz, ax):
+    """distribution_d, Beckmann branch (microfacet.py:24-45), isotropic
+    alpha (the gate requires alphax == alphay)."""
+    a = jnp.maximum(ax, 1e-4)
+    c2 = whz * whz
+    t2 = jnp.maximum(0.0, 1.0 - c2) / jnp.maximum(c2, 1e-6)
+    c4 = c2 * c2
+    c2p = _lf_cos_phi(whx, whz) ** 2
+    s2p = _lf_sin_phi(why, whz) ** 2
+    finite = c4 > 1e-16  # t2 from the jnp form is always finite
+    t2 = jnp.where(finite, t2, 0.0)
+    c4 = jnp.where(finite, c4, 1.0)
+    d = jnp.exp(-t2 * (c2p / (a * a) + s2p / (a * a))) / (PI * a * a * c4)
+    return jnp.where(finite, d, 0.0)
+
+
+def _lambda_beckmann(wx, wy, wz, ax):
+    """distribution_lambda, Beckmann branch (microfacet.py:48-76), iso."""
+    a_cl = jnp.maximum(ax, 1e-4)
+    c = jnp.where(jnp.abs(wz) < 1e-3,
+                  jnp.where(wz < 0.0, -1e-3, 1e-3), wz)
+    abs_tan = jnp.abs(_lf_sin_theta(wz) / c)
+    c2p = _lf_cos_phi(wx, wz) ** 2
+    s2p = _lf_sin_phi(wy, wz) ** 2
+    alpha = jnp.sqrt(jnp.maximum(c2p * a_cl * a_cl + s2p * a_cl * a_cl,
+                                 1e-12))
+    ar = 1.0 / jnp.maximum(alpha * abs_tan, 1e-16)
+    a_c = jnp.minimum(ar, 1.6)
+    return jnp.where(
+        ar >= 1.6, 0.0,
+        (1.0 - 1.259 * a_c + 0.396 * a_c * a_c)
+        / (3.535 * a_c + 2.181 * a_c * a_c))
+
+
+def _sample_wh_beckmann(wox, woy, woz, u0, u1, ax):
+    """sample_wh, isotropic Beckmann (microfacet.py:89-118)."""
+    a = jnp.maximum(ax, 1e-4)
+    log_u = jnp.log(jnp.maximum(u0, 1e-30))
+    t2 = -a * a * log_u
+    phi = u1 * TWO_PI
+    cos_t = 1.0 / jnp.sqrt(1.0 + t2)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+    whx = sin_t * jnp.cos(phi)
+    why = sin_t * jnp.sin(phi)
+    whz = cos_t
+    flip = ~(woz * whz > 0.0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    return whx * sgn, why * sgn, whz * sgn
+
+
+def _fr_conductor_c(c, eta, k):
+    """fr_conductor per channel (fresnel.py:32-51, eta_i = 1)."""
+    cc = jnp.clip(c, -1.0, 1.0)
+    c2 = cc * cc
+    s2 = 1.0 - c2
+    eta2 = eta * eta
+    etak2 = k * k
+    t0 = eta2 - etak2 - s2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * etak2, 1e-12))
+    t1 = a2b2 + c2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 1e-12))
+    t2 = 2.0 * cc * a
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-12)
+    return 0.5 * (rp + rs)
+
+
 def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
                   d_ref, hp_ref, hn_ref, du_ref, be_ref, ii_ref,
                   fo_ref, io_ref,
                   n_mats, n_lights, max_depth, rr_start,
-                  has_mirror=False, has_sphere_light=False):
+                  has_mirror=False, has_sphere_light=False,
+                  has_oren=False, has_plastic=False, has_metal=False):
     """Shade-only kernel: the hit record arrives from an external
     traversal (accel-backed scenes). See _pass_kernel for the
     whole-pass brute-force megakernel."""
@@ -135,7 +251,9 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
                       bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
                       n_mats, n_lights, max_depth, rr_start, occl=None,
                       has_mirror=has_mirror,
-                      has_sphere_light=has_sphere_light)
+                      has_sphere_light=has_sphere_light,
+                      has_oren=has_oren, has_plastic=has_plastic,
+                      has_metal=has_metal)
     for i in range(3):
         fo_ref[_RO_LADD + i, :] = out["l_add"][i]
         fo_ref[_RO_SHO + i, :] = out["sho"][i]
@@ -438,6 +556,7 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                  lo_ref, go_ref,
                  n_mats, n_lights, n_sph, n_rects, n_tris, max_depth,
                  rr_start, has_mirror=False, has_sphere_light=False,
+                 has_oren=False, has_plastic=False, has_metal=False,
                  raygen=None, width=0):
     """Whole-PASS megakernel: the ENTIRE bounce loop runs inside one
     launch for brute-force scenes — per-lane path state (ray, beta, L,
@@ -493,7 +612,9 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                           hitm, alive, prev_sg,
                           n_mats, n_lights, max_depth, rr_start,
                           occl=occl, has_mirror=has_mirror,
-                          has_sphere_light=has_sphere_light)
+                          has_sphere_light=has_sphere_light,
+                          has_oren=has_oren, has_plastic=has_plastic,
+                          has_metal=has_metal)
         return (out["new_o"][0], out["new_o"][1], out["new_o"][2],
                 out["new_d"][0], out["new_d"][1], out["new_d"][2],
                 out["new_beta"][0], out["new_beta"][1],
@@ -524,7 +645,8 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
                 dx, dy, dz, px, py, pz, nx, ny, nz, ux, uy, uz,
                 bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
                 n_mats, n_lights, max_depth, rr_start, occl=None,
-                has_mirror=False, has_sphere_light=False):
+                has_mirror=False, has_sphere_light=False,
+                has_oren=False, has_plastic=False, has_metal=False):
     """Pure shade math (no ref writes): returns the per-lane output dict.
     `seed` is a u32 scalar, `bounce` an i32 scalar (possibly a loop
     carry — the pass kernel iterates this body over bounces)."""
@@ -539,6 +661,17 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
     cb = zero
     on_a = zero
     inten = zero
+    on_b = zero
+    ax_m = zero
+    ksr = zero
+    ksg = zero
+    ksb = zero
+    etr = zero
+    etg = zero
+    etb = zero
+    kkr = zero
+    kkg = zero
+    kkb = zero
     for m in range(n_mats):
         sel = mat_id == m
         mtype = jnp.where(sel, jnp.int32(1) * mt_ref[m, 0].astype(jnp.int32),
@@ -548,6 +681,21 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
         cb = jnp.where(sel, mt_ref[m, 3], cb)
         on_a = jnp.where(sel, mt_ref[m, 4], on_a)
         inten = jnp.where(sel, mt_ref[m, 5], inten)
+        if has_oren:
+            on_b = jnp.where(sel, mt_ref[m, 6], on_b)
+        if has_plastic or has_metal:
+            ax_m = jnp.where(sel, mt_ref[m, 7], ax_m)
+        if has_plastic:
+            ksr = jnp.where(sel, mt_ref[m, 8], ksr)
+            ksg = jnp.where(sel, mt_ref[m, 9], ksg)
+            ksb = jnp.where(sel, mt_ref[m, 10], ksb)
+        if has_metal:
+            etr = jnp.where(sel, mt_ref[m, 11], etr)
+            etg = jnp.where(sel, mt_ref[m, 12], etg)
+            etb = jnp.where(sel, mt_ref[m, 13], etb)
+            kkr = jnp.where(sel, mt_ref[m, 14], kkr)
+            kkg = jnp.where(sel, mt_ref[m, 15], kkg)
+            kkb = jnp.where(sel, mt_ref[m, 16], kkb)
 
     # ---- emitted / env add (trace.h:419-455; env radiance is a constant
     # for kind<=1 scenes — sf_ref carries color*intensity)
@@ -722,17 +870,30 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
     valid = ~reject & (pdf_sa > 1e-12) & (pick_p > 0.0)
     pdf_nee = pdf_sa * jnp.maximum(pick_p, 1e-12)
 
-    # Lambertian NEE eval (bsdf_f_direct, lambertian_only): f = color*a/pi
-    # times |cos| against the shading normal (world-space quirk constant).
-    # Non-matte lanes get f = 0 (bsdf_f_direct's MATTE-only survivor in
-    # this material family; MIRROR is also excluded from NEE by nee_mat,
-    # trace.h:471)
+    # NEE eval (bsdf_f_direct): diffuse lobes only — MATTE's Oren-Nayar
+    # and PLASTIC's FB-diffuse. Reference quirk: the lobe formulas get
+    # the WORLD vectors (BSDF_f computes local frames then ignores them,
+    # reflection.cpp:719-735) — constant for Lambertian, trig-visible
+    # for sigma != 0 and plastic. Other types get f = 0.
     is_matte = mtype == T.MAT_MATTE
     abs_cos_nee = jnp.abs(fnx * wix + fny * wiy + fnz * wiz)
-    f_nee_base = jnp.where(is_matte, on_a * INV_PI, 0.0) * abs_cos_nee
-    f_r = cr * f_nee_base
-    f_g = cg * f_nee_base
-    f_b = cb * f_nee_base
+    if has_oren:
+        on_fac = _on_scale(wix, wiy, wiz, -dx, -dy, -dz, on_a, on_b)
+    else:
+        on_fac = on_a * INV_PI
+    f_fac = jnp.where(is_matte, on_fac, 0.0)
+    f_r = cr * f_fac
+    f_g = cg * f_fac
+    f_b = cb * f_fac
+    if has_plastic:
+        is_pl = mtype == T.MAT_PLASTIC
+        fbd = _fb_diffuse_scale(wiz, -dz)
+        f_r = jnp.where(is_pl, cr * (1.0 - ksr) * fbd, f_r)
+        f_g = jnp.where(is_pl, cg * (1.0 - ksg) * fbd, f_g)
+        f_b = jnp.where(is_pl, cb * (1.0 - ksb) * fbd, f_b)
+    f_r = f_r * abs_cos_nee
+    f_g = f_g * abs_cos_nee
+    f_b = f_b * abs_cos_nee
     want_shadow = (cont & valid
                    & ((f_r > 0.0) | (f_g > 0.0) | (f_b > 0.0)))
 
@@ -769,30 +930,39 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
         good_inc = good_inc + ((ctr != 0.0) | (ctg != 0.0)
                                | (ctb != 0.0)).astype(jnp.int32)
 
-    # ---- BSDF sample (bsdf_sample's MATTE cosine-hemisphere and MIRROR
-    # specular-reflection blocks over dims 5,6)
+    # ---- BSDF sample (bsdf_sample over dims 5,6: MATTE cosine
+    # hemisphere, MIRROR specular reflection, PLASTIC two-lobe
+    # FresnelBlend, METAL conductor microfacet)
+    need_wo_l = has_mirror or has_plastic or has_metal or has_oren
+    if need_wo_l:
+        wo_lx = -(dx * ftx + dy * fty + dz * ftz)
+        wo_ly = -(dx * fbx + dy * fby + dz * fbz)
+        wo_lz = -(dx * fnx + dy * fny + dz * fnz)
     phi = TWO_PI * u_b0
     r = jnp.sqrt(u_b1)
     wlx = r * jnp.cos(phi)
     wly = r * jnp.sin(phi)
     wlz = jnp.sqrt(jnp.maximum(1.0 - wlx * wlx - wly * wly, 1e-12))
     pdf_s = jnp.where(is_matte, wlz * INV_PI, 0.0)
-    fs_r = jnp.where(is_matte, cr * (on_a * INV_PI), 0.0)
-    fs_g = jnp.where(is_matte, cg * (on_a * INV_PI), 0.0)
-    fs_b = jnp.where(is_matte, cb * (on_a * INV_PI), 0.0)
+    if has_oren:
+        on_sfac = _on_scale(wlx, wly, wlz, wo_lx, wo_ly, wo_lz,
+                            on_a, on_b)
+    else:
+        on_sfac = on_a * INV_PI
+    fs_r = jnp.where(is_matte, cr * on_sfac, 0.0)
+    fs_g = jnp.where(is_matte, cg * on_sfac, 0.0)
+    fs_b = jnp.where(is_matte, cb * on_sfac, 0.0)
     wlx = jnp.where(is_matte, wlx, 0.0)
     wly = jnp.where(is_matte, wly, 0.0)
     wlz = jnp.where(is_matte, wlz, 1.0)
     # always-false via compare (a splat of an i1 literal hits Mosaic's
     # "unsupported target bitwidth for truncation")
     is_spec = mtype < 0
+    is_glossy = mtype < 0
     if has_mirror:
         # MIRROR (SpecularReflection_sample_f, reflection.cpp:240-247):
         # wi = (-wo.x, -wo.y, wo.z) in the shading frame, f = color/|cos|
         is_mir = mtype == T.MAT_MIRROR
-        wo_lx = -(dx * ftx + dy * fty + dz * ftz)
-        wo_ly = -(dx * fbx + dy * fby + dz * fbz)
-        wo_lz = -(dx * fnx + dy * fny + dz * fnz)
         inv_cos = 1.0 / jnp.maximum(jnp.abs(wo_lz), 1e-7)
         wlx = jnp.where(is_mir, -wo_lx, wlx)
         wly = jnp.where(is_mir, -wo_ly, wly)
@@ -802,6 +972,118 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
         fs_b = jnp.where(is_mir, cb * inv_cos, fs_b)
         pdf_s = jnp.where(is_mir, 1.0, pdf_s)
         is_spec = is_mir
+    if has_plastic:
+        # PLASTIC (BSDF_sample_f two-lobe, reflection.cpp:760-811):
+        # uniform lobe pick with sample remap; CHOSEN-lobe pdf must be
+        # nonzero; f and pdf then SUM both lobes (the reference quirk)
+        is_pl = mtype == T.MAT_PLASTIC
+        pick_spec = u_b0 >= 0.5
+        u0r = jnp.clip(jnp.where(pick_spec, 2.0 * (u_b0 - 0.5),
+                                 2.0 * u_b0), 0.0, 1.0 - 1e-7)
+        # diffuse lobe (FresnelBlendDiffuse_sample_f): cosine hemisphere
+        # from the REMAPPED u0, flipped to wo's side
+        dphi = TWO_PI * u0r
+        drad = jnp.sqrt(u_b1)
+        pdx = drad * jnp.cos(dphi)
+        pdy = drad * jnp.sin(dphi)
+        pdz = jnp.sqrt(jnp.maximum(1.0 - pdx * pdx - pdy * pdy, 1e-12))
+        pdz = jnp.where(wo_lz < 0.0, -pdz, pdz)
+        # specular lobe (FresnelBlendSpecular_sample_f): Beckmann wh +
+        # reflect
+        whx, why, whz = _sample_wh_beckmann(wo_lx, wo_ly, wo_lz,
+                                            u0r, u_b1, ax_m)
+        dwh = wo_lx * whx + wo_ly * why + wo_lz * whz
+        psx = 2.0 * dwh * whx - wo_lx
+        psy = 2.0 * dwh * why - wo_ly
+        psz = 2.0 * dwh * whz - wo_lz
+        ps_ok = psz * wo_lz > 0.0
+        wpx = jnp.where(pick_spec, psx, pdx)
+        wpy = jnp.where(pick_spec, psy, pdy)
+        wpz = jnp.where(pick_spec, psz, pdz)
+        # pdfs of both lobes at the chosen wi
+        same_p = wpz * wo_lz > 0.0
+        cos_pdf = jnp.where(same_p, jnp.abs(wpz) * INV_PI, 0.0)
+        sx_, sy_, sz_, _ = _normalize3(wpx + wo_lx, wpy + wo_ly,
+                                       wpz + wo_lz)
+        spec_pdf = jnp.where(
+            same_p,
+            _d_beckmann(sx_, sy_, sz_, ax_m)
+            / jnp.maximum(2.0 * (wo_lx * sx_ + wo_ly * sy_
+                                 + wo_lz * sz_), 1e-7), 0.0)
+        pdf_chosen = jnp.where(pick_spec,
+                               jnp.where(ps_ok, spec_pdf, 0.0), cos_pdf)
+        pdf_other = jnp.where(pick_spec, cos_pdf, spec_pdf)
+        alive_p = pdf_chosen > 0.0
+        # f = FB-diffuse + FB-specular at the chosen wi (local frame)
+        fbd_s = _fb_diffuse_scale(wpz, wo_lz)
+        cos_wh = wpx * sx_ + wpy * sy_ + wpz * sz_
+        degen = ((wpx + wo_lx) ** 2 + (wpy + wo_ly) ** 2
+                 + (wpz + wo_lz) ** 2) < 1e-16
+        p5w = (1.0 - cos_wh) ** 5
+        denom_s = 4.0 * jnp.abs(cos_wh) * jnp.maximum(
+            jnp.maximum(jnp.abs(wpz), jnp.abs(wo_lz)), 1e-7)
+        d_spec = _d_beckmann(sx_, sy_, sz_, ax_m) \
+            / jnp.maximum(denom_s, 1e-12)
+        d_spec = jnp.where(degen, 0.0, d_spec)
+
+        def fb_f(kd_c, ks_c):
+            fres = ks_c + p5w * (1.0 - ks_c)  # schlick_fresnel
+            return kd_c * (1.0 - ks_c) * fbd_s + fres * d_spec
+
+        fpr = jnp.where(alive_p, fb_f(cr, ksr), 0.0)
+        fpg = jnp.where(alive_p, fb_f(cg, ksg), 0.0)
+        fpb = jnp.where(alive_p, fb_f(cb, ksb), 0.0)
+        pdf_pl = jnp.where(alive_p, pdf_chosen + pdf_other, 0.0)
+        wlx = jnp.where(is_pl, wpx, wlx)
+        wly = jnp.where(is_pl, wpy, wly)
+        wlz = jnp.where(is_pl, wpz, wlz)
+        fs_r = jnp.where(is_pl, fpr, fs_r)
+        fs_g = jnp.where(is_pl, fpg, fs_g)
+        fs_b = jnp.where(is_pl, fpb, fs_b)
+        pdf_s = jnp.where(is_pl, pdf_pl, pdf_s)
+        is_glossy = is_glossy | (is_pl & pick_spec)
+    if has_metal:
+        # METAL (MicrofacetReflection_sample_f, reflection.cpp:329-344):
+        # Beckmann wh from the UNREMAPPED sample, conductor Fresnel,
+        # f = D G Fr / (4 |ci| |co|), pdf = D |wh.z| / (4 dot(wo, wh))
+        is_met = mtype == T.MAT_METAL
+        mhx, mhy, mhz = _sample_wh_beckmann(wo_lx, wo_ly, wo_lz,
+                                            u_b0, u_b1, ax_m)
+        mdwh = wo_lx * mhx + wo_ly * mhy + wo_lz * mhz
+        mwx = 2.0 * mdwh * mhx - wo_lx
+        mwy = 2.0 * mdwh * mhy - wo_ly
+        mwz = 2.0 * mdwh * mhz - wo_lz
+        m_ok = mwz * wo_lz > 0.0
+        aci = jnp.abs(mwz)
+        aco = jnp.abs(wo_lz)
+        shx, shy, shz, _ = _normalize3(mwx + wo_lx, mwy + wo_ly,
+                                       mwz + wo_lz)
+        m_degen = (((mwx + wo_lx) ** 2 + (mwy + wo_ly) ** 2
+                    + (mwz + wo_lz) ** 2) < 1e-16) \
+            | (aci < 1e-7) | (aco < 1e-7)
+        cwh = mwx * shx + mwy * shy + mwz * shz
+        d_m = _d_beckmann(shx, shy, shz, ax_m)
+        g_m = 1.0 / (1.0 + _lambda_beckmann(wo_lx, wo_ly, wo_lz, ax_m)
+                     + _lambda_beckmann(mwx, mwy, mwz, ax_m))
+        scale_m = d_m * g_m / jnp.maximum(4.0 * aci * aco, 1e-12)
+        scale_m = jnp.where(m_degen, 0.0, scale_m)
+        fmr = _fr_conductor_c(cwh, etr, kkr) * scale_m
+        fmg = _fr_conductor_c(cwh, etg, kkg) * scale_m
+        fmb = _fr_conductor_c(cwh, etb, kkb) * scale_m
+        pdf_m = (_d_beckmann(mhx, mhy, mhz, ax_m) * jnp.abs(mhz)
+                 / jnp.maximum(4.0 * mdwh, 1e-7))
+        fmr = jnp.where(m_ok, fmr, 0.0)
+        fmg = jnp.where(m_ok, fmg, 0.0)
+        fmb = jnp.where(m_ok, fmb, 0.0)
+        pdf_m = jnp.where(m_ok, pdf_m, 0.0)
+        wlx = jnp.where(is_met, mwx, wlx)
+        wly = jnp.where(is_met, mwy, wly)
+        wlz = jnp.where(is_met, mwz, wlz)
+        fs_r = jnp.where(is_met, fmr, fs_r)
+        fs_g = jnp.where(is_met, fmg, fs_g)
+        fs_b = jnp.where(is_met, fmb, fs_b)
+        pdf_s = jnp.where(is_met, pdf_m, pdf_s)
+        is_glossy = is_glossy | is_met
     dead = (pdf_s <= 0.0) | ((fs_r == 0.0) & (fs_g == 0.0) & (fs_b == 0.0))
     wwx = wlx * ftx + wly * fbx + wlz * fnx
     wwy = wlx * fty + wly * fby + wlz * fny
@@ -845,7 +1127,7 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
                   jnp.where(new_alive, wwz, 0.0)),
         "new_beta": (nbx, nby, nbz),
         "new_alive": new_alive,
-        "new_prev_sg": (cont & is_spec) | (~cont & prev_sg),
+        "new_prev_sg": (cont & (is_spec | is_glossy)) | (~cont & prev_sg),
     }
 
 
@@ -879,10 +1161,23 @@ def fast_shade_ok(scene: T.Scene) -> bool:
     if os.environ.get("CRAYTRACER_PALLAS_SHADE", "auto") == "0":
         return False
     mats = set(scene.mat_types_present)
-    if not mats <= {T.MAT_MATTE, T.MAT_EMISSIVE, T.MAT_MIRROR}:
+    if not mats <= {T.MAT_MATTE, T.MAT_EMISSIVE, T.MAT_MIRROR,
+                    T.MAT_PLASTIC, T.MAT_METAL}:
         return False
-    if not scene.matte_lambertian:
-        return False
+    if mats & {T.MAT_PLASTIC, T.MAT_METAL}:
+        # microfacet lanes: the kernels port the ISOTROPIC BECKMANN
+        # inversion only (reference scenes always build Beckmann; the
+        # anisotropic branch needs atan, which Mosaic lacks)
+        try:
+            is_mf = np.isin(np.asarray(scene.materials.mat_type),
+                            [T.MAT_PLASTIC, T.MAT_METAL])
+            ax = np.asarray(scene.materials.alphax)[is_mf]
+            ay = np.asarray(scene.materials.alphay)[is_mf]
+            di = np.asarray(scene.materials.distrib)[is_mf]
+            if (ax != ay).any() or (di != T.DIST_BECKMANN).any():
+                return False
+        except Exception:
+            return False
     if scene.textures.texels.shape[0] > 1:
         return False
     if scene.env.kind not in (0, 1) or getattr(scene.env, "importance", 0):
@@ -914,8 +1209,14 @@ def _meta_operands(scene: T.Scene, seed, bounce):
     sf = jnp.concatenate([env_li.astype(jnp.float32),
                           jnp.zeros((1,), jnp.float32)])
     m = scene.materials
+    # 17 cols: 0 type, 1-3 color, 4 on_a, 5 intensity, 6 on_b, 7 alphax,
+    # 8-10 ks, 11-13 eta, 14-16 k
     mt = jnp.stack([m.mat_type.astype(jnp.float32), m.color[:, 0],
-                    m.color[:, 1], m.color[:, 2], m.on_a, m.intensity],
+                    m.color[:, 1], m.color[:, 2], m.on_a, m.intensity,
+                    m.on_b, m.alphax,
+                    m.ks[:, 0], m.ks[:, 1], m.ks[:, 2],
+                    m.eta[:, 0], m.eta[:, 1], m.eta[:, 2],
+                    m.k[:, 0], m.k[:, 1], m.k[:, 2]],
                    axis=-1)
     li_tab = scene.lights
     n_lights = li_tab.light_type.shape[0]
@@ -1042,6 +1343,10 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
                    has_mirror=T.MAT_MIRROR in scene.mat_types_present,
                    has_sphere_light=T.LIGHT_AREA_SPHERE
                    in scene.light_types_present,
+                   has_oren=(T.MAT_MATTE in scene.mat_types_present
+                             and not scene.matte_lambertian),
+                   has_plastic=T.MAT_PLASTIC in scene.mat_types_present,
+                   has_metal=T.MAT_METAL in scene.mat_types_present,
                    raygen=raygen, width=width)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     if raygen is None:
@@ -1114,7 +1419,14 @@ def fused_shade(scene: T.Scene, d, hit, beta, alive, prev_sg, pix, spp,
                                has_mirror=T.MAT_MIRROR
                                in scene.mat_types_present,
                                has_sphere_light=T.LIGHT_AREA_SPHERE
-                               in scene.light_types_present)
+                               in scene.light_types_present,
+                               has_oren=(T.MAT_MATTE
+                                         in scene.mat_types_present
+                                         and not scene.matte_lambertian),
+                               has_plastic=T.MAT_PLASTIC
+                               in scene.mat_types_present,
+                               has_metal=T.MAT_METAL
+                               in scene.mat_types_present)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     fo, io = pl.pallas_call(
         kernel,

@@ -197,3 +197,51 @@ def test_fused_raygen_strat_through_render_sample():
                          fast_shade="bounce")
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["shade", "bounce"])
+def test_fast_shade_oren_plastic_metal_matches_xla(mode):
+    """Round-5 late extensions: Oren-Nayar matte (sigma != 0), PLASTIC
+    (two-lobe FresnelBlend, isotropic Beckmann) and METAL (conductor
+    microfacet) in the fused path — the parity_mix material family —
+    against the XLA step on the same rays."""
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+    from craytracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_matte("grey", (0.73, 0.73, 0.73))
+    b.add_matte("rough_blue", (0.2, 0.3, 0.7), sigma=20.0)
+    b.add_plastic("red_plastic", kd=(0.6, 0.05, 0.05),
+                  ks=(0.4, 0.4, 0.4), roughness=0.08)
+    b.add_mirror("chrome", (0.9, 0.9, 0.9))
+    b.add_metal("gold", "GOLD", 0.1)
+    b.add_emissive("lamp", (1.0, 0.95, 0.85), 14.0)
+    b.add_rect((-6, 0, -6), (12, 0, 0), (0, 0, 12), "grey")
+    b.add_sphere((-2.2, 0.8, 0.0), 0.8, "rough_blue")
+    b.add_sphere((-0.7, 0.8, 0.8), 0.8, "red_plastic")
+    b.add_sphere((0.9, 0.8, -0.3), 0.8, "chrome")
+    b.add_sphere((2.4, 0.8, 0.6), 0.8, "gold")
+    b.add_rect((-1.5, 4, -1.5), (3, 0, 0), (0, 0, 3), "lamp")
+    scene = b.build()
+    assert fast_shade_mode(scene) == "bounce"
+    assert not scene.matte_lambertian  # sigma 20 -> full Oren-Nayar
+
+    cam = make_camera((0, 2.0, 6.5), (0, 0.8, 0))
+    film = Film(fov=jnp.float32(0.8), width=32, height=32)
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    jit = uniforms(0, pix, 0, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(cam, film, pix, jit)
+
+    L_ref, good_ref, m_ref = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                         with_metrics=True)
+    L_fast, good_fast, m_fast = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                            with_metrics=True,
+                                            fast_shade=mode)
+    np.testing.assert_allclose(np.asarray(L_fast), np.asarray(L_ref),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(good_fast),
+                                  np.asarray(good_ref))
+    assert int(m_fast["rays"]) == int(m_ref["rays"])
+    assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
