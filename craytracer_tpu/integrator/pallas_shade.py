@@ -206,6 +206,23 @@ def _sample_wh_beckmann(wox, woy, woz, u0, u1, ax):
     return whx * sgn, why * sgn, whz * sgn
 
 
+def _fr_dielectric(cos_theta_i, eta_t, eta_i):
+    """fr_dielectric (fresnel.py:12-29): unpolarized, IOR swap when the
+    ray arrives from inside, TIR -> 1."""
+    flip = cos_theta_i < 0.0
+    ei = jnp.where(flip, eta_t, eta_i)
+    et = jnp.where(flip, eta_i, eta_t)
+    ci = jnp.abs(cos_theta_i)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - ci * ci, 1e-12))
+    sin_t = ei / et * sin_i
+    tir = sin_t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 1e-12))
+    r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-12)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-12)
+    fr = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+    return jnp.where(tir, 1.0, fr)
+
+
 def _fr_conductor_c(c, eta, k):
     """fr_conductor per channel (fresnel.py:32-51, eta_i = 1)."""
     cc = jnp.clip(c, -1.0, 1.0)
@@ -230,7 +247,8 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
                   fo_ref, io_ref,
                   n_mats, n_lights, max_depth, rr_start,
                   has_mirror=False, has_sphere_light=False,
-                  has_oren=False, has_plastic=False, has_metal=False):
+                  has_oren=False, has_plastic=False, has_metal=False,
+                  has_glass=False, has_transparent=False):
     """Shade-only kernel: the hit record arrives from an external
     traversal (accel-backed scenes). See _pass_kernel for the
     whole-pass brute-force megakernel."""
@@ -253,7 +271,8 @@ def _shade_kernel(si_ref, sf_ref, mt_ref, lt_ref,
                       has_mirror=has_mirror,
                       has_sphere_light=has_sphere_light,
                       has_oren=has_oren, has_plastic=has_plastic,
-                      has_metal=has_metal)
+                      has_metal=has_metal, has_glass=has_glass,
+                      has_transparent=has_transparent)
     for i in range(3):
         fo_ref[_RO_LADD + i, :] = out["l_add"][i]
         fo_ref[_RO_SHO + i, :] = out["sho"][i]
@@ -557,6 +576,7 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                  n_mats, n_lights, n_sph, n_rects, n_tris, max_depth,
                  rr_start, has_mirror=False, has_sphere_light=False,
                  has_oren=False, has_plastic=False, has_metal=False,
+                 has_glass=False, has_transparent=False,
                  raygen=None, width=0):
     """Whole-PASS megakernel: the ENTIRE bounce loop runs inside one
     launch for brute-force scenes — per-lane path state (ray, beta, L,
@@ -614,7 +634,8 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                           occl=occl, has_mirror=has_mirror,
                           has_sphere_light=has_sphere_light,
                           has_oren=has_oren, has_plastic=has_plastic,
-                          has_metal=has_metal)
+                          has_metal=has_metal, has_glass=has_glass,
+                          has_transparent=has_transparent)
         return (out["new_o"][0], out["new_o"][1], out["new_o"][2],
                 out["new_d"][0], out["new_d"][1], out["new_d"][2],
                 out["new_beta"][0], out["new_beta"][1],
@@ -646,7 +667,8 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
                 bx, by, bz, pix, spp, mat_id, hitm, alive, prev_sg,
                 n_mats, n_lights, max_depth, rr_start, occl=None,
                 has_mirror=False, has_sphere_light=False,
-                has_oren=False, has_plastic=False, has_metal=False):
+                has_oren=False, has_plastic=False, has_metal=False,
+                has_glass=False, has_transparent=False):
     """Pure shade math (no ref writes): returns the per-lane output dict.
     `seed` is a u32 scalar, `bounce` an i32 scalar (possibly a loop
     carry — the pass kernel iterates this body over bounces)."""
@@ -672,6 +694,8 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
     kkr = zero
     kkg = zero
     kkb = zero
+    ior_i = zero
+    ior_o = zero
     for m in range(n_mats):
         sel = mat_id == m
         mtype = jnp.where(sel, jnp.int32(1) * mt_ref[m, 0].astype(jnp.int32),
@@ -683,7 +707,7 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
         inten = jnp.where(sel, mt_ref[m, 5], inten)
         if has_oren:
             on_b = jnp.where(sel, mt_ref[m, 6], on_b)
-        if has_plastic or has_metal:
+        if has_plastic or has_metal or has_glass:
             ax_m = jnp.where(sel, mt_ref[m, 7], ax_m)
         if has_plastic:
             ksr = jnp.where(sel, mt_ref[m, 8], ksr)
@@ -696,6 +720,9 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
             kkr = jnp.where(sel, mt_ref[m, 14], kkr)
             kkg = jnp.where(sel, mt_ref[m, 15], kkg)
             kkb = jnp.where(sel, mt_ref[m, 16], kkb)
+        if has_glass or has_transparent:
+            ior_i = jnp.where(sel, mt_ref[m, 17], ior_i)
+            ior_o = jnp.where(sel, mt_ref[m, 18], ior_o)
 
     # ---- emitted / env add (trace.h:419-455; env radiance is a constant
     # for kind<=1 scenes — sf_ref carries color*intensity)
@@ -761,6 +788,8 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
     u_l0, u_l1 = uni(0), uni(1)
     u_pick = uni(4)
     u_b0, u_b1 = uni(5), uni(6)
+    if has_glass or has_transparent:
+        r_extra = uni(7)  # fresnel-branch rand (trace.h layout dim 7)
     u_rr = uni(8)
 
     # ---- NEE: power-CDF pick + rect-area sample (trace.h:221-397).
@@ -933,7 +962,8 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
     # ---- BSDF sample (bsdf_sample over dims 5,6: MATTE cosine
     # hemisphere, MIRROR specular reflection, PLASTIC two-lobe
     # FresnelBlend, METAL conductor microfacet)
-    need_wo_l = has_mirror or has_plastic or has_metal or has_oren
+    need_wo_l = (has_mirror or has_plastic or has_metal or has_oren
+                 or has_glass or has_transparent)
     if need_wo_l:
         wo_lx = -(dx * ftx + dy * fty + dz * ftz)
         wo_ly = -(dx * fbx + dy * fby + dz * fbz)
@@ -1084,6 +1114,122 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
         fs_b = jnp.where(is_met, fmb, fs_b)
         pdf_s = jnp.where(is_met, pdf_m, pdf_s)
         is_glossy = is_glossy | is_met
+    if has_transparent:
+        # TRANSPARENT thin (SpecularTransmission_sample_f thin branch,
+        # reflection.cpp:250-282): fresnel-branch rand picks mirror
+        # reflection vs straight-through transmission
+        is_tr = mtype == T.MAT_TRANSPARENT
+        kr_thin = _fr_dielectric(jnp.abs(wo_lz), ior_i, ior_o)
+        take_refl = r_extra <= kr_thin
+        twx = jnp.where(take_refl, -wo_lx, -wo_lx)
+        twy = jnp.where(take_refl, -wo_ly, -wo_ly)
+        twz = jnp.where(take_refl, wo_lz, -wo_lz)
+        eta_thin = ior_o / ior_i
+        mag_tr = jnp.where(take_refl, kr_thin,
+                           (1.0 - kr_thin) * eta_thin * eta_thin) \
+            / jnp.maximum(jnp.abs(twz), 1e-7)
+        pdf_tr = jnp.where(take_refl, kr_thin, 1.0 - kr_thin)
+        wlx = jnp.where(is_tr, twx, wlx)
+        wly = jnp.where(is_tr, twy, wly)
+        wlz = jnp.where(is_tr, twz, wlz)
+        fs_r = jnp.where(is_tr, mag_tr, fs_r)
+        fs_g = jnp.where(is_tr, mag_tr, fs_g)
+        fs_b = jnp.where(is_tr, mag_tr, fs_b)
+        pdf_s = jnp.where(is_tr, pdf_tr, pdf_s)
+        is_spec = is_spec | is_tr
+    if has_glass:
+        # GLASS (MicrofacetFresnel_sample_f, reflection.cpp:390-446):
+        # Beckmann wh, fresnel-branch pick between microfacet reflection
+        # (with the reference's 1 - Fr(wh, wi) quirk weight) and rough
+        # transmission through the half-vector
+        is_gl = mtype == T.MAT_GLASS
+        ghx, ghy, ghz = _sample_wh_beckmann(wo_lx, wo_ly, wo_lz,
+                                            u_b0, u_b1, ax_m)
+        gdwh = wo_lx * ghx + wo_ly * ghy + wo_lz * ghz
+        kr_g = _fr_dielectric(gdwh, ior_i, ior_o)
+        g_refl = r_extra <= kr_g
+        # ---- reflection branch (_glass_refl_f + D-pdf)
+        grx = 2.0 * gdwh * ghx - wo_lx
+        gry = 2.0 * gdwh * ghy - wo_ly
+        grz = 2.0 * gdwh * ghz - wo_lz
+        gr_ok = grz * wo_lz > 0.0
+        rhx, rhy, rhz, _ = _normalize3(grx + wo_lx, gry + wo_ly,
+                                       grz + wo_lz)
+        r_degen = (((grx + wo_lx) ** 2 + (gry + wo_ly) ** 2
+                    + (grz + wo_lz) ** 2) < 1e-16) \
+            | (jnp.abs(grz) < 1e-7) | (jnp.abs(wo_lz) < 1e-7)
+        kr_quirk = 1.0 - _fr_dielectric(
+            rhx * grx + rhy * gry + rhz * grz, ior_i, ior_o)
+        scale_gr = (_d_beckmann(rhx, rhy, rhz, ax_m)
+                    * (1.0 / (1.0 + _lambda_beckmann(wo_lx, wo_ly, wo_lz,
+                                                     ax_m)
+                       + _lambda_beckmann(grx, gry, grz, ax_m)))
+                    / jnp.maximum(4.0 * jnp.abs(grz) * jnp.abs(wo_lz),
+                                  1e-12))
+        f_gr = jnp.where(r_degen, 0.0, kr_quirk * scale_gr)
+        pdf_gr = (_d_beckmann(ghx, ghy, ghz, ax_m) * jnp.abs(ghz)
+                  / jnp.maximum(4.0 * gdwh, 1e-7))
+        f_gr = jnp.where(gr_ok, f_gr, 0.0)
+        pdf_gr = jnp.where(gr_ok, pdf_gr, 0.0)
+        # ---- transmission branch (vm.refract through the faced wh)
+        eta_g = jnp.where(wo_lz > 0.0, ior_o / ior_i, ior_i / ior_o)
+        fsg = jnp.where(gdwh < 0.0, -1.0, 1.0)
+        fhx, fhy, fhz = ghx * fsg, ghy * fsg, ghz * fsg
+        cti_r = fhx * wo_lx + fhy * wo_ly + fhz * wo_lz
+        s2i = jnp.maximum(0.0, 1.0 - cti_r * cti_r)
+        s2t = eta_g * eta_g * s2i
+        gt_ok = s2t < 1.0
+        ctt = jnp.sqrt(jnp.maximum(1.0 - s2t, 1e-12))
+        gtx = -eta_g * wo_lx + (eta_g * cti_r - ctt) * fhx
+        gty = -eta_g * wo_ly + (eta_g * cti_r - ctt) * fhy
+        gtz = -eta_g * wo_lz + (eta_g * cti_r - ctt) * fhz
+        # _glass_trans_f (bxdf.py:230-249)
+        not_trans = gtz * wo_lz > 0.0
+        eta_t2 = jnp.where(wo_lz > 0.0, ior_i / ior_o, ior_o / ior_i)
+        thx, thy, thz, _ = _normalize3(wo_lx + gtx * eta_t2,
+                                       wo_ly + gty * eta_t2,
+                                       wo_lz + gtz * eta_t2)
+        tsg = jnp.where(thz < 0.0, -1.0, 1.0)
+        thx2, thy2, thz2 = thx * tsg, thy * tsg, thz * tsg
+        fr_t = _fr_dielectric(thx2 * wo_lx + thy2 * wo_ly + thz2 * wo_lz,
+                              ior_i, ior_o)
+        dot_ot = thx2 * wo_lx + thy2 * wo_ly + thz2 * wo_lz
+        dot_it = thx2 * gtx + thy2 * gty + thz2 * gtz
+        sqrt_den = dot_ot + eta_t2 * dot_it
+        den_t = gtz * wo_lz * sqrt_den * sqrt_den
+        num_t = (_d_beckmann(thx2, thy2, thz2, ax_m)
+                 * (1.0 / (1.0 + _lambda_beckmann(wo_lx, wo_ly, wo_lz,
+                                                  ax_m)
+                    + _lambda_beckmann(gtx, gty, gtz, ax_m)))
+                 * jnp.abs(dot_it) * jnp.abs(dot_ot))
+        f_gt = (1.0 - fr_t) * jnp.abs(num_t / _safe_div(den_t))
+        bad_t = (not_trans | (jnp.abs(gtz) < 1e-7)
+                 | (jnp.abs(wo_lz) < 1e-7))
+        f_gt = jnp.where(bad_t, 0.0, f_gt)
+        # _glass_trans_pdf (bxdf.py:252-261): UNFLIPPED wh
+        dot_ot3 = thx * wo_lx + thy * wo_ly + thz * wo_lz
+        dot_it3 = thx * gtx + thy * gty + thz * gtz
+        sd3 = dot_ot3 + eta_t2 * dot_it3
+        dwh_dwi = jnp.abs(eta_t2 * eta_t2 * dot_it3) \
+            / jnp.maximum(sd3 * sd3, 1e-12)
+        pdf_gt = _d_beckmann(thx, thy, thz, ax_m) * jnp.abs(thz) * dwh_dwi
+        pdf_gt = jnp.where(not_trans, 0.0, pdf_gt)
+        f_gt = jnp.where(gt_ok, f_gt, 0.0)
+        pdf_gt = jnp.where(gt_ok, pdf_gt, 0.0)
+        # branch select
+        gwx = jnp.where(g_refl, grx, gtx)
+        gwy = jnp.where(g_refl, gry, gty)
+        gwz = jnp.where(g_refl, grz, gtz)
+        f_gl = jnp.where(g_refl, f_gr, f_gt)
+        pdf_gl = jnp.where(g_refl, pdf_gr, pdf_gt)
+        wlx = jnp.where(is_gl, gwx, wlx)
+        wly = jnp.where(is_gl, gwy, wly)
+        wlz = jnp.where(is_gl, gwz, wlz)
+        fs_r = jnp.where(is_gl, f_gl, fs_r)
+        fs_g = jnp.where(is_gl, f_gl, fs_g)
+        fs_b = jnp.where(is_gl, f_gl, fs_b)
+        pdf_s = jnp.where(is_gl, pdf_gl, pdf_s)
+        is_glossy = is_glossy | is_gl
     dead = (pdf_s <= 0.0) | ((fs_r == 0.0) & (fs_g == 0.0) & (fs_b == 0.0))
     wwx = wlx * ftx + wly * fbx + wlz * fnx
     wwy = wlx * fty + wly * fby + wlz * fny
@@ -1162,15 +1308,16 @@ def fast_shade_ok(scene: T.Scene) -> bool:
         return False
     mats = set(scene.mat_types_present)
     if not mats <= {T.MAT_MATTE, T.MAT_EMISSIVE, T.MAT_MIRROR,
-                    T.MAT_PLASTIC, T.MAT_METAL}:
+                    T.MAT_PLASTIC, T.MAT_METAL, T.MAT_GLASS,
+                    T.MAT_TRANSPARENT}:
         return False
-    if mats & {T.MAT_PLASTIC, T.MAT_METAL}:
+    if mats & {T.MAT_PLASTIC, T.MAT_METAL, T.MAT_GLASS}:
         # microfacet lanes: the kernels port the ISOTROPIC BECKMANN
         # inversion only (reference scenes always build Beckmann; the
         # anisotropic branch needs atan, which Mosaic lacks)
         try:
             is_mf = np.isin(np.asarray(scene.materials.mat_type),
-                            [T.MAT_PLASTIC, T.MAT_METAL])
+                            [T.MAT_PLASTIC, T.MAT_METAL, T.MAT_GLASS])
             ax = np.asarray(scene.materials.alphax)[is_mf]
             ay = np.asarray(scene.materials.alphay)[is_mf]
             di = np.asarray(scene.materials.distrib)[is_mf]
@@ -1209,14 +1356,15 @@ def _meta_operands(scene: T.Scene, seed, bounce):
     sf = jnp.concatenate([env_li.astype(jnp.float32),
                           jnp.zeros((1,), jnp.float32)])
     m = scene.materials
-    # 17 cols: 0 type, 1-3 color, 4 on_a, 5 intensity, 6 on_b, 7 alphax,
-    # 8-10 ks, 11-13 eta, 14-16 k
+    # 19 cols: 0 type, 1-3 color, 4 on_a, 5 intensity, 6 on_b, 7 alphax,
+    # 8-10 ks, 11-13 eta, 14-16 k, 17 ior_in, 18 ior_out
     mt = jnp.stack([m.mat_type.astype(jnp.float32), m.color[:, 0],
                     m.color[:, 1], m.color[:, 2], m.on_a, m.intensity,
                     m.on_b, m.alphax,
                     m.ks[:, 0], m.ks[:, 1], m.ks[:, 2],
                     m.eta[:, 0], m.eta[:, 1], m.eta[:, 2],
-                    m.k[:, 0], m.k[:, 1], m.k[:, 2]],
+                    m.k[:, 0], m.k[:, 1], m.k[:, 2],
+                    m.ior_in, m.ior_out],
                    axis=-1)
     li_tab = scene.lights
     n_lights = li_tab.light_type.shape[0]
@@ -1347,6 +1495,9 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
                              and not scene.matte_lambertian),
                    has_plastic=T.MAT_PLASTIC in scene.mat_types_present,
                    has_metal=T.MAT_METAL in scene.mat_types_present,
+                   has_glass=T.MAT_GLASS in scene.mat_types_present,
+                   has_transparent=T.MAT_TRANSPARENT
+                   in scene.mat_types_present,
                    raygen=raygen, width=width)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     if raygen is None:
@@ -1426,6 +1577,10 @@ def fused_shade(scene: T.Scene, d, hit, beta, alive, prev_sg, pix, spp,
                                has_plastic=T.MAT_PLASTIC
                                in scene.mat_types_present,
                                has_metal=T.MAT_METAL
+                               in scene.mat_types_present,
+                               has_glass=T.MAT_GLASS
+                               in scene.mat_types_present,
+                               has_transparent=T.MAT_TRANSPARENT
                                in scene.mat_types_present)
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     fo, io = pl.pallas_call(

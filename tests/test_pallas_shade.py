@@ -245,3 +245,44 @@ def test_fast_shade_oren_plastic_metal_matches_xla(mode):
                                   np.asarray(good_ref))
     assert int(m_fast["rays"]) == int(m_ref["rays"])
     assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
+
+
+@pytest.mark.parametrize("mode", ["shade", "bounce"])
+def test_fast_shade_glass_transparent_matches_xla(mode):
+    """GLASS (microfacet fresnel refl/trans, incl. the reference's
+    1-Fr(wh,wi) reflection quirk) and TRANSPARENT (thin) in the fused
+    path — the full 7-type material family now runs in-kernel."""
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+    from craytracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_matte("grey", (0.7, 0.7, 0.7))
+    b.add_glass("glass", ior_in=1.5, ior_out=1.0, roughness=0.05)
+    b.add_transparent("thin", ior_in=1.5, ior_out=1.0)
+    b.add_emissive("lamp", (1.0, 0.95, 0.85), 16.0)
+    b.add_rect((-6, 0, -6), (12, 0, 0), (0, 0, 12), "grey")
+    b.add_sphere((-1.0, 0.9, 0.0), 0.9, "glass")
+    b.add_sphere((1.3, 0.7, 0.6), 0.7, "thin")
+    b.add_rect((-1.5, 4, -1.5), (3, 0, 0), (0, 0, 3), "lamp")
+    scene = b.build()
+    assert fast_shade_mode(scene) == "bounce"
+
+    cam = make_camera((0, 2.0, 6.0), (0, 0.8, 0))
+    film = Film(fov=jnp.float32(0.8), width=32, height=32)
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    jit = uniforms(0, pix, 0, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(cam, film, pix, jit)
+
+    L_ref, good_ref, m_ref = trace_paths(scene, o, d, 0, pix, 0, 5,
+                                         with_metrics=True)
+    L_fast, good_fast, m_fast = trace_paths(scene, o, d, 0, pix, 0, 5,
+                                            with_metrics=True,
+                                            fast_shade=mode)
+    np.testing.assert_allclose(np.asarray(L_fast), np.asarray(L_ref),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(good_fast),
+                                  np.asarray(good_ref))
+    assert int(m_fast["rays"]) == int(m_ref["rays"])
+    assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
