@@ -26,8 +26,11 @@ measured median-of-5 on hardware.
 
 Scope (checked statically by `fast_shade_ok`/`fast_shade_mode`, concrete
 host-side values):
-  * materials present ⊆ {MATTE, EMISSIVE, MIRROR} with every matte
-    sigma == 0 (scene.matte_lambertian) and no textures;
+  * ALL SEVEN reference material types (MATTE incl. Oren-Nayar sigma,
+    EMISSIVE, MIRROR, PLASTIC, METAL, GLASS, TRANSPARENT) — microfacet
+    rows must be isotropic BECKMANN (the reference's only built
+    distribution; the anisotropic inversion needs atan, which Mosaic
+    lacks) — and no textures;
   * lights: every row with nonzero power is a RECT or SPHERE area light
     (a constant or absent env light is allowed — its escape radiance is a
     compile-time constant; zero-power rows reproduce the XLA path's pick
