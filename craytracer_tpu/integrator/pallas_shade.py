@@ -73,9 +73,10 @@ from craytracer_tpu.scene import types as T
 # x ~50 rows x 4B ~= 1.6 MiB VMEM resident, far under the 127 MiB cap.
 SHADE_BLOCK = int(os.environ.get("CRAY_SHADE_BLOCK", "8192"))
 
-_GOLDEN = np.uint32(0x9E3779B9)
-_M1 = np.uint32(0x85EBCA6B)
-_M2 = np.uint32(0xC2B2AE35)
+# The RNG mixer and Weyl constant are IMPORTED from the production RNG
+# (plain jnp u32 ops, legal inside Pallas kernels): the kernels' bit-
+# exactness contract rests on there being exactly ONE definition.
+from craytracer_tpu.sampling.rng import _GOLDEN, hash_u32 as _fmix
 
 # fo_ref row layout (f32 outputs)
 _RO_LADD = 0      # 3: emitted/env radiance add (pre-NEE)
@@ -94,16 +95,6 @@ _IO_WSH = 1       # want_shadow
 _IO_ALIVE = 2     # new_alive
 _IO_PSG = 3       # new_prev_sg
 _IO_ROWS = 4
-
-
-def _fmix(x):
-    """murmur3 fmix32 (sampling/rng.py hash_u32), u32 vector or scalar."""
-    x = x ^ (x >> jnp.uint32(16))
-    x = x * _M1
-    x = x ^ (x >> jnp.uint32(13))
-    x = x * _M2
-    x = x ^ (x >> jnp.uint32(16))
-    return x
 
 
 def _normalize3(x, y, z):
@@ -533,11 +524,20 @@ def _camera_raygen(cam_ref, pix, spp, seed, width, raygen):
     0-2 position, 3-5 x_axis, 6-8 y_axis, 9-11 z_axis, 12 focal_dist,
     13 frame_length, 14 frame_height, 15 pixel_length."""
     f32 = jnp.float32
-    # col/row without integer div (exact in f32: pix < 2^24, +0.5 margin)
+    # col/row without integer div: the f32 reciprocal row estimate can be
+    # off by one at row boundaries (1/width is inexact), so correct it
+    # exactly from the residual — valid while pix_f itself is exact
+    # (film.num_pixels <= 2^24, gated by the callers).
     pix_f = pix.astype(jnp.int32).astype(f32)
     inv_w = f32(1.0 / width)
     rowf = jnp.floor((pix_f + 0.5) * inv_w)
     colf = pix_f - rowf * f32(width)
+    over = colf < 0.0
+    rowf = jnp.where(over, rowf - 1.0, rowf)
+    colf = jnp.where(over, colf + f32(width), colf)
+    under = colf >= f32(width)
+    rowf = jnp.where(under, rowf + 1.0, rowf)
+    colf = jnp.where(under, colf - f32(width), colf)
     # CAMERA_BOUNCE uniforms, dims 0,1 (sampling/rng.py)
     h = _fmix(pix)
     h = _fmix(h ^ _fmix(spp))
@@ -1124,8 +1124,9 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
         is_tr = mtype == T.MAT_TRANSPARENT
         kr_thin = _fr_dielectric(jnp.abs(wo_lz), ior_i, ior_o)
         take_refl = r_extra <= kr_thin
-        twx = jnp.where(take_refl, -wo_lx, -wo_lx)
-        twy = jnp.where(take_refl, -wo_ly, -wo_ly)
+        # reflection and thin transmission share x/y = -wo.xy; only z flips
+        twx = -wo_lx
+        twy = -wo_ly
         twz = jnp.where(take_refl, wo_lz, -wo_lz)
         eta_thin = ior_o / ior_i
         mag_tr = jnp.where(take_refl, kr_thin,
@@ -1294,7 +1295,20 @@ def fast_shade_mode(scene: T.Scene):
         others = (scene.planes.mat_id.shape[0]
                   + scene.disks.mat_id.shape[0]
                   + scene.instanced.mat_id.shape[0])
-        if (others == 0 and n_sph + n_rects + n_tris <= 64
+        # the kernel's cosine-space sphere clip window is equivalent to
+        # |atan2| <= phi only for phi in [0, pi] and theta in [0, pi];
+        # the parser accepts anything (e.g. PHI 6.283 spells a full
+        # sphere) — out-of-domain clips fall back to the XLA intersect
+        sph_ok = True
+        if n_sph:
+            sp = np.asarray(scene.spheres.phi)
+            mn = np.asarray(scene.spheres.min_theta)
+            mx = np.asarray(scene.spheres.max_theta)
+            eps = 1e-5
+            sph_ok = bool((sp <= np.pi + eps).all()
+                          and (mn >= -eps).all() and (mn <= np.pi + eps).all()
+                          and (mx >= -eps).all() and (mx <= np.pi + eps).all())
+        if (others == 0 and n_sph + n_rects + n_tris <= 64 and sph_ok
                 and scene.tri_bvh is None and scene.sph_bvh is None
                 and scene.tri_cam is None
                 and not np.asarray(scene.triangles.smooth).any()):
@@ -1463,12 +1477,14 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
     if raygen is None:
         fin = [o.T, d.T]
         if pad:
-            # padded lanes: origin far outside every box (+x escape ray)
-            # so the intersect misses; their alive flag starts True but
-            # every contribution needs a hit/escape count — sliced away
+            # padded lanes: a true +x ESCAPE ray (origin 3e18, direction
+            # (1,0,0) — the wavefront convention): every prim test misses
+            # on round one, so pads do no real work; results sliced away
             fin[0] = jnp.pad(fin[0], ((0, 0), (0, pad)),
                              constant_values=3.0e18)
-            fin[1] = jnp.pad(fin[1], ((0, 0), (0, pad)))
+            pad_d = jnp.tile(jnp.asarray([[1.0], [0.0], [0.0]],
+                                         jnp.float32), (1, pad))
+            fin[1] = jnp.concatenate([fin[1], pad_d], axis=1)
     else:
         from craytracer_tpu.camera import film_dims
 

@@ -442,6 +442,11 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         fast_shade = "shade"
     if fast_shade == "bounce" and geom_axis is not None:
         fast_shade = "shade"  # sharded hits need the external reduce
+    if fast_shade == "bounce" and max_depth >= 31:
+        # the megakernel's alive-per-bounce bitmask is an i32; depth >= 31
+        # would shift past the word (metrics corruption) — absurd depths
+        # take the per-bounce step instead
+        fast_shade = "shade"
     if fast_shade == "bounce" and scene.tri_cam is None and not remat:
         # ---- whole-PASS megakernel (integrator/pallas_shade.py
         # _pass_kernel): for brute-force scenes the ENTIRE bounce loop is
@@ -591,7 +596,10 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
     if (fast_shade == "bounce" and sampler is None
             and trace_type == "PATHTRACE" and estimator != "mis"
             and geom_axis is None and scene.tri_cam is None
-            and camera.camera_type == PINHOLE):
+            and camera.camera_type == PINHOLE and max_depth < 31
+            and film.width * film.height <= (1 << 24)):
+        # (2^24 pixel cap: the in-kernel raygen derives row/col in f32,
+        # exact only while pixel ids are; 31-depth cap: see trace_paths)
         # Fully-fused pass: raygen (stratified jitter + pinhole math)
         # joins the megakernel — the launch consumes only pixel ids.
         from craytracer_tpu.integrator.pallas_shade import fused_pass
