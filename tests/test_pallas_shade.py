@@ -286,3 +286,19 @@ def test_fast_shade_glass_transparent_matches_xla(mode):
                                   np.asarray(good_ref))
     assert int(m_fast["rays"]) == int(m_ref["rays"])
     assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
+
+
+def test_fused_raygen_wide_film_rowcol_exact():
+    """Regression (review finding): the f32 reciprocal row estimate
+    misassigned end-of-row pixels on films whose 1/width is inexact
+    (e.g. 1920). The residual correction must keep row/col exact —
+    fused raygen vs the XLA raygen on a 1920-wide film."""
+    scene, cam, film = _cornell()
+    film = film.replace(width=1920, height=8)
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    ref = render_sample(scene, cam, film, pix, 1, 0, 1)
+    fast = render_sample(scene, cam, film, pix, 1, 0, 1,
+                         fast_shade="bounce")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
