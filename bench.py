@@ -61,14 +61,14 @@ def main():
     # trips are amortized; each pass uses a distinct spp_index -> distinct
     # RNG -> distinct work (nothing cacheable)
 
-    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+    from craytracer_tpu.integrator.pallas_shade import production_fast_shade
 
     def measure(scene, camera, film, profile_dir=""):
         n = film.num_pixels
         pixel_ids = jnp.arange(n, dtype=jnp.int32)
-        # same decision the production Renderer takes (integrator/render.py)
-        fast = (fast_shade_mode(scene)
-                if jax.default_backend() == "tpu" else False)
+        # THE production decision (shared helper: backend, env override,
+        # estimator/trace gates, and the in-kernel-raygen camera gates)
+        fast = production_fast_shade(scene, camera, film)
 
         def many_passes(scene, camera, film, pixel_ids, spp0):
             def body(s, carry):

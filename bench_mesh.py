@@ -278,10 +278,9 @@ def main():
 
     # same fast-path decision the production Renderer takes (round-5
     # fused shade kernel; this scene is matte + one rect lamp -> "shade")
-    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+    from craytracer_tpu.integrator.pallas_shade import production_fast_shade
 
-    fast = (fast_shade_mode(scene)
-            if (not args.cpu and jax.default_backend() == "tpu") else False)
+    fast = False if args.cpu else production_fast_shade(scene)
     if fast:
         print(f"# fast_shade mode: {fast}", file=sys.stderr)
 

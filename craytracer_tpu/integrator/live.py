@@ -54,14 +54,24 @@ class LiveView:
         self._server = None
 
     # -- render-loop side ---------------------------------------------------
+    def want_frame(self, spp: int, total: int,
+                   min_interval: float = 0.5) -> bool:
+        """True when publish() would actually encode a frame — callers
+        check this BEFORE paying the device->host image readback (a
+        forced sync per pass otherwise, review finding)."""
+        return spp >= total or time.time() - self._last_encode >= min_interval
+
+    def update_status(self, spp: int, total: int, nan: int):
+        with self._lock:
+            self._status = {"spp": spp, "total": total, "nan": nan}
+
     def publish(self, image_u8, spp: int, total: int, nan: int,
                 min_interval: float = 0.5):
         """Encode + publish the current frame (throttled). `image_u8` is
         the [H, W, 3] tone-mapped uint8 array the Renderer produces."""
         now = time.time()
         if now - self._last_encode < min_interval and spp < total:
-            with self._lock:
-                self._status = {"spp": spp, "total": total, "nan": nan}
+            self.update_status(spp, total, nan)
             return
         self._last_encode = now
         import numpy as np

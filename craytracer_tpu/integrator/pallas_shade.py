@@ -1281,6 +1281,37 @@ def _shade_core(seed, bounce, sf_ref, mt_ref, lt_ref,
     }
 
 
+def production_fast_shade(scene: T.Scene, camera=None, film=None,
+                          estimator: str = "reference",
+                          trace_type: str = "PATHTRACE"):
+    """THE production fast-path decision, shared by the Renderer and the
+    benches (three hand-rolled copies had already drifted — review
+    finding): returns False / "shade" / "bounce" after the env-var
+    override, backend, estimator/trace-type, and (when camera/film are
+    given) the in-kernel-raygen gates."""
+    import jax as _jax
+
+    env = os.environ.get("CRAYTRACER_PALLAS_SHADE", "auto")
+    if env == "0":
+        return False
+    if estimator not in ("reference", "physical"):
+        return False
+    if trace_type != "PATHTRACE":
+        return False
+    if _jax.default_backend() != "tpu" and env != "1":
+        return False
+    mode = fast_shade_mode(scene)
+    if mode == "bounce" and camera is not None and film is not None:
+        from craytracer_tpu.camera import PINHOLE
+
+        if (camera.camera_type != PINHOLE
+                or film.width * film.height > (1 << 24)):
+            # the in-kernel raygen is pinhole-only and needs f32-exact
+            # pixel ids; the per-bounce step path still applies
+            mode = "shade"
+    return mode
+
+
 def fast_shade_mode(scene: T.Scene):
     """Host-side (outside jit): False, "shade" (fused shade kernel with
     external traversal), or "bounce" (whole-bounce kernel: in-kernel

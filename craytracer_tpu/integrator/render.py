@@ -137,6 +137,7 @@ class Renderer:
         self.film = film
         self.config = config
         self.accum = jnp.zeros((film.num_pixels, 3), jnp.float32)
+        self.live = None  # HTTP live view (set per render())
         self.spp_done = 0  # updated when render() completes
         self._accum_passes = 0  # live count including the in-flight render
         self.nan_count = 0
@@ -195,20 +196,18 @@ class Renderer:
         # single-kernel shade (+58% measured on Cornell 512^2, 2026-08-20).
         # CRAYTRACER_PALLAS_SHADE=0 disables; =1 forces (interpret mode on
         # CPU — for debugging only).
-        import os as _os
+        from craytracer_tpu.integrator.pallas_shade import \
+            production_fast_shade
 
-        from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
-        import jax as _jax2
-
-        _shade_env = _os.environ.get("CRAYTRACER_PALLAS_SHADE", "auto")
-        fast_shade = False
-        if (cfg.estimator in ("reference", "physical")
-                and cfg.trace_type == "PATHTRACE"
-                and (_jax2.default_backend() == "tpu"
-                     or _shade_env == "1")):
-            # "bounce" = whole-bounce kernel (brute-force scenes),
-            # "shade" = shade kernel + external traversal, False = XLA
-            fast_shade = fast_shade_mode(self.scene)
+        # "bounce" = whole-pass megakernel (brute-force scenes),
+        # "shade" = shade kernel + external traversal, False = XLA
+        fast_shade = production_fast_shade(
+            self.scene, self.camera, self.film,
+            cfg.estimator, cfg.trace_type)
+        if getattr(self, "live", None) is not None:
+            # progressive re-render on the same Renderer: release the old
+            # server (the port is still bound) before starting a new one
+            self.live.stop()
         self.live = None
         if cfg.serve_port != 0:  # -1 = OS-assigned port (tests)
             from craytracer_tpu.integrator.live import LiveView
@@ -264,9 +263,15 @@ class Renderer:
                 nan_note = f" nan={self.nan_count}" if self.nan_count else ""
                 print(f"pass {s}: {done / dt:.2f} passes/s{nan_note}")
             if self.live is not None:
-                self.live.publish(np.asarray(self.image()), s,
-                                  self.spp_done + cfg.num_samples,
-                                  self.nan_count)
+                total = self.spp_done + cfg.num_samples
+                # throttle check FIRST: the full tone-mapped readback is
+                # a forced device sync that would otherwise run (and be
+                # discarded) every ~50ms pass
+                if self.live.want_frame(s, total):
+                    self.live.publish(np.asarray(self.image()), s, total,
+                                      self.nan_count)
+                else:
+                    self.live.update_status(s, total, self.nan_count)
             if cfg.preview_every and cfg.preview_path and (done % cfg.preview_every == 0):
                 self._write_preview()
             if cfg.ansi_every and done % cfg.ansi_every == 0:

@@ -442,6 +442,11 @@ def trace_paths(scene: T.Scene, origin, direction, seed, pixel_ids, spp_index,
         fast_shade = "shade"
     if fast_shade == "bounce" and geom_axis is not None:
         fast_shade = "shade"  # sharded hits need the external reduce
+    if fast_shade and remat:
+        # remat exists for gradient memory; the Pallas kernels have no
+        # VJP — a checkpointed fused step would fail deep inside
+        # jax.grad with an opaque missing-vjp error. XLA path instead.
+        fast_shade = False
     if fast_shade == "bounce" and max_depth >= 31:
         # the megakernel's alive-per-bounce bitmask is an i32; depth >= 31
         # would shift past the word (metrics corruption) — absurd depths

@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def render(scene, cam, film, spp, estimator="physical", seed=0):
+def render(scene, cam, film, spp, estimator="physical", seed=0,
+           force_cosine=False):
     import jax.numpy as jnp
 
     from craytracer_tpu.integrator import Renderer, RenderConfig
@@ -29,6 +30,12 @@ def render(scene, cam, film, spp, estimator="physical", seed=0):
     r = Renderer(scene, cam, film,
                  RenderConfig(num_samples=spp, max_depth=5,
                               estimator=estimator, seed=seed))
+    if force_cosine and r.scene.env.importance:
+        # the Renderer now DEFAULTS importance on for physical/mis
+        # (ENV_IMPORTANCE_AB.json — this very A/B); undo it for the
+        # cosine arm or the script measures importance-vs-importance
+        r.scene = r.scene.replace(
+            env=r.scene.env.replace(importance=0))
     t0 = time.time()
     r.render()
     wall = time.time() - t0
@@ -81,7 +88,8 @@ def main():
 
     for label in ("importance", "cosine"):
         scene, cam, film = scenes[label]
-        img, wall = render(scene, cam, film, args.spp, seed=7)
+        img, wall = render(scene, cam, film, args.spp, seed=7,
+                           force_cosine=(label == "cosine"))
         err = img - truth
         mse = float(np.mean(err * err))
         out[label] = {"mse_vs_truth": mse, "wall_s": round(wall, 1),
