@@ -310,6 +310,33 @@ def _rect_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
     return jnp.where(ok, t, TMAX)
 
 
+def _plane_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
+    """Exact plane_ts formula (ops/intersect.py:102-114) for SMEM row k:
+    unbounded single-sided-normal plane, no facing flip."""
+    p0x, p0y, p0z = pt_ref[k, 0], pt_ref[k, 1], pt_ref[k, 2]
+    pnx, pny, pnz = pt_ref[k, 9], pt_ref[k, 10], pt_ref[k, 11]
+    denom = wx * pnx + wy * pny + wz * pnz
+    t = ((p0x - ox) * pnx + (p0y - oy) * pny + (p0z - oz) * pnz) \
+        / _safe_div(denom)
+    return jnp.where(t > K_EPSILON, t, TMAX)
+
+
+def _disk_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
+    """Exact disk_ts formula (ops/intersect.py:143-160) for SMEM row k:
+    plane hit + radius^2 containment (radius lives in col 6)."""
+    cx, cy, cz = pt_ref[k, 0], pt_ref[k, 1], pt_ref[k, 2]
+    r = pt_ref[k, 6]
+    dnx, dny, dnz = pt_ref[k, 9], pt_ref[k, 10], pt_ref[k, 11]
+    denom = wx * dnx + wy * dny + wz * dnz
+    t = ((cx - ox) * dnx + (cy - oy) * dny + (cz - oz) * dnz) \
+        / _safe_div(denom)
+    qx = ox + t * wx - cx
+    qy = oy + t * wy - cy
+    qz = oz + t * wz - cz
+    ok = (t > K_EPSILON) & ((qx * qx + qy * qy + qz * qz) <= r * r)
+    return jnp.where(ok, t, TMAX)
+
+
 def _tri_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
     """Exact triangle_ts Moller-Trumbore (ops/intersect.py:163-197)."""
     v0x, v0y, v0z = pt_ref[k, 0], pt_ref[k, 1], pt_ref[k, 2]
@@ -382,13 +409,26 @@ def _sphere_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
     return jnp.minimum(accept(t0), accept(t1))
 
 
-def _brute_closest(pt_ref, n_sph, n_rects, n_tris,
-                   ox, oy, oz, wx, wy, wz):
+# Per-type row kernels in intersect_scene's GROUP ORDER (_GROUPS,
+# ops/intersect.py:504-510): sphere, plane, rect, disk, triangle. The
+# table is packed in this order so the fori's strict < keeps the XLA
+# path's first-minimum tie-break across groups.
+_BRUTE_ORDER = (_sphere_t, _plane_t, _rect_t, _disk_t, _tri_t)
+
+
+def _group_spans(counts):
+    off = 0
+    for n, fn in zip(counts, _BRUTE_ORDER):
+        yield off, off + n, fn
+        off += n
+
+
+def _brute_closest(pt_ref, counts, ox, oy, oz, wx, wy, wz):
     """Closest hit over the SMEM prim table as fori_loops per type
-    (spheres, rects, flat triangles — intersect_scene's group order) —
-    Mosaic compiles the ~40-op loop bodies in seconds where the fully
-    unrolled form wedged the remote compiler. Strict < keeps min/argmin's
-    first-minimum tie-break."""
+    (counts = (n_sph, n_pl, n_rects, n_dsk, n_tris) in intersect_scene's
+    group order) — Mosaic compiles the ~40-op loop bodies in seconds
+    where the fully unrolled form wedged the remote compiler. Strict <
+    keeps min/argmin's first-minimum tie-break."""
     best_t = jnp.full_like(ox, TMAX)
     best_k = jnp.zeros_like(ox, dtype=jnp.int32)
 
@@ -402,19 +442,13 @@ def _brute_closest(pt_ref, n_sph, n_rects, n_tris,
         return body
 
     carry = (best_t, best_k)
-    if n_sph:
-        carry = jax.lax.fori_loop(0, n_sph, mk(_sphere_t), carry)
-    if n_rects:
-        carry = jax.lax.fori_loop(n_sph, n_sph + n_rects, mk(_rect_t),
-                                  carry)
-    if n_tris:
-        carry = jax.lax.fori_loop(n_sph + n_rects,
-                                  n_sph + n_rects + n_tris, mk(_tri_t),
-                                  carry)
+    for lo, hi, fn in _group_spans(counts):
+        if hi > lo:
+            carry = jax.lax.fori_loop(lo, hi, mk(fn), carry)
     return carry
 
 
-def _brute_any(pt_ref, n_sph, n_rects, n_tris, ox, oy, oz, wx, wy, wz):
+def _brute_any(pt_ref, counts, ox, oy, oz, wx, wy, wz):
     """shadow_distance brute path: min t over every prim, no early out."""
     t_sh = jnp.full_like(ox, TMAX)
 
@@ -425,23 +459,23 @@ def _brute_any(pt_ref, n_sph, n_rects, n_tris, ox, oy, oz, wx, wy, wz):
 
         return body
 
-    if n_sph:
-        t_sh = jax.lax.fori_loop(0, n_sph, mk(_sphere_t), t_sh)
-    if n_rects:
-        t_sh = jax.lax.fori_loop(n_sph, n_sph + n_rects, mk(_rect_t), t_sh)
-    if n_tris:
-        t_sh = jax.lax.fori_loop(n_sph + n_rects,
-                                 n_sph + n_rects + n_tris, mk(_tri_t),
-                                 t_sh)
+    for lo, hi, fn in _group_spans(counts):
+        if hi > lo:
+            t_sh = jax.lax.fori_loop(lo, hi, mk(fn), t_sh)
     return t_sh
 
 
-def _brute_hit(pt_ref, n_sph, n_rects, n_tris, ox_, oy_, oz_, dx, dy, dz):
+def _brute_hit(pt_ref, counts, ox_, oy_, oz_, dx, dy, dz):
     """Closest hit + attribute fill over the SMEM prim table — the
-    intersect_scene brute path (spheres, rects, triangles in group
-    order; strict < keeps the first-minimum tie-break) with the exact
-    _fill_* attribute math. Returns (hitm, px..pz, fn.., dpdu.., mat_id)."""
-    best_t, best_k = _brute_closest(pt_ref, n_sph, n_rects, n_tris,
+    intersect_scene brute path (spheres, planes, rects, disks, triangles
+    in group order; strict < keeps the first-minimum tie-break) with the
+    exact _fill_* attribute math. Planes/disks carry a ZERO dpdu so the
+    shade core's Duff fallback reproduces vm.orthonormal_basis exactly
+    (_fill_plane/_fill_disk, ops/intersect.py:347-377). Returns
+    (hitm, px..pz, fn.., dpdu.., mat_id)."""
+    n_sph, n_pl, n_rects, n_dsk, n_tris = counts
+    n_tot = n_sph + n_pl + n_rects + n_dsk + n_tris
+    best_t, best_k = _brute_closest(pt_ref, counts,
                                     ox_, oy_, oz_, dx, dy, dz)
     hitm = best_t < TMAX
 
@@ -467,18 +501,22 @@ def _brute_hit(pt_ref, n_sph, n_rects, n_tris, ox_, oy_, oz_, dx, dy, dz):
                 jnp.where(sel, pt_ref[k, 13], ds_f))
 
     (ax, ay, az, bx2, by2, bz2, fnx, fny, fnz, mat_f, ds_f) = \
-        jax.lax.fori_loop(0, n_sph + n_rects + n_tris, fill_body,
-                          (zero,) * 11)
+        jax.lax.fori_loop(0, n_tot, fill_body, (zero,) * 11)
     mat_id = mat_f.astype(jnp.int32)
     ds_flag = ds_f != 0.0
     is_sph_hit = best_k < n_sph
-    is_rect_hit = (best_k >= n_sph) & (best_k < n_sph + n_rects)
+    is_rect_hit = ((best_k >= n_sph + n_pl)
+                   & (best_k < n_sph + n_pl + n_rects))
+    is_dsk_hit = ((best_k >= n_sph + n_pl + n_rects)
+                  & (best_k < n_sph + n_pl + n_rects + n_dsk))
+    is_tri_hit = best_k >= n_sph + n_pl + n_rects + n_dsk
     # rects always face the ray (_fill_rect flip, rect.cpp:36-46), and
-    # flip dpdu with the normal; flat triangles flip only when
-    # double-sided (_fill_triangle, triangle.cpp:160-166) and keep dpdu;
-    # spheres never flip (_fill_sphere)
+    # flip dpdu with the normal; disks face the ray but keep dpdu
+    # (_fill_disk); planes NEVER flip (_fill_plane); flat triangles flip
+    # only when double-sided (_fill_triangle, triangle.cpp:160-166) and
+    # keep dpdu; spheres never flip (_fill_sphere)
     flip = (-dx * fnx - dy * fny - dz * fnz) < 0.0
-    do_flip = flip & (is_rect_hit | (~is_sph_hit & ds_flag))
+    do_flip = flip & (is_rect_hit | is_dsk_hit | (is_tri_hit & ds_flag))
     sgn = jnp.where(do_flip, -1.0, 1.0)
     fnx = fnx * sgn
     fny = fny * sgn
@@ -576,7 +614,7 @@ def _camera_raygen(cam_ref, pix, spp, seed, width, raygen):
 def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                  o_ref, d_ref, ii_ref,
                  lo_ref, go_ref,
-                 n_mats, n_lights, n_sph, n_rects, n_tris, max_depth,
+                 n_mats, n_lights, prim_counts, max_depth,
                  rr_start, has_mirror=False, has_sphere_light=False,
                  has_oren=False, has_plastic=False, has_metal=False,
                  has_glass=False, has_transparent=False,
@@ -616,8 +654,7 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
     false0 = izero != 0
 
     def occl(sx, sy, sz, wx, wy, wz):
-        return _brute_any(pt_ref, n_sph, n_rects, n_tris,
-                          sx, sy, sz, wx, wy, wz)
+        return _brute_any(pt_ref, prim_counts, sx, sy, sz, wx, wy, wz)
 
     def bounce_body(b, carry):
         # liveness legs ride as i32 0/1 — i1 (bool) loop carries fail
@@ -627,7 +664,7 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
         alive = alive_i != 0
         prev_sg = psg_i != 0
         (hitm, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz,
-         mat_id) = _brute_hit(pt_ref, n_sph, n_rects, n_tris,
+         mat_id) = _brute_hit(pt_ref, prim_counts,
                               ox, oy, oz, dx, dy, dz)
         out = _shade_core(seed, b, sf_ref, mt_ref, lt_ref,
                           dx, dy, dz, px, py, pz, fnx, fny, fnz,
@@ -1321,11 +1358,11 @@ def fast_shade_mode(scene: T.Scene):
         return False
     try:
         n_sph = scene.spheres.mat_id.shape[0]
+        n_pl = scene.planes.mat_id.shape[0]
         n_rects = scene.rects.mat_id.shape[0]
+        n_dsk = scene.disks.mat_id.shape[0]
         n_tris = scene.triangles.mat_id.shape[0]
-        others = (scene.planes.mat_id.shape[0]
-                  + scene.disks.mat_id.shape[0]
-                  + scene.instanced.mat_id.shape[0])
+        others = scene.instanced.mat_id.shape[0]
         # the kernel's cosine-space sphere clip window is equivalent to
         # |atan2| <= phi only for phi in [0, pi] and theta in [0, pi];
         # the parser accepts anything (e.g. PHI 6.283 spells a full
@@ -1339,7 +1376,9 @@ def fast_shade_mode(scene: T.Scene):
             sph_ok = bool((sp <= np.pi + eps).all()
                           and (mn >= -eps).all() and (mn <= np.pi + eps).all()
                           and (mx >= -eps).all() and (mx <= np.pi + eps).all())
-        if (others == 0 and n_sph + n_rects + n_tris <= 64 and sph_ok
+        if (others == 0
+                and n_sph + n_pl + n_rects + n_dsk + n_tris <= 64
+                and sph_ok
                 and scene.tri_bvh is None and scene.sph_bvh is None
                 and scene.tri_cam is None
                 and not np.asarray(scene.triangles.smooth).any()):
@@ -1469,14 +1508,20 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
     n_mats = scene.materials.mat_type.shape[0]
     n_lights = scene.lights.light_type.shape[0]
     n_sph = scene.spheres.mat_id.shape[0]
+    n_pl = scene.planes.mat_id.shape[0]
     n_rects = scene.rects.mat_id.shape[0]
+    n_dsk = scene.disks.mat_id.shape[0]
     n_tris = scene.triangles.mat_id.shape[0]
+    prim_counts = (n_sph, n_pl, n_rects, n_dsk, n_tris)
 
     si, sf, mt, lt = _meta_operands(scene, seed, jnp.int32(0))
-    # prim rows, 16 cols: A = cols 0-2 (sphere center / rect point /
-    # tri v0), B = cols 3-5 (radius+clip / rect width / tri e1),
-    # cols 6-8 (clip / rect height / tri e2), N = cols 9-11 (normal),
-    # 12 mat_id, 13 double_sided
+    # prim rows, 16 cols, packed in intersect_scene's group order
+    # (sphere, plane, rect, disk, triangle): A = cols 0-2 (sphere
+    # center / plane point / rect point / disk center / tri v0),
+    # B = cols 3-5 (radius+clip / rect width / tri e1; ZERO for
+    # plane/disk so the shade frame's Duff fallback = orthonormal_basis),
+    # cols 6-8 (clip / rect height / disk radius in col 6 / tri e2),
+    # N = cols 9-11 (normal), 12 mat_id, 13 double_sided
     s = scene.spheres
     zero_s = jnp.zeros((n_sph, 1), jnp.float32)
     pt_sph = jnp.concatenate([
@@ -1486,11 +1531,26 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
         jnp.zeros((n_sph, 3), jnp.float32),
         s.mat_id[:, None].astype(jnp.float32), zero_s, zero_s, zero_s,
     ], axis=-1)
+    p = scene.planes
+    zero_p3 = jnp.zeros((n_pl, 3), jnp.float32)
+    zero_p = jnp.zeros((n_pl, 1), jnp.float32)
+    pt_pl = jnp.concatenate([
+        p.point, zero_p3, zero_p3, p.normal,
+        p.mat_id[:, None].astype(jnp.float32), zero_p, zero_p, zero_p,
+    ], axis=-1)
     zero_r = jnp.zeros((n_rects, 1), jnp.float32)
     r = scene.rects
     pt_rect = jnp.concatenate([
         r.point, r.width, r.height, r.normal,
         r.mat_id[:, None].astype(jnp.float32), zero_r, zero_r, zero_r,
+    ], axis=-1)
+    dk = scene.disks
+    zero_d3 = jnp.zeros((n_dsk, 3), jnp.float32)
+    zero_d = jnp.zeros((n_dsk, 1), jnp.float32)
+    pt_dsk = jnp.concatenate([
+        dk.center, zero_d3, dk.radius[:, None], zero_d, zero_d,
+        dk.normal,
+        dk.mat_id[:, None].astype(jnp.float32), zero_d, zero_d, zero_d,
     ], axis=-1)
     tr = scene.triangles
     zero_t = jnp.zeros((n_tris, 1), jnp.float32)
@@ -1499,7 +1559,8 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
         tr.mat_id[:, None].astype(jnp.float32),
         tr.double_sided[:, None].astype(jnp.float32), zero_t, zero_t,
     ], axis=-1)
-    pt = jnp.concatenate([pt_sph, pt_rect, pt_tri], axis=0)
+    pt = jnp.concatenate([pt_sph, pt_pl, pt_rect, pt_dsk, pt_tri],
+                         axis=0)
 
     spp_row = jnp.broadcast_to(jnp.asarray(spp, jnp.int32), (n,))
     ii = jnp.stack([pix.astype(jnp.int32), spp_row])
@@ -1535,8 +1596,8 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
     npad = n + pad
     blocks = npad // block
 
-    statics = dict(n_mats=n_mats, n_lights=n_lights, n_sph=n_sph,
-                   n_rects=n_rects, n_tris=n_tris,
+    statics = dict(n_mats=n_mats, n_lights=n_lights,
+                   prim_counts=prim_counts,
                    max_depth=max_depth, rr_start=rr_start,
                    has_mirror=T.MAT_MIRROR in scene.mat_types_present,
                    has_sphere_light=T.LIGHT_AREA_SPHERE

@@ -302,3 +302,54 @@ def test_fused_raygen_wide_film_rowcol_exact():
                          fast_shade="bounce")
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["shade", "bounce"])
+def test_fast_shade_plane_disk_matches_xla(mode):
+    """Planes + disks in the whole-bounce prim table (round-5 fast-path
+    coverage extension): unbounded single-sided plane (no facing flip,
+    _fill_plane), disk with the facing flip and orthonormal-basis dpdu
+    (_fill_disk) — including a disk whose stored normal faces AWAY from
+    the camera so the flip leg is exercised — vs the XLA step on the
+    same rays. Tie-break group order (sphere, plane, rect, disk, tri)
+    must match intersect_scene's."""
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+    from craytracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_matte("w", (0.7, 0.7, 0.7))
+    b.add_matte("g", (0.2, 0.6, 0.2))
+    b.add_matte("b", (0.2, 0.3, 0.7))
+    b.add_mirror("m", (0.9, 0.9, 0.9))
+    b.add_emissive("lamp", (1.0, 0.9, 0.8), 18.0)
+    b.add_plane((0, 0, 0), (0, 1, 0), "w")                   # ground
+    b.add_plane((0, 0, -4), (0, 0, 1), "g")                  # back
+    b.add_disk((-1.2, 1.0, -1.0), (0.3, 0.2, 1.0), 0.8, "b")
+    # flipped-leg disk: stored normal points away from the camera
+    b.add_disk((1.4, 0.9, -0.5), (0, 0, -1), 0.6, "g")
+    b.add_sphere((0.2, 0.7, 0.6), 0.7, "m")                  # mirror ball
+    b.add_triangle((-0.5, 0.0, 1.8), (0.6, 0.0, 1.6),
+                   (0.0, 1.1, 1.7), "b")
+    b.add_rect((-1, 3.2, -1), (2, 0, 0), (0, 0, 2), "lamp")
+    scene = b.build()
+    assert fast_shade_mode(scene) == "bounce"
+
+    cam = make_camera((0, 1.8, 5.5), (0, 0.9, 0))
+    film = Film(fov=jnp.float32(0.85), width=32, height=32)
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    jit = uniforms(0, pix, 0, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(cam, film, pix, jit)
+
+    L_ref, good_ref, m_ref = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                         with_metrics=True)
+    L_fast, good_fast, m_fast = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                            with_metrics=True,
+                                            fast_shade=mode)
+    np.testing.assert_allclose(np.asarray(L_fast), np.asarray(L_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(good_fast),
+                                  np.asarray(good_ref))
+    assert int(m_fast["rays"]) == int(m_ref["rays"])
+    assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
