@@ -555,12 +555,17 @@ def _brute_hit(pt_ref, counts, ox_, oy_, oz_, dx, dy, dz):
     return hitm, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz, mat_id
 
 
-def _camera_raygen(cam_ref, pix, spp, seed, width, raygen):
-    """In-kernel pinhole raygen: film jitter (plain CAMERA_BOUNCE uniforms
+def _camera_raygen(cam_ref, pix, spp, seed, width, raygen,
+                   thinlens=False):
+    """In-kernel raygen: film jitter (plain CAMERA_BOUNCE uniforms
     or the production stratified_jitter, sampling/multijitter.py:46-59)
-    + generate_rays' pinhole math (camera.py:118-144). cam_ref (SMEM f32):
-    0-2 position, 3-5 x_axis, 6-8 y_axis, 9-11 z_axis, 12 focal_dist,
-    13 frame_length, 14 frame_height, 15 pixel_length."""
+    + generate_rays' pinhole math (camera.py:118-144), or with
+    `thinlens` the calcRayThinLens port (camera.py:146-169: polar-warp
+    lens disk from CAMERA_BOUNCE dims 2,3; direction normalized in
+    CAMERA space before the world transform, matching the XLA order).
+    cam_ref (SMEM f32): 0-2 position, 3-5 x_axis, 6-8 y_axis,
+    9-11 z_axis, 12 focal_dist, 13 frame_length, 14 frame_height,
+    15 pixel_length, 16 focal_length, 17 lens_radius."""
     f32 = jnp.float32
     # col/row without integer div: the f32 reciprocal row estimate can be
     # off by one at row boundaries (1/width is inexact), so correct it
@@ -601,6 +606,30 @@ def _camera_raygen(cam_ref, pix, spp, seed, width, raygen):
     ix = -cam_ref[13] * 0.5 + cam_ref[15] * (colf + j0)
     iy = cam_ref[14] * 0.5 - cam_ref[15] * (rowf + j1)
     fd = cam_ref[12]
+    if thinlens:
+        # map_to_disk_polar (sampling/mappings.py:17-21) * lens_radius,
+        # lens samples = CAMERA_BOUNCE dims 2,3 (wavefront.py lens_u)
+        u2, u3 = uni(2), uni(3)
+        phi_l = f32(TWO_PI) * u2
+        rl = jnp.sqrt(u3) * cam_ref[17]
+        lx = rl * jnp.cos(phi_l)
+        ly = rl * jnp.sin(phi_l)
+        fl = cam_ref[16]
+        scale = fl / fd
+        # d_cam = normalize(fp - o_cam) in CAMERA space, then the world
+        # transform with NO re-normalize (generate_rays thin-lens order)
+        ncx, ncy, ncz, _ = _normalize3(ix * scale - lx, iy * scale - ly,
+                                       -fl - fd)
+        ndx = ncx * cam_ref[3] + ncy * cam_ref[6] + ncz * cam_ref[9]
+        ndy = ncx * cam_ref[4] + ncy * cam_ref[7] + ncz * cam_ref[10]
+        ndz = ncx * cam_ref[5] + ncy * cam_ref[8] + ncz * cam_ref[11]
+        ox = lx * cam_ref[3] + ly * cam_ref[6] + fd * cam_ref[9] \
+            + cam_ref[0]
+        oy = lx * cam_ref[4] + ly * cam_ref[7] + fd * cam_ref[10] \
+            + cam_ref[1]
+        oz = lx * cam_ref[5] + ly * cam_ref[8] + fd * cam_ref[11] \
+            + cam_ref[2]
+        return ox, oy, oz, ndx, ndy, ndz
     dxr = ix * cam_ref[3] + iy * cam_ref[6] - fd * cam_ref[9]
     dyr = ix * cam_ref[4] + iy * cam_ref[7] - fd * cam_ref[10]
     dzr = ix * cam_ref[5] + iy * cam_ref[8] - fd * cam_ref[11]
@@ -618,7 +647,7 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
                  rr_start, has_mirror=False, has_sphere_light=False,
                  has_oren=False, has_plastic=False, has_metal=False,
                  has_glass=False, has_transparent=False,
-                 raygen=None, width=0):
+                 raygen=None, width=0, thinlens=False):
     """Whole-PASS megakernel: the ENTIRE bounce loop runs inside one
     launch for brute-force scenes — per-lane path state (ray, beta, L,
     liveness) lives in VMEM/vregs across all bounces instead of round-
@@ -638,7 +667,7 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
     seed = si_ref[0].astype(jnp.uint32)
     if raygen is not None:
         ox0, oy0, oz0, dx0, dy0, dz0 = _camera_raygen(
-            o_ref, pix, spp, seed, width, raygen)
+            o_ref, pix, spp, seed, width, raygen, thinlens=thinlens)
     else:
         ox0, oy0, oz0 = o_ref[0, :], o_ref[1, :], o_ref[2, :]
         dx0, dy0, dz0 = d_ref[0, :], d_ref[1, :], d_ref[2, :]
@@ -1339,12 +1368,12 @@ def production_fast_shade(scene: T.Scene, camera=None, film=None,
         return False
     mode = fast_shade_mode(scene)
     if mode == "bounce" and camera is not None and film is not None:
-        from craytracer_tpu.camera import PINHOLE
+        from craytracer_tpu.camera import PINHOLE, THINLENS
 
-        if (camera.camera_type != PINHOLE
+        if (camera.camera_type not in (PINHOLE, THINLENS)
                 or film.width * film.height > (1 << 24)):
-            # the in-kernel raygen is pinhole-only and needs f32-exact
-            # pixel ids; the per-bounce step path still applies
+            # the in-kernel raygen covers pinhole + thin-lens and needs
+            # f32-exact pixel ids; the per-bounce step path still applies
             mode = "shade"
     return mode
 
@@ -1586,7 +1615,9 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
             jnp.stack([jnp.asarray(camera.focal_dist, jnp.float32),
                        jnp.asarray(fl, jnp.float32),
                        jnp.asarray(fh, jnp.float32),
-                       jnp.asarray(pxl, jnp.float32)]),
+                       jnp.asarray(pxl, jnp.float32),
+                       jnp.asarray(camera.focal_length, jnp.float32),
+                       jnp.asarray(camera.lens_radius, jnp.float32)]),
         ]).astype(jnp.float32)
         fin = [cam]
         # padded lanes: pixel id 0 re-traced (duplicate work, results
@@ -1609,7 +1640,9 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
                    has_glass=T.MAT_GLASS in scene.mat_types_present,
                    has_transparent=T.MAT_TRANSPARENT
                    in scene.mat_types_present,
-                   raygen=raygen, width=width)
+                   raygen=raygen, width=width,
+                   thinlens=(camera is not None
+                             and getattr(camera, "camera_type", 0) != 0))
     lane_spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     if raygen is None:
         kernel = functools.partial(_pass_kernel, **statics)

@@ -596,12 +596,13 @@ def render_sample(scene: T.Scene, camera, film, pixel_ids, seed, spp_index,
     from craytracer_tpu.camera import generate_rays
     from craytracer_tpu.sampling.multijitter import stratified_jitter
 
-    from craytracer_tpu.camera import PINHOLE
+    from craytracer_tpu.camera import PINHOLE, THINLENS
 
     if (fast_shade == "bounce" and sampler is None
             and trace_type == "PATHTRACE" and estimator != "mis"
             and geom_axis is None and scene.tri_cam is None
-            and camera.camera_type == PINHOLE and max_depth < 31
+            and camera.camera_type in (PINHOLE, THINLENS)
+            and max_depth < 31
             and film.width * film.height <= (1 << 24)):
         # (2^24 pixel cap: the in-kernel raygen derives row/col in f32,
         # exact only while pixel ids are; 31-depth cap: see trace_paths)

@@ -353,3 +353,24 @@ def test_fast_shade_plane_disk_matches_xla(mode):
                                   np.asarray(good_ref))
     assert int(m_fast["rays"]) == int(m_ref["rays"])
     assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
+
+
+def test_fused_raygen_thinlens_matches_xla():
+    """Thin-lens camera in the in-kernel raygen (calcRayThinLens port,
+    camera.py:146-169): polar-warp lens disk from CAMERA_BOUNCE dims 2,3,
+    direction normalized in camera space before the world transform —
+    vs the XLA raygen + step path through render_sample."""
+    from craytracer_tpu.camera import THINLENS
+
+    scene, cam0, film = _cornell()
+    cam = cam0.replace(camera_type=THINLENS,
+                       focal_length=jnp.float32(800.0),
+                       lens_radius=jnp.float32(2.0))
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    ref = render_sample(scene, cam, film, pix, 2, 0, 4)
+    assert float(np.asarray(ref).mean()) > 0.1  # non-vacuous image
+    fast = render_sample(scene, cam, film, pix, 2, 0, 4,
+                         fast_shade="bounce")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
