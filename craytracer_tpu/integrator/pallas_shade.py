@@ -409,10 +409,54 @@ def _sphere_t(pt_ref, k, ox, oy, oz, wx, wy, wz):
     return jnp.minimum(accept(t0), accept(t1))
 
 
+def _box_object_ray(bt_ref, k, ox, oy, oz, wx, wy, wz):
+    """World ray -> instance object space via the stored [3,4] affine
+    (cols 0-11 row-major; _instanced_object_rays, ops/intersect.py:198-206).
+    Direction is NOT renormalized so t parametrizes the world ray."""
+    oox = bt_ref[k, 0] * ox + bt_ref[k, 1] * oy + bt_ref[k, 2] * oz \
+        + bt_ref[k, 3]
+    ooy = bt_ref[k, 4] * ox + bt_ref[k, 5] * oy + bt_ref[k, 6] * oz \
+        + bt_ref[k, 7]
+    ooz = bt_ref[k, 8] * ox + bt_ref[k, 9] * oy + bt_ref[k, 10] * oz \
+        + bt_ref[k, 11]
+    odx = bt_ref[k, 0] * wx + bt_ref[k, 1] * wy + bt_ref[k, 2] * wz
+    ody = bt_ref[k, 4] * wx + bt_ref[k, 5] * wy + bt_ref[k, 6] * wz
+    odz = bt_ref[k, 8] * wx + bt_ref[k, 9] * wy + bt_ref[k, 10] * wz
+    return oox, ooy, ooz, odx, ody, odz
+
+
+def _box_t(bt_ref, k, ox, oy, oz, wx, wy, wz):
+    """Exact instanced-AABOX distance (_aabox_ts slab test on the
+    canonical centered box, ops/intersect.py:209-220) for box-table
+    row k (half extents in cols 21-23)."""
+    oox, ooy, ooz, odx, ody, odz = _box_object_ray(
+        bt_ref, k, ox, oy, oz, wx, wy, wz)
+    hx, hy, hz = bt_ref[k, 21], bt_ref[k, 22], bt_ref[k, 23]
+    ivx = 1.0 / _safe_div(odx)
+    ivy = 1.0 / _safe_div(ody)
+    ivz = 1.0 / _safe_div(odz)
+    t0x = (-hx - oox) * ivx
+    t1x = (hx - oox) * ivx
+    t0y = (-hy - ooy) * ivy
+    t1y = (hy - ooy) * ivy
+    t0z = (-hz - ooz) * ivz
+    t1z = (hz - ooz) * ivz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                 jnp.minimum(t0y, t1y)),
+                     jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                 jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    ok = (tn < tf) & (tf > K_EPSILON)
+    t = jnp.where(tn > K_EPSILON, tn, tf)
+    return jnp.where(ok, t, TMAX)
+
+
 # Per-type row kernels in intersect_scene's GROUP ORDER (_GROUPS,
-# ops/intersect.py:504-510): sphere, plane, rect, disk, triangle. The
-# table is packed in this order so the fori's strict < keeps the XLA
-# path's first-minimum tie-break across groups.
+# ops/intersect.py:504-510): sphere, plane, rect, disk, triangle, then
+# the instanced AABOX table. The tables are packed in this order so the
+# fori's strict < keeps the XLA path's first-minimum tie-break across
+# groups.
 _BRUTE_ORDER = (_sphere_t, _plane_t, _rect_t, _disk_t, _tri_t)
 
 
@@ -423,12 +467,14 @@ def _group_spans(counts):
         off += n
 
 
-def _brute_closest(pt_ref, counts, ox, oy, oz, wx, wy, wz):
+def _brute_closest(pt_ref, counts, ox, oy, oz, wx, wy, wz,
+                   bt_ref=None, n_box=0):
     """Closest hit over the SMEM prim table as fori_loops per type
     (counts = (n_sph, n_pl, n_rects, n_dsk, n_tris) in intersect_scene's
-    group order) — Mosaic compiles the ~40-op loop bodies in seconds
-    where the fully unrolled form wedged the remote compiler. Strict <
-    keeps min/argmin's first-minimum tie-break."""
+    group order; instanced AABOX rows in bt_ref index after the last
+    group) — Mosaic compiles the ~40-op loop bodies in seconds where the
+    fully unrolled form wedged the remote compiler. Strict < keeps
+    min/argmin's first-minimum tie-break."""
     best_t = jnp.full_like(ox, TMAX)
     best_k = jnp.zeros_like(ox, dtype=jnp.int32)
 
@@ -445,10 +491,22 @@ def _brute_closest(pt_ref, counts, ox, oy, oz, wx, wy, wz):
     for lo, hi, fn in _group_spans(counts):
         if hi > lo:
             carry = jax.lax.fori_loop(lo, hi, mk(fn), carry)
+    if n_box:
+        n_tot = sum(counts)
+
+        def box_body(k, carry):
+            bt, bk = carry
+            t = _box_t(bt_ref, k, ox, oy, oz, wx, wy, wz)
+            better = t < bt
+            return (jnp.where(better, t, bt),
+                    jnp.where(better, n_tot + k, bk))
+
+        carry = jax.lax.fori_loop(0, n_box, box_body, carry)
     return carry
 
 
-def _brute_any(pt_ref, counts, ox, oy, oz, wx, wy, wz):
+def _brute_any(pt_ref, counts, ox, oy, oz, wx, wy, wz,
+               bt_ref=None, n_box=0):
     """shadow_distance brute path: min t over every prim, no early out."""
     t_sh = jnp.full_like(ox, TMAX)
 
@@ -462,21 +520,30 @@ def _brute_any(pt_ref, counts, ox, oy, oz, wx, wy, wz):
     for lo, hi, fn in _group_spans(counts):
         if hi > lo:
             t_sh = jax.lax.fori_loop(lo, hi, mk(fn), t_sh)
+    if n_box:
+        def box_body(k, bt):
+            return jnp.minimum(bt, _box_t(bt_ref, k, ox, oy, oz,
+                                          wx, wy, wz))
+
+        t_sh = jax.lax.fori_loop(0, n_box, box_body, t_sh)
     return t_sh
 
 
-def _brute_hit(pt_ref, counts, ox_, oy_, oz_, dx, dy, dz):
+def _brute_hit(pt_ref, counts, ox_, oy_, oz_, dx, dy, dz,
+               bt_ref=None, n_box=0):
     """Closest hit + attribute fill over the SMEM prim table — the
-    intersect_scene brute path (spheres, planes, rects, disks, triangles
-    in group order; strict < keeps the first-minimum tie-break) with the
-    exact _fill_* attribute math. Planes/disks carry a ZERO dpdu so the
-    shade core's Duff fallback reproduces vm.orthonormal_basis exactly
-    (_fill_plane/_fill_disk, ops/intersect.py:347-377). Returns
+    intersect_scene brute path (spheres, planes, rects, disks, triangles,
+    instanced aaboxes in group order; strict < keeps the first-minimum
+    tie-break) with the exact _fill_* attribute math. Planes/disks/boxes
+    carry a ZERO dpdu so the shade core's Duff fallback reproduces
+    vm.orthonormal_basis exactly (_fill_plane/_fill_disk/_fill_instanced,
+    ops/intersect.py:347-377,410-501). Returns
     (hitm, px..pz, fn.., dpdu.., mat_id)."""
     n_sph, n_pl, n_rects, n_dsk, n_tris = counts
     n_tot = n_sph + n_pl + n_rects + n_dsk + n_tris
     best_t, best_k = _brute_closest(pt_ref, counts,
-                                    ox_, oy_, oz_, dx, dy, dz)
+                                    ox_, oy_, oz_, dx, dy, dz,
+                                    bt_ref=bt_ref, n_box=n_box)
     hitm = best_t < TMAX
 
     # ---- fill: select the winner's row constants (A = cols 0-2,
@@ -549,6 +616,76 @@ def _brute_hit(pt_ref, counts, ox_, oy_, oz_, dx, dy, dz):
         ndx = jnp.where(is_sph_hit, sdx, ndx)
         ndy = jnp.where(is_sph_hit, sdy, ndy)
         ndz = jnp.where(is_sph_hit, sdz, ndz)
+    if n_box:
+        # instanced AABOX fill (_fill_instanced box legs,
+        # ops/intersect.py:410-501): select the winning box row's affine
+        # + normal matrix + half extents, redo the object-space ray, one
+        # face-plane Newton step (value-preserving like the XLA t_diff),
+        # dominant-axis normal from the refined point, world push through
+        # (M^-1)^T, then face toward the ray. dpdu stays zero (Duff
+        # fallback = orthonormal_basis of the faced normal).
+        is_box_hit = hitm & (best_k >= n_tot)
+        acc = (zero,) * 25
+
+        def box_fill(k, carry):
+            sel = is_box_hit & (best_k == n_tot + k)
+            return tuple(jnp.where(sel, bt_ref[k, c], v)
+                         for c, v in zip((0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                          10, 11, 12, 13, 14, 15, 16, 17,
+                                          18, 19, 20, 21, 22, 23, 24),
+                                         carry))
+
+        (a00, a01, a02, b0, a10, a11, a12, b1, a20, a21, a22, b2,
+         m00, m01, m02, m10, m11, m12, m20, m21, m22,
+         hx_b, hy_b, hz_b, bmat) = \
+            jax.lax.fori_loop(0, n_box, box_fill, acc)
+        oox = a00 * ox_ + a01 * oy_ + a02 * oz_ + b0
+        ooy = a10 * ox_ + a11 * oy_ + a12 * oz_ + b1
+        ooz = a20 * ox_ + a21 * oy_ + a22 * oz_ + b2
+        odx = a00 * dx + a01 * dy + a02 * dz
+        ody = a10 * dx + a11 * dy + a12 * dz
+        odz = a20 * dx + a21 * dy + a22 * dz
+        hpx = oox + best_t * odx
+        hpy = ooy + best_t * ody
+        hpz = ooz + best_t * odz
+
+        def dominant(rx, ry, rz):
+            arx, ary, arz = jnp.abs(rx), jnp.abs(ry), jnp.abs(rz)
+            use_x = (arx >= ary) & (arx >= arz)  # argmax first-tie order
+            use_y = (~use_x) & (ary >= arz)
+            use_z = (~use_x) & (~use_y)
+            return (jnp.where(use_x, jnp.sign(rx), 0.0),
+                    jnp.where(use_y, jnp.sign(ry), 0.0),
+                    jnp.where(use_z, jnp.sign(rz), 0.0))
+
+        nfx, nfy, nfz = dominant(hpx / _safe_div(hx_b),
+                                 hpy / _safe_div(hy_b),
+                                 hpz / _safe_div(hz_b))
+        F_b = (hpx * nfx + hpy * nfy + hpz * nfz) \
+            - (hx_b * jnp.abs(nfx) + hy_b * jnp.abs(nfy)
+               + hz_b * jnp.abs(nfz))
+        Fp_b = odx * nfx + ody * nfy + odz * nfz
+        t_nb = best_t - F_b / _safe_div(Fp_b)
+        h2x = oox + t_nb * odx
+        h2y = ooy + t_nb * ody
+        h2z = ooz + t_nb * odz
+        n2x, n2y, n2z = dominant(h2x / _safe_div(hx_b),
+                                 h2y / _safe_div(hy_b),
+                                 h2z / _safe_div(hz_b))
+        wnx = m00 * n2x + m01 * n2y + m02 * n2z
+        wny = m10 * n2x + m11 * n2y + m12 * n2z
+        wnz = m20 * n2x + m21 * n2y + m22 * n2z
+        wnx, wny, wnz, _ = _normalize3(wnx, wny, wnz)
+        bflip = (wnx * dx + wny * dy + wnz * dz) > 0.0
+        bsgn = jnp.where(bflip, -1.0, 1.0)
+        t_out = jnp.where(is_box_hit, t_nb, t_out)
+        fnx = jnp.where(is_box_hit, wnx * bsgn, fnx)
+        fny = jnp.where(is_box_hit, wny * bsgn, fny)
+        fnz = jnp.where(is_box_hit, wnz * bsgn, fnz)
+        ndx = jnp.where(is_box_hit, 0.0, ndx)
+        ndy = jnp.where(is_box_hit, 0.0, ndy)
+        ndz = jnp.where(is_box_hit, 0.0, ndz)
+        mat_id = jnp.where(is_box_hit, bmat.astype(jnp.int32), mat_id)
     px = jnp.where(hitm, ox_ + t_out * dx, 0.0)
     py = jnp.where(hitm, oy_ + t_out * dy, 0.0)
     pz = jnp.where(hitm, oz_ + t_out * dz, 0.0)
@@ -640,10 +777,10 @@ def _camera_raygen(cam_ref, pix, spp, seed, width, raygen,
     return ox, oy, oz, ndx, ndy, ndz
 
 
-def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
+def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref, bt_ref,
                  o_ref, d_ref, ii_ref,
                  lo_ref, go_ref,
-                 n_mats, n_lights, prim_counts, max_depth,
+                 n_mats, n_lights, prim_counts, n_box, max_depth,
                  rr_start, has_mirror=False, has_sphere_light=False,
                  has_oren=False, has_plastic=False, has_metal=False,
                  has_glass=False, has_transparent=False,
@@ -683,7 +820,8 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
     false0 = izero != 0
 
     def occl(sx, sy, sz, wx, wy, wz):
-        return _brute_any(pt_ref, prim_counts, sx, sy, sz, wx, wy, wz)
+        return _brute_any(pt_ref, prim_counts, sx, sy, sz, wx, wy, wz,
+                          bt_ref=bt_ref, n_box=n_box)
 
     def bounce_body(b, carry):
         # liveness legs ride as i32 0/1 — i1 (bool) loop carries fail
@@ -694,7 +832,8 @@ def _pass_kernel(si_ref, sf_ref, mt_ref, lt_ref, pt_ref,
         prev_sg = psg_i != 0
         (hitm, px, py, pz, fnx, fny, fnz, ndx, ndy, ndz,
          mat_id) = _brute_hit(pt_ref, prim_counts,
-                              ox, oy, oz, dx, dy, dz)
+                              ox, oy, oz, dx, dy, dz,
+                              bt_ref=bt_ref, n_box=n_box)
         out = _shade_core(seed, b, sf_ref, mt_ref, lt_ref,
                           dx, dy, dz, px, py, pz, fnx, fny, fnz,
                           ndx, ndy, ndz, bx, by, bz, pix, spp, mat_id,
@@ -1391,7 +1530,13 @@ def fast_shade_mode(scene: T.Scene):
         n_rects = scene.rects.mat_id.shape[0]
         n_dsk = scene.disks.mat_id.shape[0]
         n_tris = scene.triangles.mat_id.shape[0]
-        others = scene.instanced.mat_id.shape[0]
+        n_inst = scene.instanced.mat_id.shape[0]
+        # instanced rows join the bounce table only when ALL are AABOX
+        # (cylinder needs atan2, torus the quartic — Mosaic-hostile)
+        others = 0
+        if n_inst and not bool(
+                (np.asarray(scene.instanced.kind) == T.INST_AABOX).all()):
+            others = n_inst
         # the kernel's cosine-space sphere clip window is equivalent to
         # |atan2| <= phi only for phi in [0, pi] and theta in [0, pi];
         # the parser accepts anything (e.g. PHI 6.283 spells a full
@@ -1406,7 +1551,7 @@ def fast_shade_mode(scene: T.Scene):
                           and (mn >= -eps).all() and (mn <= np.pi + eps).all()
                           and (mx >= -eps).all() and (mx <= np.pi + eps).all())
         if (others == 0
-                and n_sph + n_pl + n_rects + n_dsk + n_tris <= 64
+                and n_sph + n_pl + n_rects + n_dsk + n_tris + n_inst <= 64
                 and sph_ok
                 and scene.tri_bvh is None and scene.sph_bvh is None
                 and scene.tri_cam is None
@@ -1541,9 +1686,23 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
     n_rects = scene.rects.mat_id.shape[0]
     n_dsk = scene.disks.mat_id.shape[0]
     n_tris = scene.triangles.mat_id.shape[0]
+    n_box = scene.instanced.mat_id.shape[0]
     prim_counts = (n_sph, n_pl, n_rects, n_dsk, n_tris)
 
     si, sf, mt, lt = _meta_operands(scene, seed, jnp.int32(0))
+    # instanced AABOX table, 25 cols: 0-11 inv_transform [3,4] row-major,
+    # 12-20 normal_mat [3,3] row-major, 21-23 half extents, 24 mat_id
+    # (the gate admits only all-AABOX instanced sets)
+    if n_box:
+        inst = scene.instanced
+        bt = jnp.concatenate([
+            inst.inv_transform.reshape(n_box, 12),
+            inst.normal_mat.reshape(n_box, 9),
+            inst.params[:, 0:3] * 0.5,
+            inst.mat_id[:, None].astype(jnp.float32),
+        ], axis=-1)
+    else:
+        bt = jnp.zeros((1, 25), jnp.float32)
     # prim rows, 16 cols, packed in intersect_scene's group order
     # (sphere, plane, rect, disk, triangle): A = cols 0-2 (sphere
     # center / plane point / rect point / disk center / tri v0),
@@ -1628,7 +1787,7 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
     blocks = npad // block
 
     statics = dict(n_mats=n_mats, n_lights=n_lights,
-                   prim_counts=prim_counts,
+                   prim_counts=prim_counts, n_box=n_box,
                    max_depth=max_depth, rr_start=rr_start,
                    has_mirror=T.MAT_MIRROR in scene.mat_types_present,
                    has_sphere_light=T.LIGHT_AREA_SPHERE
@@ -1648,8 +1807,8 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
         kernel = functools.partial(_pass_kernel, **statics)
         ray_specs = [lane_spec(3), lane_spec(3)]
     else:
-        def kernel(si, sf, mt, lt, pt, cam_r, ii_r, lo_r, go_r):
-            _pass_kernel(si, sf, mt, lt, pt, cam_r, None, ii_r,
+        def kernel(si, sf, mt, lt, pt, bt_r, cam_r, ii_r, lo_r, go_r):
+            _pass_kernel(si, sf, mt, lt, pt, bt_r, cam_r, None, ii_r,
                          lo_r, go_r, **statics)
 
         ray_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -1657,6 +1816,7 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
         kernel,
         grid=(blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1668,7 +1828,7 @@ def fused_pass(scene: T.Scene, o, d, pix, spp, seed,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(si, sf, mt, lt, pt, *fin, ii)
+    )(si, sf, mt, lt, pt, bt, *fin, ii)
     L = lo[:, :n].T
     good = go[0, :n]
     hist = go[3, :n]

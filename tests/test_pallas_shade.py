@@ -374,3 +374,51 @@ def test_fused_raygen_thinlens_matches_xla():
                          fast_shade="bounce")
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["shade", "bounce"])
+def test_fast_shade_aabox_matches_xla(mode):
+    """Instanced AABOX in the whole-bounce prim table: world->object
+    affine in SMEM (rotated + scaled boxes), the exact _aabox_ts slab
+    test, the face-plane Newton t refinement, dominant-axis normal
+    through (M^-1)^T, faced toward the ray (_fill_instanced box legs) —
+    vs the XLA step on the same rays. Boxes index after every other
+    group (instanced is last in _GROUPS)."""
+    from craytracer_tpu.camera import Film, make_camera
+    from craytracer_tpu.integrator.pallas_shade import fast_shade_mode
+    from craytracer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_matte("w", (0.7, 0.7, 0.7))
+    b.add_matte("r", (0.6, 0.15, 0.1))
+    b.add_mirror("m", (0.9, 0.9, 0.9))
+    b.add_emissive("lamp", (1.0, 0.9, 0.8), 18.0)
+    b.add_plane((0, 0, 0), (0, 1, 0), "w")                   # ground
+    b.add_box(1.2, 0.8, 0.9, "r", location=(-1.1, 0.4, 0.2),
+              orientation=(0, 30, 0))                        # rotated box
+    b.add_box(0.6, 1.6, 0.6, "w", location=(0.9, 0.8, -0.6),
+              scale=(1.0, 1.0, 1.3), orientation=(10, -20, 5))
+    b.add_sphere((0.1, 0.45, 1.4), 0.45, "m")
+    b.add_rect((-1, 3.0, -1), (2, 0, 0), (0, 0, 2), "lamp")
+    scene = b.build()
+    assert fast_shade_mode(scene) == "bounce"
+
+    cam = make_camera((0, 1.6, 5.0), (0, 0.7, 0))
+    film = Film(fov=jnp.float32(0.85), width=32, height=32)
+    n = film.num_pixels
+    pix = jnp.arange(n, dtype=jnp.int32)
+    jit = uniforms(0, pix, 0, CAMERA_BOUNCE, 2, 0)
+    o, d = generate_rays(cam, film, pix, jit)
+
+    L_ref, good_ref, m_ref = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                         with_metrics=True)
+    assert float(np.asarray(L_ref).mean()) > 0.01  # non-vacuous
+    L_fast, good_fast, m_fast = trace_paths(scene, o, d, 0, pix, 0, 4,
+                                            with_metrics=True,
+                                            fast_shade=mode)
+    np.testing.assert_allclose(np.asarray(L_fast), np.asarray(L_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(good_fast),
+                                  np.asarray(good_ref))
+    assert int(m_fast["rays"]) == int(m_ref["rays"])
+    assert int(m_fast["shadow_rays"]) == int(m_ref["shadow_rays"])
