@@ -11,12 +11,13 @@ Two tiers, auto-selected by `fast_shade_mode` (bounce > shade > XLA):
   (trace.h:484-525). For accel-backed scenes: the packet traversal stays
   external.
 * "bounce" → whole-PASS megakernel (`fused_pass` / `_pass_kernel`): for
-  brute-force scenes (spheres + rects + flat triangles ≤ 64 prims, no
-  accel tables) the ENTIRE bounce loop runs inside one launch per
-  spp-pass — in-kernel closest hit over an SMEM prim table (the exact
-  ops/intersect.py sphere_ts/rect_ts/triangle_ts + _fill_* math), shade,
-  shadow any-hit, with the full path state carried in VMEM/vregs across
-  bounces instead of round-tripping HBM.
+  brute-force scenes (spheres + planes + rects + disks + flat triangles
+  + instanced AABOXes, ≤ 64 prims, no accel tables) the ENTIRE bounce
+  loop runs inside one launch per spp-pass — in-kernel closest hit over
+  SMEM prim tables (the exact ops/intersect.py *_ts + _fill_* math, in
+  intersect_scene's tie-break group order), shade, shadow any-hit, with
+  the full path state carried in VMEM/vregs across bounces instead of
+  round-tripping HBM. In-kernel raygen covers pinhole AND thin-lens.
 
 Why: ROOFLINE.json measured the XLA shade stage at 2.85 ms per bounce at
 262k lanes across ~300 distinct jnp ops — per-op dispatch/fusion overhead,
